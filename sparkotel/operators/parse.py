@@ -1,0 +1,218 @@
+"""Parse stage — vectorized re-expressions of the stanza parser operators.
+
+Reference semantics (all paths cite /root/reference):
+- ParserOperator harness: read ``parse_from``, write extracted fields,
+  apply ``on_error`` ∈ {send, send_quiet, drop, drop_quiet}, optional
+  ``if`` gate — pkg/stanza/operator/helper/parser.go:102-247,
+  helper/transformer.go:43-51,142-194.
+- regex_parser: RE2 named-capture groups, ≥1 group required —
+  pkg/stanza/operator/parser/regex/parser.go:39-67.
+- time_parser strptime layouts — pkg/stanza/operator/helper/time.go:95-224.
+- severity_parser range aliases (2xx→info …) —
+  pkg/stanza/operator/helper/severity_builder.go.
+- json/csv/keyvalue/uri/trace parsers — operator/parser/*/parser.go.
+
+Spark-first design: everything is a lazy DataFrame transformation.  The
+default regex engine is native ``regexp_extract`` (JVM, whole-stage
+codegen); an Arrow-batched pandas UDF engine (``engine="pandas"``,
+``pd.Series.str.extract`` — vectorized, never per-row Python) is
+provided for patterns that need python-``re`` semantics, mirroring the
+grok path (pkg/ottl/ottlfuncs/func_extract_grok_patterns.go:39-126).
+Failed parses carry an ``_error`` lineage column instead of being
+destroyed, so ``on_error=send`` forwards them unmodified
+(helper/transformer.go:163-167).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+ON_ERROR_MODES = ("send", "send_quiet", "drop", "drop_quiet")
+
+# stanza severity enum (pkg/stanza/entry/severity.go:11-40): trace=1,
+# debug=5, info=9, warn=13, error=17, fatal=21 (+1..3 fine grades).
+SEVERITY_NUMBER = {"trace": 1, "debug": 5, "info": 9, "warn": 13, "error": 17, "fatal": 21}
+
+
+def _apply_on_error(df: DataFrame, matched: Column, on_error: str) -> DataFrame:
+    if on_error not in ON_ERROR_MODES:
+        raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
+    df = df.withColumn("_error", ~matched)
+    if on_error.startswith("drop"):
+        df = df.filter(~F.col("_error"))
+    return df
+
+
+def first_line(col: str | Column) -> Column:
+    """The access-log record is line 1 of ``text`` (split is codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split_part(c, F.lit("\n"), F.lit(1))
+
+
+def regex_parser(
+    df: DataFrame,
+    pattern: str,
+    groups: Sequence[str],
+    parse_from: str | Column = "text",
+    on_error: str = "send",
+    engine: str = "native",
+    line1: bool = True,
+) -> DataFrame:
+    """Extract positional/named groups into typed string columns.
+
+    ``engine='native'``: one ``regexp_extract`` per group — stays inside
+    whole-stage codegen; Catalyst dedups the shared regex compile.
+    ``engine='pandas'``: single Arrow-batched UDF using
+    ``pd.Series.str.extract`` (one pass over the batch, all groups).
+    """
+    src = first_line(parse_from) if line1 else (
+        F.col(parse_from) if isinstance(parse_from, str) else parse_from
+    )
+    if engine == "native":
+        df = df.withColumn("_src", src)
+        matched = F.col("_src").rlike(pattern)
+        for i, g in enumerate(groups):
+            df = df.withColumn(
+                g, F.when(matched, F.regexp_extract(F.col("_src"), pattern, i + 1))
+            )
+        df = _apply_on_error(df, matched, on_error).drop("_src")
+        return df
+    if engine == "pandas":
+        out_schema = StructType([StructField(g, StringType()) for g in groups])
+        compiled = re.compile(pattern)
+
+        @F.pandas_udf(out_schema)
+        def extract(s: pd.Series) -> pd.DataFrame:
+            ext = s.str.extract(compiled)
+            ext.columns = list(groups)
+            return ext
+
+        df = df.withColumn("_m", extract(src))
+        matched = F.col("_m").getField(groups[0]).isNotNull()
+        for g in groups:
+            df = df.withColumn(g, F.col("_m").getField(g))
+        return _apply_on_error(df, matched, on_error).drop("_m")
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+# Spark datetime pattern translation for strptime directives
+# (helper/time.go strptime layouts → JDK patterns).
+_STRPTIME = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%b": "MMM", "%d": "dd",
+    "%H": "HH", "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS",
+    "%z": "Z", "%j": "DDD", "%p": "a", "%e": "d",
+}
+
+
+def strptime_to_spark(layout: str) -> str:
+    out = layout
+    for k, v in _STRPTIME.items():
+        out = out.replace(k, v)
+    return out
+
+
+def time_parser(
+    df: DataFrame,
+    parse_from: str = "ts_str",
+    layout: str = "%d/%b/%Y:%H:%M:%S %z",
+    layout_type: str = "strptime",
+    to: str = "timestamp",
+) -> DataFrame:
+    """strptime/epoch time parsing (helper/time.go:95-224).
+
+    ``try_to_timestamp`` keeps on_error=send rows NULL instead of
+    failing the task (ANSI mode safe).
+    """
+    if layout_type == "strptime":
+        fmt = strptime_to_spark(layout)
+        return df.withColumn(to, F.try_to_timestamp(F.col(parse_from), F.lit(fmt)))
+    if layout_type == "epoch":
+        units = {
+            "s": lambda c: F.timestamp_seconds(c.cast("long")),
+            "ms": lambda c: F.timestamp_millis(c.cast("long")),
+            "us": lambda c: F.timestamp_micros(c.cast("long")),
+            "ns": lambda c: F.timestamp_micros((c.cast("long") / 1000).cast("long")),
+        }
+        return df.withColumn(to, units[layout](F.col(parse_from)))
+    raise ValueError(f"unknown layout_type {layout_type!r}")
+
+
+def severity_parser(
+    df: DataFrame,
+    parse_from: str = "status",
+    mapping: Sequence[tuple[str, str]] = (("5xx", "error"), ("4xx", "warn"), ("2xx", "info"), ("3xx", "info")),
+) -> DataFrame:
+    """Range-alias severity mapping (severity_builder.go `2xx` ranges).
+
+    Emits ``severity_number`` (stanza 25-level enum) + ``severity_text``.
+    """
+    c = F.col(parse_from).cast("int")
+    expr_text = None
+    for rng, name in mapping:
+        lo = int(rng[0]) * 100
+        cond = (c >= lo) & (c < lo + 100)
+        expr_text = F.when(cond, F.lit(name)) if expr_text is None else expr_text.when(cond, F.lit(name))
+    expr_text = expr_text.otherwise(F.lit("default"))
+    num_map = F.create_map(
+        *[x for k, v in SEVERITY_NUMBER.items() for x in (F.lit(k), F.lit(v))]
+    )
+    df = df.withColumn("severity_text", expr_text)
+    return df.withColumn(
+        "severity_number", F.coalesce(num_map[F.col("severity_text")], F.lit(0))
+    )
+
+
+def json_parser(df: DataFrame, parse_from: str, schema: str, to: str = "parsed") -> DataFrame:
+    """fastjson body parse (operator/parser/jsonparser/parser.go:24-50)."""
+    return df.withColumn(to, F.from_json(F.col(parse_from), schema))
+
+
+def csv_parser(
+    df: DataFrame, parse_from: str, header: Sequence[str], sep: str = ",", to: str = "parsed"
+) -> DataFrame:
+    """csv_parser (operator/parser/csv/parser.go:60-111)."""
+    schema = ", ".join(f"{h} STRING" for h in header)
+    return df.withColumn(to, F.from_csv(F.col(parse_from), schema, {"sep": sep}))
+
+
+def key_value_parser(
+    df: DataFrame, parse_from: str, pair_sep: str = " ", kv_sep: str = "=", to: str = "attributes"
+) -> DataFrame:
+    """key_value_parser (operator/parser/keyvalue/parser.go:32)."""
+    return df.withColumn(
+        to, F.str_to_map(F.col(parse_from), F.lit(pair_sep), F.lit(kv_sep))
+    )
+
+
+def uri_parser(df: DataFrame, parse_from: str = "url", prefix: str = "uri_") -> DataFrame:
+    """uri_parser → scheme/host/path/query (operator/parser/uri/parser.go:31-38)."""
+    c = F.col(parse_from)
+    return (
+        df.withColumn(f"{prefix}scheme", F.split_part(c, F.lit("://"), F.lit(1)))
+        .withColumn(f"{prefix}host", F.parse_url(c, F.lit("HOST")))
+        .withColumn(f"{prefix}path", F.parse_url(c, F.lit("PATH")))
+        .withColumn(f"{prefix}query", F.parse_url(c, F.lit("QUERY")))
+    )
+
+
+def trace_parser(
+    df: DataFrame, trace_from: str, span_from: str, to_hex: bool = True
+) -> DataFrame:
+    """hex → trace/span ids (operator/parser/trace/parser.go, helper/trace.go).
+
+    Emits binary ids plus hex-string mirrors (pdata's TraceID.String()).
+    """
+    df = df.withColumn("trace_id", F.unhex(F.col(trace_from))).withColumn(
+        "span_id", F.unhex(F.col(span_from))
+    )
+    if to_hex:
+        df = df.withColumn("trace_id_hex", F.lower(F.hex(F.col("trace_id")))).withColumn(
+            "span_id_hex", F.lower(F.hex(F.col("span_id")))
+        )
+    return df

@@ -1,0 +1,66 @@
+"""Record reassembly — recombine (multiline join) without any state.
+
+Reference: operator/transformer/recombine/config.go:52-63,
+transformer.go — stateful buffers keyed by source, flushed on
+is_first/is_last boundaries or timeout.  In batch Spark the timeout
+disappears: a window partitioned by the source identifier, ordered by
+the record offset, computes a running count of boundary markers as the
+group id, then one groupBy concatenates each group (SURVEY §2.11).
+
+Scale note: the window + groupBy share the same partitioning key
+(source), so AQE plans a single shuffle; per-source data must fit a
+task, which holds because sources are individual files/documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def recombine(
+    df: DataFrame,
+    source_col: str,
+    order_col: str,
+    line_col: str,
+    is_first: Column,
+    combine_with: str = "\n",
+    max_batch_size: int | None = None,
+) -> DataFrame:
+    """Collapse consecutive rows into one per boundary group.
+
+    ``is_first`` marks the first line of each logical record
+    (is_last_entry configs invert to a shifted is_first via lead()).
+    Returns (source, group_id, combined, n_lines, first_<order_col>).
+    """
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    grouped = df.withColumn(
+        "_gid",
+        F.sum(is_first.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    out = (
+        grouped.groupBy(source_col, "_gid")
+        .agg(
+            F.concat_ws(
+                combine_with, F.transform(F.array_sort(F.collect_list(F.struct(order_col, line_col))), lambda s: s.getField(line_col))
+            ).alias("combined"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(order_col).alias(f"first_{order_col}"),
+        )
+        .withColumnRenamed("_gid", "group_id")
+    )
+    if max_batch_size is not None:
+        out = out.filter(F.col("n_lines") <= max_batch_size)
+    return out
+
+
+def split_lines(df: DataFrame, text_col: str = "text", keep: list[str] | None = None) -> DataFrame:
+    """Line splitter (pkg/stanza/split/) — text → one row per line with
+    its offset, the fileconsumer reader's emit shape."""
+    keep = keep or [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_offset", "line"),
+    )

@@ -1,0 +1,144 @@
+"""OTTL-subset compiler tests — parser unit tests plus executed
+statement semantics over tiny DataFrames (modelled on the reference's
+e2e corpus, pkg/ottl/e2e/e2e_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkotel import expr as X
+
+
+# -- parser ------------------------------------------------------------------
+
+def test_parse_condition_ast():
+    e = X.parse_expr('lang == "en" and status >= 500')
+    assert isinstance(e, X.BinOp) and e.op == "and"
+    assert e.left.op == "==" and e.left.left.parts == ["lang"]
+    assert e.right.op == ">=" and e.right.right.value == 500
+
+
+def test_parse_statement_where():
+    s = X.parse_statement('set(attributes["k"], "v") where severity_number > 13')
+    assert s.editor.name == "set"
+    assert s.editor.args[0].parts == ["attributes", ("key", "k")]
+    assert s.where.op == ">"
+
+
+def test_parse_nested_calls_and_math():
+    e = X.parse_expr('Len(Concat(host, path, "-")) * 2 + 1')
+    assert e.op == "+" and e.left.op == "*"
+
+
+def test_parse_errors():
+    with pytest.raises(SyntaxError):
+        X.parse_expr("lang == ")
+    with pytest.raises(SyntaxError):
+        X.parse_statement('set(attributes[k], 1)')  # non-literal map index
+
+
+def test_constant_folding():
+    comp = X.Compiler()
+    assert comp.compile(X.parse_expr("1 + 2 * 3")) == 7
+    assert comp.compile(X.parse_expr('"a" == "b"')) is False
+
+
+# -- executed semantics -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [
+            ("https://a/x", "en", 500, {"k1": "v1", "k2": "verbose-value"}),
+            ("https://b/y", "de", 200, {"k2": "v2", "secret_token": "s"}),
+        ],
+        "url string, lang string, status int, attributes map<string,string>",
+    )
+
+
+def test_condition_compile(spark, tiny):
+    cond = X.compile_condition(tiny, 'lang == "en" and status >= 500')
+    assert tiny.filter(cond).count() == 1
+
+
+def test_set_where(spark, tiny):
+    out = X.apply_statement(tiny, 'set(severity, "ERROR") where status >= 500')
+    rows = {r["url"]: r["severity"] for r in out.collect()}
+    assert rows["https://a/x"] == "ERROR" and rows["https://b/y"] is None
+
+
+def test_set_converter_value(spark, tiny):
+    out = X.apply_statement(tiny, "set(path_len, Len(url))")
+    assert {r["path_len"] for r in out.collect()} == {11}
+
+
+def test_delete_and_keep_keys(spark, tiny):
+    out = X.apply_statement(tiny, 'delete_key(attributes, "k2")')
+    m = {r["url"]: r["attributes"] for r in out.collect()}
+    assert "k2" not in m["https://a/x"] and "k1" in m["https://a/x"]
+
+    out2 = X.apply_statement(tiny, 'keep_keys(attributes, "k1")')
+    m2 = {r["url"]: r["attributes"] for r in out2.collect()}
+    assert m2["https://a/x"] == {"k1": "v1"} and m2["https://b/y"] == {}
+
+
+def test_delete_matching_keys(spark, tiny):
+    out = X.apply_statement(tiny, 'delete_matching_keys(attributes, "secret.*")')
+    m = {r["url"]: r["attributes"] for r in out.collect()}
+    assert "secret_token" not in m["https://b/y"] and "k2" in m["https://b/y"]
+
+
+def test_replace_pattern(spark, tiny):
+    out = X.apply_statement(tiny, 'replace_pattern(url, "^https://", "")')
+    assert {r["url"] for r in out.collect()} == {"a/x", "b/y"}
+
+
+def test_replace_all_patterns_values(spark, tiny):
+    out = X.apply_statement(tiny, 'replace_all_patterns(attributes, "value", "v", "V")')
+    m = {r["url"]: r["attributes"] for r in out.collect()}
+    assert m["https://a/x"]["k1"] == "V1"
+
+
+def test_truncate_all_and_limit(spark, tiny):
+    out = X.apply_statement(tiny, "truncate_all(attributes, 2)")
+    m = {r["url"]: r["attributes"] for r in out.collect()}
+    assert m["https://a/x"]["k2"] == "ve"
+
+    out2 = X.apply_statement(tiny, "limit(attributes, 1)")
+    m2 = {r["url"]: r["attributes"] for r in out2.collect()}
+    assert list(m2["https://a/x"].keys()) == ["k1"]  # lexicographically first
+
+
+def test_merge_maps(spark, tiny):
+    out = X.apply_statement(
+        tiny.withColumn("extra", X.F.create_map(X.F.lit("k1"), X.F.lit("NEW"))),
+        'merge_maps(attributes, extra, "insert")',
+    )
+    m = {r["url"]: r["attributes"] for r in out.collect()}
+    assert m["https://a/x"]["k1"] == "v1"  # insert: existing key untouched
+    assert m["https://b/y"]["k1"] == "NEW"  # absent key added
+
+    out2 = X.apply_statement(
+        tiny.withColumn("extra", X.F.create_map(X.F.lit("k1"), X.F.lit("NEW"))),
+        'merge_maps(attributes, extra, "upsert")',
+    )
+    m2 = {r["url"]: r["attributes"] for r in out2.collect()}
+    assert m2["https://a/x"]["k1"] == "NEW"
+
+
+def test_converters(spark, tiny):
+    df = X.apply_statements(
+        tiny,
+        [
+            'set(up, ToUpperCase(lang))',
+            'set(hashval, SHA256(url))',
+            'set(num, Int("42"))',
+            'set(bad, Int("xx"))',
+            'set(joined, Concat(lang, url, "-"))',
+        ],
+    )
+    r = {x["url"]: x for x in df.collect()}
+    a = r["https://a/x"]
+    assert a["up"] == "EN" and len(a["hashval"]) == 64 and a["num"] == 42
+    assert a["bad"] is None and a["joined"] == "en-https://a/x"
