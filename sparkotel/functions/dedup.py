@@ -1,0 +1,255 @@
+"""Deduplication for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, and n-gram Jaccard near-dup — each with a DuckDB
+oracle mirror built on the shared md5-derived hashes
+(sparkotel.functions.hashing).
+
+Scale design:
+- exact dedup is one groupBy on a 128-bit content hash — the classic
+  map-side-combinable shuffle; AQE handles skew from boilerplate dups.
+- MinHash signatures are computed per-row with higher-order array
+  functions (NO explode → no row blow-up, no shuffle); only the small
+  (doc, band) pairs shuffle for the LSH self-join.
+- candidate verification (Jaccard) joins only within LSH buckets, never
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkotel.functions.hashing import (
+    MERSENNE31,
+    MINHASH_K,
+    duck_h31,
+    duck_h60,
+    duck_perm,
+    h31,
+    h60,
+    perm_params,
+)
+from sparkotel.functions.text import SHINGLE_W, duck_shingles, shingles
+
+BANDS = 2  # 2 bands × 4 rows (K=8)
+ROWS_PER_BAND = MINHASH_K // BANDS
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """md5-content groups: keeper = min id, plus duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def duck_exact_dedup(table: str = "documents") -> str:
+    return f"""
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM {table} GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """K min-hash values per doc over distinct word shingles.
+
+    Per-row array math (transform + array_min) — the signature never
+    leaves the row, so this stage is shuffle-free.  The shingle-hash
+    array is computed ONCE and all K permutations map over it inside a
+    single expression (K separate withColumns would inline the md5 pass
+    K times after projection collapse — measured 8× slower).
+    """
+    sh = F.array_distinct(shingles(F.col(text_col)))
+    hs = F.transform(sh, h31)
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in perm_params()
+        ]
+    )
+    sig = F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(hs, lambda h: (h * p.getField("a") + p.getField("b")) % F.lit(MERSENNE31))
+        ),
+    )
+    df = df.withColumn("_sig", sig)
+    for i in range(MINHASH_K):
+        df = df.withColumn(f"mh_{i}", F.col("_sig").getItem(i))
+    return df.drop("_sig")
+
+
+def lsh_bands(df: DataFrame) -> DataFrame:
+    """band value = md5 of the band's concatenated signature rows."""
+    for b in range(BANDS):
+        cols = [F.col(f"mh_{i}").cast("string") for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
+        df = df.withColumn(f"band_{b}", F.md5(F.concat_ws("-", *cols)))
+    return df
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    The self-join shuffles only (id, band) pairs — 2 small rows per doc
+    regardless of document size.
+    """
+    # persist the tiny signature frame: the band union consumes it twice
+    # and would otherwise re-run the md5 shingle pass per branch
+    sig = lsh_bands(minhash_signature(df.select(id_col, text_col))).drop(text_col)
+    sig = sig.persist()
+    bands = None
+    for b in range(BANDS):
+        part = sig.select(
+            F.col(id_col).alias("id"), F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def _duck_sig_exprs() -> list[str]:
+    hs = f"list_transform(list_distinct({duck_shingles()}), s -> {duck_h31('s')})"
+    out = []
+    for i, (a, b) in enumerate(perm_params()):
+        out.append(f"list_min(list_transform({hs}, h -> {duck_perm('h', a, b)})) AS mh_{i}")
+    return out
+
+
+def duck_minhash_signature(table: str = "documents") -> str:
+    sigs = ",\n  ".join(_duck_sig_exprs())
+    return f"SELECT doc_id, {sigs} FROM {table}"
+
+
+def duck_minhash_lsh_pairs(table: str = "documents") -> str:
+    band_exprs = []
+    for b in range(BANDS):
+        cols = " || '-' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+        )
+        band_exprs.append(f"md5({cols}) AS band_{b}")
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id AS id, {b} AS band_idx, band_{b} AS band FROM sig" for b in range(BANDS)
+    )
+    return f"""
+WITH s AS ({duck_minhash_signature(table)}),
+sig AS (SELECT doc_id, {', '.join(band_exprs)} FROM s),
+bands AS ({unions})
+SELECT DISTINCT l.id AS id_a, r.id AS id_b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band = r.band AND l.id < r.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """16-bit SimHash over word token hashes (with multiplicity).
+
+    bit j set iff sum over tokens of (h_bit_j ? +1 : -1) >= 0.
+    Pure per-row array math — shuffle-free.
+    """
+    hs = F.transform(F.split(F.col(text_col), " "), h60)
+    # one expression: per-bit votes over the hash array, then pack —
+    # the token-hash pass is evaluated once, not SIMHASH_BITS times
+    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    votes = F.transform(
+        bits,
+        lambda j: F.aggregate(
+            hs,
+            F.lit(0),
+            lambda s, h: s
+            + F.when(
+                F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.array(*[F.lit(2 ** j) for j in range(SIMHASH_BITS)]),
+            lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda s, x: s + x,
+    )
+    return df.withColumn(out, packed.cast("bigint"))
+
+
+def duck_simhash(table: str = "documents") -> str:
+    h = duck_h60("t")
+    votes = ",\n    ".join(
+        f"list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2 ** j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+WITH v AS (SELECT doc_id, {votes} FROM {table})
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification of LSH candidates
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Jaccard over distinct word shingles for candidate pairs only."""
+    sets_df = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col))).alias("sh")
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def duck_jaccard_pairs(table: str = "documents") -> str:
+    return f"""
+WITH pairs AS ({duck_minhash_lsh_pairs(table)}),
+sets AS (SELECT doc_id, list_distinct({duck_shingles()}) AS sh FROM {table})
+SELECT p.id_a, p.id_b,
+  round(len(list_intersect(a.sh, b.sh)) /
+        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+FROM pairs p JOIN sets a ON p.id_a = a.doc_id JOIN sets b ON p.id_b = b.doc_id
+"""

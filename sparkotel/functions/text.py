@@ -1,0 +1,193 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and winnowing-style document
+fingerprinting — all as native Column expressions over the
+``documents`` table (no UDFs: split/filter/transform/aggregate are
+JVM-side higher-order functions, so the hot path stays in whole-stage
+codegen and scales linearly with input splits; the only shuffle in any
+of these is the caller's).
+
+Every function has a DuckDB mirror (``duck_*``) so the driver can
+oracle-check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkotel.functions.hashing import duck_h60, h60
+
+# tiny deterministic stopword lists (the documents vocabulary is a
+# synthetic word salad; 'the'/'a' dominate → mostly English)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "et", "les", "un"],
+    "es": ["el", "la", "y", "los", "una"],
+}
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer
+SHINGLE_W = 5
+
+
+def words(c: Column) -> Column:
+    return F.split(c, " ")
+
+
+def token_count_ws(c: Column) -> Column:
+    """whitespace tokens"""
+    return F.size(words(c)).cast("bigint")
+
+
+def token_count_bpe(c: Column) -> Column:
+    """regex pre-tokenizer count (letters / digits / punct runs)"""
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))).cast("bigint")
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words(c), lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    for lang in STOPWORDS:
+        df = df.withColumn(f"hits_{lang}", stopword_hits(c, lang))
+    return df
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """argmax stopword-hit language; deterministic tiebreak by the
+    ordered language list; 'und' (undetermined) when no stopwords hit."""
+    df = lang_scores(df, text_col)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:
+        expr = expr.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return df.withColumn(out, expr)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length / punct ratio / stopword ratio / mean word length —
+    the standard web-text quality heuristics (C4/Gopher-style)."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("bigint")
+    n_tokens = token_count_ws(c)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))).cast("bigint")
+    n_stop = stopword_hits(c, "en")
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_tokens_bpe", token_count_bpe(c))
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 6))
+        .withColumn("mean_word_len", F.round((n_chars - n_tokens + 1) / n_tokens, 6))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """single 0..1-ish score: stopword density up, punctuation down,
+    degenerate-length down (rounded so both engines hash-match)."""
+    df = quality_features(df, text_col)
+    raw = (
+        F.lit(0.5)
+        + F.col("stopword_ratio") * 2.0
+        - F.col("punct_ratio") * 4.0
+        - F.when(F.col("n_tokens") < 10, 0.25).otherwise(0.0)
+    )
+    return df.withColumn(out, F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)), 6))
+
+
+def shingles(c: Column, w: int = SHINGLE_W) -> Column:
+    """word w-shingles as strings (empty array when fewer than w words)"""
+    ws = words(c)
+    return F.when(
+        F.size(ws) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """winnowing-style rolling-hash fingerprint: the min/max 60-bit
+    shingle hash + distinct shingle count per document.  One projection,
+    no shuffle; at 100 TB this runs scan-speed."""
+    sh = shingles(F.col(text_col))
+    hashes = F.transform(sh, h60)
+    return (
+        df.withColumn("fp_min", F.array_min(hashes))
+        .withColumn("fp_max", F.array_max(hashes))
+        .withColumn("n_shingles", F.size(F.array_distinct(sh)).cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB mirrors
+# ---------------------------------------------------------------------------
+
+def _duck_stop_hits(col: str, lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split({col}, ' '), t -> t IN ({lst})))"
+
+
+def duck_lang_id(table: str = "documents") -> str:
+    hits = ",\n    ".join(
+        f"{_duck_stop_hits('text', lang)} AS hits_{lang}" for lang in STOPWORDS
+    )
+    when = " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in STOPWORDS)
+    return f"""
+WITH s AS (SELECT doc_id, {hits} FROM {table}),
+b AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM s)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN best = 0 THEN 'und' {when} END AS lang_pred
+FROM b
+"""
+
+
+def duck_quality(table: str = "documents") -> str:
+    stop = _duck_stop_hits("text", "en")
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    len(string_split(text, ' ')) AS n_tokens,
+    len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens_bpe,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+    {stop} AS n_stop
+  FROM {table}
+)
+SELECT doc_id, n_chars, n_tokens, n_tokens_bpe,
+  round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+  round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+  round((n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 6) AS mean_word_len,
+  round(greatest(0.0, least(1.0,
+    0.5 + round(n_stop / CAST(n_tokens AS DOUBLE), 6) * 2.0
+        - round(n_punct / CAST(n_chars AS DOUBLE), 6) * 4.0
+        - CASE WHEN n_tokens < 10 THEN 0.25 ELSE 0.0 END)), 6) AS quality
+FROM q
+"""
+
+
+def duck_shingles(col: str = "text", w: int = SHINGLE_W) -> str:
+    return (
+        f"CASE WHEN len(string_split({col}, ' ')) >= {w} THEN "
+        f"list_transform(range(1, len(string_split({col}, ' ')) - {w - 2}), "
+        f"i -> array_to_string(string_split({col}, ' ')[i:i+{w - 1}], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def duck_fingerprint(table: str = "documents") -> str:
+    sh = duck_shingles()
+    return f"""
+WITH s AS (SELECT doc_id, {sh} AS sh FROM {table})
+SELECT doc_id,
+  list_min(list_transform(sh, s -> {duck_h60('s')})) AS fp_min,
+  list_max(list_transform(sh, s -> {duck_h60('s')})) AS fp_max,
+  len(list_distinct(sh)) AS n_shingles
+FROM s
+"""

@@ -133,18 +133,27 @@ def interval_agg(
     return df.groupBy(bucket, *[F.col(d) for d in dims]).agg(*aggs)
 
 
+def _order(ts_col) -> list:
+    return list(ts_col) if isinstance(ts_col, (list, tuple)) else [ts_col]
+
+
 def delta_to_cumulative(
-    df: DataFrame, stream_cols: Sequence[str], ts_col: str, value_col: str, out: str = "cumulative"
+    df: DataFrame, stream_cols: Sequence[str], ts_col, value_col: str, out: str = "cumulative"
 ) -> DataFrame:
-    """Running accumulation per stream id (deltatocumulativeprocessor)."""
-    w = Window.partitionBy(*stream_cols).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    """Running accumulation per stream id (deltatocumulativeprocessor).
+    ``ts_col`` may be a list for a total order (deterministic on ties)."""
+    w = (
+        Window.partitionBy(*stream_cols)
+        .orderBy(*_order(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return df.withColumn(out, F.sum(value_col).over(w))
 
 
 def cumulative_to_delta(
-    df: DataFrame, stream_cols: Sequence[str], ts_col: str, value_col: str, out: str = "delta"
+    df: DataFrame, stream_cols: Sequence[str], ts_col, value_col: str, out: str = "delta"
 ) -> DataFrame:
     """Successive difference per stream id (cumulativetodeltaprocessor);
     first point yields NULL (the reference drops the first observation)."""
-    w = Window.partitionBy(*stream_cols).orderBy(ts_col)
+    w = Window.partitionBy(*stream_cols).orderBy(*_order(ts_col))
     return df.withColumn(out, F.col(value_col) - F.lag(value_col).over(w))

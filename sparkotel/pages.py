@@ -197,6 +197,28 @@ def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(spark_pages_sql())
 
 
+def pages_scaled(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """Bench-scale pages: replicate documents with shifted doc_ids.
+
+    Row content stays a pure function of doc_id, so the replicated table
+    keeps the generator's skew/malformed/status distributions — the
+    deterministic stand-in for the 10^12-doc production table.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        n = docs.count()
+        from pyspark.sql import functions as F
+
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        docs = (
+            docs.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n))
+            .drop("rep")
+        )
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(spark_pages_sql())
+
+
 def geo_table(spark: SparkSession) -> DataFrame:
     return spark.sql(spark_geo_sql())
 

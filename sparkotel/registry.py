@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 
 from sparkotel import pages as P
 from sparkotel import pipeline as PL
+from sparkotel.functions import dedup as D
+from sparkotel.functions import multimodal as MM
+from sparkotel.functions import similarity as SIM
+from sparkotel.functions import text as TX
+from sparkotel.operators import aggregate as A
+from sparkotel.operators import parse as PR
+from sparkotel.operators import recombine as RC
+from sparkotel.operators import transform as T
+from sparkotel.operators.filter import filter_drop, probabilistic_sampler
 
 # ---------------------------------------------------------------------------
 # DuckDB mirror of the flagship pipeline (pages → parsed → enriched → routed)
@@ -192,4 +201,401 @@ def build_registry() -> dict[str, Query]:
         f"'page.count.matched_user' AS metric_name FROM routed "
         f'WHERE route = \'other\' AND "user" IS NOT NULL GROUP BY 1',
     )
+    _add_operator_queries(q)
+    _add_trainingdata_queries(q)
     return q
+
+
+# ---------------------------------------------------------------------------
+# operator-coverage queries (SURVEY §2 long tail)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P.load_tables(spark, sf_dir, ["documents"])
+    return spark.table("documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P.load_tables(spark, sf_dir, ["events"])
+    return spark.table("events")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    P.load_tables(spark, sf_dir, ["embeddings"])
+    return spark.table("embeddings")
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PL.parse_stage(P.pages(spark, sf_dir).drop("html"))
+
+
+def _add_operator_queries(q: dict[str, Query]) -> None:
+    cte = duck_pipeline_cte
+
+    # --- sumconnector (connector/sumconnector/) ---------------------------
+    def sum_conn(spark, sf):
+        return A.connector_metric(
+            _parsed(spark, sf).filter("NOT _error"),
+            A.MetricDef("page.bytes.sum", dims=("host",), sum_attr="nbytes"),
+        )
+
+    q["agg_sum_connector"] = Query(
+        sum_conn,
+        f"{cte()} SELECT host, CAST(sum(nbytes) AS BIGINT) AS value, min(warc_ts) AS start_ts, "
+        f"max(warc_ts) AS end_ts, 'page.bytes.sum' AS metric_name "
+        f"FROM parsed_sev WHERE NOT _error GROUP BY 1",
+    )
+
+    # --- logdedupprocessor -------------------------------------------------
+    def logdedup(spark, sf):
+        df = _parsed(spark, sf).select("host", "lang", "status", "warc_ts", "url")
+        return A.log_dedup(df, ["host", "lang", "status"], "warc_ts", "url")
+
+    q["logdedup"] = Query(
+        logdedup,
+        f"{cte()} SELECT host, lang, status, count(*) AS log_count, "
+        f"min(warc_ts) AS first_observed, max(warc_ts) AS last_observed, "
+        f"min(url) AS url FROM parsed_sev GROUP BY 1, 2, 3",
+    )
+
+    # --- intervalprocessor --------------------------------------------------
+    def interval(spark, sf):
+        return A.interval_agg(_parsed(spark, sf), "1 hour", dims=("host",), value_col="nbytes")
+
+    q["agg_interval_hour"] = Query(
+        interval,
+        f"{cte()} SELECT date_trunc('hour', warc_ts) AS interval_start, host, "
+        f"count(*) AS n, CAST(sum(nbytes) AS BIGINT) AS sum_value, min(nbytes) AS min_value, "
+        f"max(nbytes) AS max_value FROM parsed_sev GROUP BY 1, 2",
+    )
+
+    # --- deltatocumulative / cumulativetodelta ------------------------------
+    def d2c(spark, sf):
+        df = A.delta_to_cumulative(
+            _events(spark, sf), ["user_id"], ["ts", "event_id"], "value"
+        )
+        return df.select("event_id", "user_id", "ts", F.round("cumulative", 6).alias("cumulative"))
+
+    q["delta_to_cumulative"] = Query(
+        d2c,
+        "SELECT event_id, user_id, ts, round(sum(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cumulative FROM events",
+    )
+
+    def c2d(spark, sf):
+        df = A.cumulative_to_delta(
+            _events(spark, sf), ["user_id"], ["ts", "event_id"], "value"
+        )
+        return df.select("event_id", "user_id", F.round("delta", 6).alias("delta"))
+
+    q["cumulative_to_delta"] = Query(
+        c2d,
+        "SELECT event_id, user_id, round(value - lag(value) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta FROM events",
+    )
+
+    # --- probabilisticsampler (25%, arithmetic mode = oracle-replayable) ---
+    def sampler(spark, sf):
+        return probabilistic_sampler(_docs(spark, sf), 25.0, key="doc_id").select("doc_id")
+
+    q["sampler_25pct"] = Query(
+        sampler,
+        "SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 10000 < 2500",
+    )
+
+    # --- filterprocessor with OTTL conditions -------------------------------
+    def fproc(spark, sf):
+        df = _parsed(spark, sf)
+        return filter_drop(
+            df, ['IsMatch(method, "HEAD") or status == 304']
+        ).select("url", "method", "status")
+
+    q["filterprocessor_ottl"] = Query(
+        fproc,
+        f"{cte()} SELECT url, method, status FROM parsed_sev "
+        f"WHERE NOT coalesce(regexp_matches(method, 'HEAD') OR status = 304, FALSE)",
+    )
+
+    # --- json_parser (events.props) -----------------------------------------
+    def jsonp(spark, sf):
+        df = PR.json_parser(_events(spark, sf), "props", "k int")
+        return df.select("event_id", F.col("parsed.k").alias("k"))
+
+    q["json_parser"] = Query(
+        jsonp,
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k FROM events",
+    )
+
+    # --- csv / key_value parsers over a synthesized line ---------------------
+    def csvp(spark, sf):
+        df = _docs(spark, sf).withColumn(
+            "line", F.concat_ws(",", F.col("doc_id").cast("string"), "lang", "source")
+        )
+        df = PR.csv_parser(df, "line", ["id_s", "lang_s", "source_s"])
+        return df.select("doc_id", "parsed.id_s", "parsed.lang_s", "parsed.source_s")
+
+    q["csv_parser"] = Query(
+        csvp,
+        "SELECT doc_id, CAST(doc_id AS VARCHAR) AS id_s, lang AS lang_s, source AS source_s FROM documents",
+    )
+
+    def kvp(spark, sf):
+        df = _docs(spark, sf).withColumn(
+            "line", F.expr("concat('lang=', lang, ' source=', source, ' n=', n_chars)")
+        )
+        df = PR.key_value_parser(df, "line")
+        return df.select(
+            "doc_id",
+            F.col("attributes")["lang"].alias("kv_lang"),
+            F.col("attributes")["source"].alias("kv_source"),
+            F.col("attributes")["n"].alias("kv_n"),
+        )
+
+    q["key_value_parser"] = Query(
+        kvp,
+        "SELECT doc_id, lang AS kv_lang, source AS kv_source, CAST(n_chars AS VARCHAR) AS kv_n FROM documents",
+    )
+
+    # --- uri_parser ----------------------------------------------------------
+    def urip(spark, sf):
+        df = PR.uri_parser(P.pages(spark, sf).drop("html"))
+        return df.select("url", "uri_scheme", "uri_host", "uri_path")
+
+    q["uri_parser"] = Query(
+        urip,
+        f"{cte()} SELECT url, 'https' AS uri_scheme, host AS uri_host, "
+        f"regexp_extract(url, 'https://[^/]+(/.*)$', 1) AS uri_path FROM pages",
+    )
+
+    # --- trace_parser (hex ids from md5) -------------------------------------
+    def tracep(spark, sf):
+        df = _docs(spark, sf).withColumn("trace_hex", F.md5(F.col("text"))).withColumn(
+            "span_hex", F.substring(F.md5(F.col("text")), 1, 16)
+        )
+        df = PR.trace_parser(df, "trace_hex", "span_hex")
+        return df.select(
+            "doc_id",
+            "trace_id_hex",
+            "span_id_hex",
+            F.length("trace_id").alias("trace_len"),
+            F.length("span_id").alias("span_len"),
+        )
+
+    q["trace_parser"] = Query(
+        tracep,
+        "SELECT doc_id, md5(text) AS trace_id_hex, substr(md5(text), 1, 16) AS span_id_hex, "
+        "16 AS trace_len, 8 AS span_len FROM documents",
+    )
+
+    # --- stanza field transformers (add/copy/move/retain/unquote/replace) ---
+    def transforms(spark, sf):
+        df = _docs(spark, sf)
+        df = T.add(df, "env", "prod")
+        df = T.add_expr(df, "lang_uc", "upper(lang)")
+        df = T.copy_field(df, "doc_id", "doc_id_copy")
+        df = T.move(df, "source", "origin")
+        df = df.withColumn("quoted", F.concat(F.lit('"'), F.col("lang"), F.lit('"')))
+        df = T.unquote(df, "quoted")
+        df = T.regex_replace(df, "origin", "^src", "S")
+        return T.retain(df, ["doc_id", "env", "lang_uc", "doc_id_copy", "origin", "quoted"])
+
+    q["transformers"] = Query(
+        transforms,
+        "SELECT doc_id, 'prod' AS env, upper(lang) AS lang_uc, doc_id AS doc_id_copy, "
+        "regexp_replace(source, '^src', 'S') AS origin, lang AS quoted FROM documents",
+    )
+
+    # --- recombine (multiline reassembly across a host's pages) -------------
+    def recomb(spark, sf):
+        lines = RC.split_lines(
+            P.pages(spark, sf).select("host", "doc_id", "text"), "text"
+        ).withColumn("ord", F.col("doc_id") * 1000 + F.col("line_offset"))
+        out = RC.recombine(
+            lines, "host", "ord", "line", F.col("line").rlike(P.LOG_PATTERN)
+        )
+        return out.select("host", "group_id", "combined", "n_lines", "first_ord")
+
+    q["recombine"] = Query(recomb, _duck_recombine_sql())
+
+    # --- spanmetricsconnector (R.E.D. metrics with explicit buckets) --------
+    def spanmetrics(spark, sf):
+        ev = _events(spark, sf)
+        bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(5))
+        return (
+            ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("call_count"),
+                F.round(F.sum("value"), 6).alias("duration_sum"),
+            )
+        )
+
+    q["spanmetrics_histogram"] = Query(
+        spanmetrics,
+        "SELECT event_type, CAST(least(FLOOR(value / 50), 5) AS INT) AS bucket, "
+        "count(*) AS call_count, round(sum(value), 6) AS duration_sum "
+        "FROM events GROUP BY 1, 2",
+    )
+
+    # --- OTTL transformprocessor statements ---------------------------------
+    def ottl_stmts(spark, sf):
+        from sparkotel.expr import apply_statements
+
+        df = _parsed(spark, sf).filter("NOT _error")
+        df = apply_statements(
+            df,
+            [
+                'set(cache["sev"], "ERROR") where severity_number >= 17',
+                'replace_pattern(path, "^/d/", "/doc/")',
+                "set(path_len, Len(path))",
+                "set(host_hash, SHA256(host))",
+                'set(method, ToLowerCase(method)) where method == "HEAD"',
+            ],
+        )
+        return df.select(
+            "url", F.col("_cache_sev").alias("cache_sev"), "path", "path_len", "host_hash", "method"
+        )
+
+    q["ottl_transform"] = Query(
+        ottl_stmts,
+        f"{cte()} SELECT url, "
+        f"CASE WHEN severity_number >= 17 THEN 'ERROR' END AS cache_sev, "
+        f"regexp_replace(path, '^/d/', '/doc/') AS path, "
+        f"CAST(length(regexp_replace(path, '^/d/', '/doc/')) AS INT) AS path_len, "
+        f"sha256(host) AS host_hash, "
+        f"CASE WHEN method = 'HEAD' THEN 'head' ELSE method END AS method "
+        f"FROM parsed_sev WHERE NOT _error",
+    )
+
+    # --- OTTL map editors + redaction (canonical map serialization) ---------
+    def map_editors(spark, sf):
+        from sparkotel.expr import apply_statements
+        from sparkotel.operators.filter import redact
+
+        df = _parsed(spark, sf).filter("NOT _error")
+        df = df.withColumn(
+            "attributes",
+            F.create_map(
+                F.lit("method"), F.col("method"),
+                F.lit("path"), F.col("path"),
+                F.lit("status"), F.col("status").cast("string"),
+                F.lit("secret_key"), F.lit("hunter2"),
+            ),
+        )
+        df = apply_statements(
+            df,
+            [
+                'delete_matching_keys(attributes, "secret.*")',
+                'delete_key(attributes, "path")',
+                "truncate_all(attributes, 3)",
+            ],
+        )
+        df = redact(df, "attributes", blocked_values=[r"\d+"], mask="*")
+        canon = F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_entries(F.col("attributes"))),
+                lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+            ),
+        )
+        return df.select("url", canon.alias("attrs"))
+
+    q["ottl_map_editors_redaction"] = Query(
+        map_editors,
+        f"{cte()} SELECT url, "
+        f"'method=' || substr(method, 1, 3) || ',status=*' AS attrs "
+        f"FROM parsed_sev WHERE NOT _error",
+    )
+
+
+def _duck_recombine_sql() -> str:
+    return f"""
+{duck_pipeline_cte()},
+exploded AS (
+  SELECT host, doc_id, u['l'] AS line, u['o'] - 1 AS line_offset,
+         doc_id * 1000 + (u['o'] - 1) AS ord
+  FROM (
+    SELECT host, doc_id,
+           unnest(list_transform(range(1, len(ls) + 1), i -> {{'o': i, 'l': ls[i]}})) AS u
+    FROM (SELECT host, doc_id, string_split(text, chr(10)) AS ls FROM pages) t
+  ) t2
+),
+marked AS (
+  SELECT *, CASE WHEN regexp_matches(line, '{P.LOG_PATTERN}') THEN 1 ELSE 0 END AS is_first
+  FROM exploded
+),
+grouped AS (
+  SELECT *, CAST(sum(is_first) OVER (PARTITION BY host ORDER BY ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS group_id
+  FROM marked
+)
+SELECT host, group_id, string_agg(line, chr(10) ORDER BY ord) AS combined,
+       count(*) AS n_lines, min(ord) AS first_ord
+FROM grouped GROUP BY host, group_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _add_trainingdata_queries(q: dict[str, Query]) -> None:
+    q["text_lang_id"] = Query(
+        lambda spark, sf: TX.lang_id(_docs(spark, sf)).select(
+            "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "lang_pred"
+        ),
+        TX.duck_lang_id(),
+    )
+    q["text_quality"] = Query(
+        lambda spark, sf: TX.quality_score(_docs(spark, sf)).select(
+            "doc_id", "n_chars", "n_tokens", "n_tokens_bpe",
+            "punct_ratio", "stopword_ratio", "mean_word_len", "quality",
+        ),
+        TX.duck_quality(),
+    )
+    q["text_fingerprint"] = Query(
+        lambda spark, sf: TX.fingerprint(_docs(spark, sf)).select(
+            "doc_id", "fp_min", "fp_max", "n_shingles"
+        ),
+        TX.duck_fingerprint(),
+    )
+    q["dedup_exact"] = Query(
+        lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
+        D.duck_exact_dedup(),
+    )
+    q["dedup_minhash_signature"] = Query(
+        lambda spark, sf: D.minhash_signature(_docs(spark, sf)).select(
+            "doc_id", *[f"mh_{i}" for i in range(8)]
+        ),
+        D.duck_minhash_signature(),
+    )
+    q["dedup_minhash_lsh_pairs"] = Query(
+        lambda spark, sf: D.minhash_lsh_pairs(_docs(spark, sf)),
+        D.duck_minhash_lsh_pairs(),
+    )
+    q["dedup_simhash"] = Query(
+        lambda spark, sf: D.simhash(_docs(spark, sf)).select("doc_id", "simhash"),
+        D.duck_simhash(),
+    )
+    q["dedup_jaccard_verify"] = Query(
+        lambda spark, sf: D.jaccard_pairs(
+            _docs(spark, sf), D.minhash_lsh_pairs(_docs(spark, sf))
+        ),
+        D.duck_jaccard_pairs(),
+    )
+    q["ann_cosine_topk"] = Query(
+        lambda spark, sf: SIM.brute_force_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),
+        SIM.duck_brute_force_topk([0, 1, 2, 3, 4]),
+    )
+    q["ann_lsh_buckets"] = Query(
+        lambda spark, sf: SIM.lsh_bucket_counts(_emb(spark, sf)),
+        SIM.duck_lsh_bucket_counts(),
+    )
+    # multimodal plumbing: binary column + mapInPandas — rows-only check
+    # (DuckDB can't replay the Arrow-batch stub path)
+    q["multimodal_features"] = Query(
+        lambda spark, sf: MM.extract_features(P.pages(spark, sf)),
+        None,
+    )

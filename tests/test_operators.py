@@ -1,0 +1,170 @@
+"""Unit tests for individual operators over tiny in-memory frames —
+the stanza table-driven style (SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkotel.operators import aggregate as A
+from sparkotel.operators import enrich as E
+from sparkotel.operators import parse as PR
+from sparkotel.operators import recombine as RC
+from sparkotel.operators import transform as T
+from sparkotel.operators.filter import probabilistic_sampler, redact
+from sparkotel.operators.route import Route, route_outputs
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a.com", 'x=1 y=2', "2024-03-15 01:00:00", 200),
+            (2, "a.com", 'x=3', "2024-03-15 01:30:00", 500),
+            (3, "b.com", 'y=9', "2024-03-15 02:10:00", 500),
+            (4, "b.com", 'y=9', "2024-03-15 02:20:00", 500),
+        ],
+        "id long, host string, body string, ts_s string, status int",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+
+
+def test_key_value_parser(spark, logs):
+    out = PR.key_value_parser(logs, "body")
+    m = {r["id"]: r["attributes"] for r in out.collect()}
+    assert m[1] == {"x": "1", "y": "2"} and m[2] == {"x": "3"}
+
+
+def test_time_parser_epoch(spark):
+    df = spark.createDataFrame([("1710460800",)], "e string")
+    out = PR.time_parser(df, "e", layout_type="epoch", layout="s").first()
+    assert out["timestamp"].year == 2024
+
+
+def test_severity_ranges(spark, logs):
+    out = PR.severity_parser(logs, "status")
+    m = {r["id"]: (r["severity_text"], r["severity_number"]) for r in out.collect()}
+    assert m[1] == ("info", 9) and m[2] == ("error", 17)
+
+
+def test_on_error_modes(spark):
+    df = spark.createDataFrame([("good 1",), ("bad",)], "text string")
+    pat, groups = r"^(\w+) (\d+)$", ["w", "n"]
+    send = PR.regex_parser(df, pat, groups, "text", "send", line1=False)
+    assert send.count() == 2 and send.filter("_error").count() == 1
+    drop = PR.regex_parser(df, pat, groups, "text", "drop", line1=False)
+    assert drop.count() == 1
+
+
+def test_attraction_ordering(spark, logs):
+    out = E.apply_actions(
+        logs,
+        [
+            {"action": "insert", "key": "env", "value": F.lit("prod")},
+            {"action": "insert", "key": "env", "value": F.lit("IGNORED")},  # present → no-op
+            {"action": "update", "key": "missing", "value": F.lit("x")},  # absent → no-op
+            {"action": "upsert", "key": "host", "value": F.upper("host")},
+            {"action": "hash", "key": "body"},
+            {"action": "convert", "key": "status", "to": "string"},
+        ],
+    )
+    r = out.filter("id = 1").first()
+    assert r["env"] == "prod" and "missing" not in out.columns
+    assert r["host"] == "A.COM" and len(r["body"]) == 64 and r["status"] == "200"
+
+
+def test_route_copy_semantics(spark, logs):
+    routes = [
+        Route("status >= 500", "errors", "move"),
+        Route("host = 'a.com'", "a_copy", "copy"),
+    ]
+    outs = route_outputs(logs, routes, "rest")
+    got = {k: sorted(r["id"] for r in v.collect()) for k, v in outs.items()}
+    assert got["errors"] == [2, 3, 4]
+    assert got["a_copy"] == [1, 2]  # copy sees rows 'moved' elsewhere too
+    assert got["rest"] == [1]
+
+
+def test_roundrobin(spark, logs):
+    from sparkotel.operators.route import round_robin
+
+    out = round_robin(logs, 3, "id")
+    assert {r["shard"] for r in out.collect()} == {0, 1, 2}
+
+
+def test_log_dedup(spark, logs):
+    out = A.log_dedup(logs.withColumnRenamed("id", "url"), ["host", "body"], "ts", "url")
+    r = {(x["host"], x["body"]): x for x in out.collect()}
+    dup = r[("b.com", "y=9")]
+    assert dup["log_count"] == 2 and dup["url"] == 3
+    assert dup["first_observed"] < dup["last_observed"]
+
+
+def test_group_by_attrs(spark, logs):
+    out = A.group_by_attrs(logs, ["host"])
+    assert "resource_host" in out.columns and "host" not in out.columns
+
+
+def test_sampler_deterministic(spark, logs):
+    a = sorted(r["id"] for r in probabilistic_sampler(logs, 50.0, "id", mode="hash").collect())
+    b = sorted(r["id"] for r in probabilistic_sampler(logs, 50.0, "id", mode="hash").collect())
+    assert a == b  # reproducible, unlike rand()
+
+
+def test_redact(spark, logs):
+    df = PR.key_value_parser(logs, "body")
+    out = redact(df, allowed_keys=["x"], blocked_values=[r"\d"])
+    m = {r["id"]: r["attributes"] for r in out.collect()}
+    assert m[1] == {"x": "****"} and "y" not in m[1]
+
+
+def test_recombine_groups(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, "START a"),
+            ("s1", 2, "  cont"),
+            ("s1", 3, "START b"),
+            ("s2", 1, "START c"),
+        ],
+        "src string, off int, line string",
+    )
+    out = RC.recombine(df, "src", "off", "line", F.col("line").startswith("START"))
+    got = {(r["src"], r["group_id"]): r for r in out.collect()}
+    assert got[("s1", 1)]["combined"] == "START a\n  cont"
+    assert got[("s1", 2)]["combined"] == "START b"
+    assert got[("s2", 1)]["n_lines"] == 1
+
+
+def test_transformers_unit(spark, logs):
+    df = T.add(logs, "k", "v")
+    df = T.copy_field(df, "host", "h2")
+    df = T.move(df, "h2", "h3")
+    df = T.unquote(df.withColumn("qq", F.lit('"q"')), "qq")
+    df = T.assign_keys(df.withColumn("arr", F.split(F.lit("a,b"), ",")), "arr", ["p1", "p2"])
+    r = df.first()
+    assert r["k"] == "v" and r["h3"] == r["host"] and r["qq"] == "q"
+    assert r["p1"] == "a" and r["p2"] == "b"
+    assert "arr" not in df.columns and "h2" not in df.columns
+
+
+def test_flatten_struct(spark):
+    df = spark.createDataFrame([((1, "x"),)], "s struct<a:int,b:string>")
+    out = T.flatten(df, "s")
+    r = out.first()
+    assert r["a"] == 1 and r["b"] == "x" and "s" not in out.columns
+
+
+def test_unroll(spark):
+    df = spark.createDataFrame([(1, ["a", "b"])], "id int, xs array<string>")
+    out = T.unroll(df, "xs", "x")
+    assert [r["x"] for r in out.collect()] == ["a", "b"]
+
+
+def test_interval_and_delta(spark, logs):
+    iv = A.interval_agg(logs, "1 hour", dims=("host",), ts_col="ts", value_col="status")
+    assert iv.count() == 2  # (01h, a.com) and (02h, b.com)
+    cum = A.delta_to_cumulative(logs, ["host"], ["ts"], "status")
+    m = {r["id"]: r["cumulative"] for r in cum.collect()}
+    assert m[1] == 200 and m[2] == 700 and m[4] == 1000
+    d = A.cumulative_to_delta(logs, ["host"], ["ts"], "status")
+    md = {r["id"]: r["delta"] for r in d.collect()}
+    assert md[1] is None and md[2] == 300 and md[4] == 0
