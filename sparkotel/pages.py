@@ -197,23 +197,36 @@ def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(spark_pages_sql())
 
 
-def pages_scaled(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+def pages_scaled(
+    spark: SparkSession, sf_dir: str, replicate: int = 1, partitions: int | None = None
+) -> DataFrame:
     """Bench-scale pages: replicate documents with shifted doc_ids.
 
     Row content stays a pure function of doc_id, so the replicated table
     keeps the generator's skew/malformed/status distributions — the
     deterministic stand-in for the 10^12-doc production table.
+
+    Parallelism: the big side is a partitioned ``spark.range`` and the
+    small documents table is broadcast-joined onto it — no shuffle, and
+    the downstream pipeline inherits ``partitions`` tasks (a plain
+    crossJoin would inherit the single input split of the small parquet
+    and serialize the whole run on one core).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
     if replicate > 1:
-        n = docs.count()
         from pyspark.sql import functions as F
 
-        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        n = docs.count()
+        p = partitions or spark.sparkContext.defaultParallelism * 2
+        ids = spark.range(0, n * replicate, 1, p)
         docs = (
-            docs.crossJoin(reps)
-            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(n))
-            .drop("rep")
+            ids.join(
+                F.broadcast(docs.withColumnRenamed("doc_id", "orig_id")),
+                F.pmod(ids["id"], F.lit(n)) == F.col("orig_id"),
+            )
+            .select(F.col("id").alias("doc_id"), "text", "lang")
         )
     docs.createOrReplaceTempView("documents")
     return spark.sql(spark_pages_sql())

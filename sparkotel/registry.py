@@ -419,6 +419,146 @@ def _add_operator_queries(q: dict[str, Query]) -> None:
 
     q["recombine"] = Query(recomb, _duck_recombine_sql())
 
+    # --- single-pass multi-metric aggregation (the bench/scale shape) -------
+    def single_pass(spark, sf):
+        routed = PL.build(spark, sf)["routed"]
+        return A.connector_metrics_single_pass(
+            routed, PL.SINK_METRICS, copy_conds={"de": "geo_country = 'DE'"}
+        )
+
+    _sp_parts = []
+    for _sink, _cond in [
+        ("errors_en", "route = 'errors_en'"),
+        ("errors_other", "route = 'errors_other'"),
+        # missing-dim exclusion: unparsed rows (NULL status) in the
+        # default sink are not counted (counter.go:64-67)
+        ("other", "route = 'other' AND status IS NOT NULL"),
+        ("de", "geo_country = 'DE'"),
+    ]:
+        _sp_parts.append(
+            f"SELECT '{_sink}' AS sink, 'page.count.all' AS metric_name, "
+            f"'geo_country=' || geo_country || ',status=' || CAST(status AS VARCHAR) AS dims, "
+            f"warc_ts, 1.0 AS v FROM routed WHERE {_cond}"
+        )
+    _sp_parts.append(
+        "SELECT 'errors_other', 'page.count.big', 'host=' || host, warc_ts, 1.0 "
+        "FROM routed WHERE route = 'errors_other' AND nbytes > 4096"
+    )
+    _sp_parts.append(
+        "SELECT 'other', 'page.count.by_lang_name', "
+        "'lang_name=' || coalesce(lang_name, 'unknown'), warc_ts, 1.0 "
+        "FROM routed WHERE route = 'other'"
+    )
+    _sp_parts.append(
+        'SELECT \'other\', \'page.count.matched_user\', \'user=\' || "user", warc_ts, 1.0 '
+        'FROM routed WHERE route = \'other\' AND "user" IS NOT NULL'
+    )
+    q["agg_single_pass"] = Query(
+        single_pass,
+        f"{cte()} , contrib AS ({' UNION ALL '.join(_sp_parts)}) "
+        f"SELECT sink, metric_name, dims, sum(v) AS value, "
+        f"min(warc_ts) AS start_ts, max(warc_ts) AS end_ts "
+        f"FROM contrib GROUP BY 1, 2, 3",
+    )
+
+    # --- grok (ExtractGrokPatterns, COMMONAPACHELOG) ------------------------
+    def grok_q(spark, sf):
+        from sparkotel.operators.grok import grok_parser
+
+        df = grok_parser(
+            P.pages(spark, sf).drop("html"), "%{COMMONAPACHELOG}", "text", on_error="drop"
+        )
+        return df.select(
+            "url", "clientip", "auth", F.col("timestamp").alias("ts_raw"),
+            "verb", "request", "httpversion", "response", "bytes",
+        )
+
+    q["grok_apache"] = Query(
+        grok_q,
+        f'{cte()} SELECT url, ip AS clientip, '
+        f'CASE WHEN "user" IS NULL THEN \'-\' ELSE "user" END AS auth, '
+        f"ts_str AS ts_raw, method AS verb, path AS request, "
+        f"'1.1' AS httpversion, CAST(status AS BIGINT) AS response, nbytes AS bytes "
+        f"FROM parsed_sev WHERE NOT _error",
+    )
+
+    # --- syslog RFC3164 parser ----------------------------------------------
+    def syslog_q(spark, sf):
+        df = _docs(spark, sf).withColumn(
+            "line",
+            F.expr(
+                "concat('<', doc_id % 192, '>Mar 15 01:02:0', doc_id % 10, "
+                "' host', doc_id % 7, ' app', doc_id % 5, '[', doc_id % 100, ']: event ', doc_id)"
+            ),
+        )
+        df = PR.syslog_parser(df, "line")
+        return df.select(
+            "doc_id", "facility", "syslog_severity", "hostname", "appname", "proc_id", "message"
+        )
+
+    q["syslog_parser"] = Query(
+        syslog_q,
+        "SELECT doc_id, CAST(FLOOR((doc_id % 192) / 8.0) AS INT) AS facility, "
+        "(doc_id % 192) % 8 AS syslog_severity, "
+        "'host' || CAST(doc_id % 7 AS VARCHAR) AS hostname, "
+        "'app' || CAST(doc_id % 5 AS VARCHAR) AS appname, "
+        "CAST(doc_id % 100 AS INT) AS proc_id, "
+        "'event ' || CAST(doc_id AS VARCHAR) AS message FROM documents",
+    )
+
+    # --- container parser (docker JSON / CRI) --------------------------------
+    def container_q(spark, sf):
+        df = _docs(spark, sf).withColumn(
+            "line",
+            F.expr(
+                "CASE WHEN doc_id % 2 = 0 THEN "
+                "concat('{\"log\":\"l', doc_id, '\",\"stream\":\"stdout\",\"time\":\"T', doc_id, '\"}') "
+                "ELSE concat('T', doc_id, ' stderr F l', doc_id) END"
+            ),
+        )
+        df = PR.container_parser(df, "line")
+        return df.select("doc_id", "format", "log", "stream", "container_time", "partial")
+
+    q["container_parser"] = Query(
+        container_q,
+        "SELECT doc_id, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'docker' ELSE 'cri' END AS format, "
+        "'l' || CAST(doc_id AS VARCHAR) AS log, "
+        "CASE WHEN doc_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream, "
+        "'T' || CAST(doc_id AS VARCHAR) AS container_time, FALSE AS partial "
+        "FROM documents",
+    )
+
+    # --- json_array_parser ---------------------------------------------------
+    def json_array_q(spark, sf):
+        df = _docs(spark, sf).withColumn(
+            "line", F.expr("concat('[', doc_id, ',', n_chars, ']')")
+        )
+        df = PR.json_array_parser(df, "line")
+        return df.select(
+            "doc_id",
+            F.col("parsed").getItem(0).alias("e0"),
+            F.col("parsed").getItem(1).alias("e1"),
+        )
+
+    q["json_array_parser"] = Query(
+        json_array_q,
+        "SELECT doc_id, doc_id AS e0, n_chars AS e1 FROM documents",
+    )
+
+    # --- drain-lite template mining ------------------------------------------
+    def drain_q(spark, sf):
+        lines = P.pages(spark, sf).select(
+            PR.first_line("text").alias("line")
+        )
+        return PR.drain_templates(lines)
+
+    q["drain_templates"] = Query(
+        drain_q,
+        f"{cte()} SELECT regexp_replace(_line, '\\d+', '<*>', 'g') AS template, "
+        f"count(*) AS n, min(_line) AS example FROM lines GROUP BY 1",
+    )
+
     # --- spanmetricsconnector (R.E.D. metrics with explicit buckets) --------
     def spanmetrics(spark, sf):
         ev = _events(spark, sf)
