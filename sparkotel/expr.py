@@ -472,6 +472,98 @@ _reg("ParseKeyValue")(
 )
 
 
+def _trim_prefix(c, a):
+    t, p = _c(a[0]), _lit_arg(a[1], "prefix")
+    return F.when(t.startswith(p), F.substring(t, len(p) + 1, 2 ** 31 - 1)).otherwise(t)
+
+
+def _trim_suffix(c, a):
+    t, s = _c(a[0]), _lit_arg(a[1], "suffix")
+    return F.when(t.endswith(s), F.substring(t, 1, F.length(t) - len(s))).otherwise(t)
+
+
+_reg("TrimPrefix")(_trim_prefix)
+_reg("TrimSuffix")(_trim_suffix)
+_reg("Format")(lambda c, a: F.format_string(_lit_arg(a[0], "format"), *[_c(x) for x in a[1:]]))
+_reg("ToCamelCase")(
+    lambda c, a: F.concat_ws(
+        "", F.transform(F.split(_c(a[0]), "[_ ]"), lambda w: F.initcap(w))
+    )
+)
+_reg("ToTitleCase")(lambda c, a: F.initcap(_c(a[0])))
+_reg("IsInt")(lambda c, a: _c(a[0]).try_cast("bigint").isNotNull())
+_reg("IsDouble")(lambda c, a: _c(a[0]).try_cast("double").isNotNull())
+_reg("IsBool")(lambda c, a: _c(a[0]).try_cast("boolean").isNotNull())
+_reg("IsList")(lambda c, a: F.lit(True))  # typed columns: statically known
+_reg("IsMap")(lambda c, a: F.lit(True))
+_reg("ContainsValue")(lambda c, a: F.array_contains(_c(a[0]), _c(a[1])))
+_reg("Murmur3Hash")(lambda c, a: F.xxhash64(_c(a[0])))  # 64-bit stand-in
+_reg("XXH3")(lambda c, a: F.xxhash64(_c(a[0])))
+_reg("Now")(lambda c, a: F.current_timestamp())  # nondeterministic — keep out of golden paths
+_reg("UUID")(lambda c, a: F.expr("uuid()"))  # nondeterministic
+_reg("Append")(lambda c, a: F.array_append(_c(a[0]), _c(a[1])))
+_reg("Index")(lambda c, a: F.element_at(_c(a[0]), _lit_arg(a[1], "index") + 1))
+_reg("DeleteIndex")(
+    lambda c, a: F.filter(
+        _c(a[0]), lambda x, i: i != F.lit(_lit_arg(a[1], "index"))
+    )
+)
+_reg("SliceToMap")(
+    lambda c, a: F.map_from_entries(
+        F.transform(
+            _c(a[0]),
+            lambda e: F.struct(
+                F.split_part(e, F.lit(_lit_arg(a[1], "sep") if len(a) > 1 else "="), F.lit(1)).alias("key"),
+                F.split_part(e, F.lit(_lit_arg(a[1], "sep") if len(a) > 1 else "="), F.lit(2)).alias("value"),
+            ),
+        )
+    )
+)
+
+
+def _ip2int(ip: Column) -> Column:
+    return (
+        F.split_part(ip, F.lit("."), F.lit(1)).cast("bigint") * 16777216
+        + F.split_part(ip, F.lit("."), F.lit(2)).cast("bigint") * 65536
+        + F.split_part(ip, F.lit("."), F.lit(3)).cast("bigint") * 256
+        + F.split_part(ip, F.lit("."), F.lit(4)).cast("bigint")
+    )
+
+
+def _is_in_cidr(c, a):
+    cidr = _lit_arg(a[1], "cidr")
+    net, bits = cidr.split("/")
+    bits = int(bits)
+    mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+    net_int = 0
+    for part in net.split("."):
+        net_int = net_int * 256 + int(part)
+    return _ip2int(_c(a[0])).bitwiseAND(F.lit(mask)) == F.lit(net_int & mask)
+
+
+_reg("IsInCIDR")(_is_in_cidr)
+
+
+def _is_valid_luhn(c, a):
+    digits = F.reverse(F.regexp_extract_all(_c(a[0]).cast("string"), F.lit(r"\d"), F.lit(0)))
+    total = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.size(digits) - 1),
+            lambda d, i: F.struct(d.cast("int").alias("d"), i.alias("i")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.when(x.getField("i") % 2 == 1,
+                 F.when(x.getField("d") * 2 > 9, x.getField("d") * 2 - 9).otherwise(x.getField("d") * 2))
+        .otherwise(x.getField("d")),
+    )
+    return (total % 10 == 0) & (F.size(digits) > 1)
+
+
+_reg("IsValidLuhn")(_is_valid_luhn)
+
+
 def _duration_unit(d: str) -> str:
     return {"1h": "hour", "1m": "minute", "1s": "second", "24h": "day", "1d": "day"}[d]
 

@@ -103,16 +103,25 @@ def run_resumable(
     return committed
 
 
-def stage_metrics(frames: dict[str, DataFrame], error_col: str = "_error") -> DataFrame:
-    """Lineage table: rows in/out/errors per stage (one job, unioned)."""
+def stage_metrics(
+    frames: dict[str, DataFrame], error_col: str = "_error", by_bucket: bool = False
+) -> DataFrame:
+    """Lineage table: rows in/out/errors per stage — and per partition
+    bucket when ``by_bucket`` (the obsreport analogue, per-partition as
+    the north rule requires; frames lacking a bucket column report as
+    bucket -1)."""
     out = None
     for stage, df in frames.items():
         has_err = error_col in df.columns
-        m = df.agg(
+        if by_bucket and "bucket" in df.columns:
+            grouped = df.groupBy(F.col("bucket"))
+        else:
+            grouped = df.groupBy(F.lit(-1).alias("bucket"))
+        m = grouped.agg(
             F.count(F.lit(1)).alias("rows"),
             (
                 F.sum(F.col(error_col).cast("int")) if has_err else F.lit(0)
             ).alias("errors"),
         ).withColumn("stage", F.lit(stage))
         out = m if out is None else out.unionByName(m)
-    return out.select("stage", "rows", "errors")
+    return out.select("stage", "bucket", "rows", "errors")

@@ -130,7 +130,7 @@ def run(
             u = u.unionByName(a, allowMissingColumns=True)
         u.write.mode("overwrite").parquet(f"{output}/metrics")
 
-    lineage = L.stage_metrics({"source": src, "routed": back})
+    lineage = L.stage_metrics({"source": src, "routed": back}, by_bucket=True)
     lineage.write.mode("overwrite").parquet(f"{output}/lineage")
     return {
         "committed": committed,

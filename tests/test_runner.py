@@ -57,10 +57,14 @@ def test_runner_kill_resume(spark, tmp_path):
         "geo_country = 'DE'"
     ).count()
 
-    # lineage table
-    lineage = {r["stage"]: r for r in spark.read.parquet(f"{out}/lineage").collect()}
-    assert lineage["source"]["rows"] == lineage["routed"]["rows"]
-    assert lineage["routed"]["errors"] > 0
+    # lineage table: per-partition rows for the routed stage (north
+    # rule: per-partition lineage), one global row for the source
+    lin = spark.read.parquet(f"{out}/lineage").collect()
+    routed_rows = [r for r in lin if r["stage"] == "routed"]
+    src_rows = [r for r in lin if r["stage"] == "source"]
+    assert len(routed_rows) == spec.n_buckets
+    assert sum(r["rows"] for r in routed_rows) == sum(r["rows"] for r in src_rows)
+    assert sum(r["errors"] for r in routed_rows) > 0
 
     # transform statement applied (host_hash only on parsed rows)
     ok = routed.filter("NOT _error").limit(5).collect()

@@ -1,0 +1,84 @@
+"""Structured Streaming pipeline: micro-batch fan-out equals the batch
+result; windowed counts and streaming dedup behave."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+from sparkotel import pages as P
+from sparkotel import pipeline as PL
+from sparkotel import streaming as S
+
+
+def _stage_input(spark, tmp_path) -> str:
+    src = str(tmp_path / "pages_in")
+    P.pages(spark, SF_DIR).repartition(4).write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_streaming_routed_equals_batch(spark, tmp_path):
+    src = _stage_input(spark, tmp_path)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    pages_stream = S.stream_pages(spark, src, max_files=2)
+    assert pages_stream.isStreaming
+    routed = S.routed_stream(spark, pages_stream)
+    q = S.start_routed_sink(routed, out, ck)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{out}/routed")
+    batch = PL.build(spark, SF_DIR)["routed"]
+    assert got.count() == batch.count()
+    a = sorted(r["url"] + "|" + r["route"] for r in got.select("url", "route").collect())
+    b = sorted(r["url"] + "|" + r["route"] for r in batch.select("url", "route").collect())
+    assert a == b
+
+    # exactly-once across restart: re-running with the same checkpoint
+    # adds nothing (all files committed — the fileconsumer offset-restore
+    # contract)
+    q2 = S.start_routed_sink(S.routed_stream(spark, S.stream_pages(spark, src)), out, ck)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{out}/routed").count() == batch.count()
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    src = _stage_input(spark, tmp_path)
+    counts = S.windowed_counts(S.stream_pages(spark, src))
+    q = S.start_counts_sink(counts, "wc_test")
+    q.awaitTermination(300)
+    got = {
+        (r["interval_start"], r["host"]): r["n"]
+        for r in spark.sql("SELECT * FROM wc_test").collect()
+    }
+    from sparkotel.operators.aggregate import interval_agg
+
+    exp = {
+        (r["interval_start"], r["host"]): r["n"]
+        for r in interval_agg(P.pages(spark, SF_DIR), "1 hour", dims=("host",)).collect()
+    }
+    assert got == exp
+
+
+def test_streaming_dedup(spark, tmp_path):
+    # duplicate the input: two copies of every page file
+    src = str(tmp_path / "dup_in")
+    df = P.pages(spark, SF_DIR).repartition(2)
+    df.write.mode("overwrite").parquet(src)
+    df.write.mode("append").parquet(src)
+
+    deduped = S.dedup_stream(S.stream_pages(spark, src))
+    out = str(tmp_path / "dedup_out")
+
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    n = P.pages(spark, SF_DIR).count()
+    assert got.count() == n
+    assert got.select("url").distinct().count() == n
