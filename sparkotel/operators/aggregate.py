@@ -199,6 +199,56 @@ def interval_agg(
     return df.groupBy(bucket, *[F.col(d) for d in dims]).agg(*aggs)
 
 
+def service_graph_edges(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str,
+    client_type: str,
+    server_type: str,
+    ts_col: str,
+) -> DataFrame:
+    """servicegraphconnector analogue (connector/servicegraphconnector/):
+    pair each *server* record with the most recent preceding *client*
+    record of the same key — an as-of join composed from a running
+    ``last(..., ignorenulls)`` window (Spark has no native as-of join;
+    this is the standard single-shuffle composition, partitioned by the
+    pairing key).
+
+    Returns one edge per server record: key cols + client_ts, server_ts,
+    latency_seconds (NULL client_ts = unmatched server record).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    client_ts = F.last(
+        F.when(F.col(type_col) == client_type, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    return (
+        df.withColumn("client_ts", client_ts)
+        .filter(F.col(type_col) == server_type)
+        .withColumn(
+            "latency_seconds",
+            F.round(
+                (
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    - F.unix_micros(F.col("client_ts").cast("timestamp"))
+                )
+                / 1000000.0,
+                6,
+            ),
+        )
+        .select(
+            *key_cols,
+            F.col(ts_col).alias("server_ts"),
+            "client_ts",
+            "latency_seconds",
+        )
+    )
+
+
 def _order(ts_col) -> list:
     return list(ts_col) if isinstance(ts_col, (list, tuple)) else [ts_col]
 

@@ -419,6 +419,31 @@ def _add_operator_queries(q: dict[str, Query]) -> None:
 
     q["recombine"] = Query(recomb, _duck_recombine_sql())
 
+    # --- servicegraphconnector (as-of pairing via window) -------------------
+    def servicegraph(spark, sf):
+        return A.service_graph_edges(
+            _events(spark, sf),
+            key_cols=("user_id",),
+            order_cols=("ts", "event_id"),
+            type_col="event_type",
+            client_type="login",
+            server_type="purchase",
+            ts_col="ts",
+        )
+
+    q["servicegraph_edges"] = Query(
+        servicegraph,
+        "WITH w AS ("
+        "  SELECT user_id, event_id, ts, event_type,"
+        "    last_value(CASE WHEN event_type = 'login' THEN ts END IGNORE NULLS)"
+        "      OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS client_ts"
+        "  FROM events)"
+        " SELECT user_id, ts AS server_ts, client_ts,"
+        "  round(epoch_us(ts) / 1000000.0 - epoch_us(client_ts) / 1000000.0, 6) AS latency_seconds"
+        " FROM w WHERE event_type = 'purchase'",
+    )
+
     # --- single-pass multi-metric aggregation (the bench/scale shape) -------
     def single_pass(spark, sf):
         routed = PL.build(spark, sf)["routed"]
