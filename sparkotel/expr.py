@@ -241,18 +241,6 @@ class Parser:
             else:
                 return Path(parts)
 
-    # -- statements ---------------------------------------------------------
-    def statement(self) -> Statement:
-        ed = self.call()
-        where = None
-        if self.peek().text == "where":
-            raise AssertionError  # 'where' lexes as ident
-        if self.peek().kind == "ident" and self.peek().text == "where":
-            self.next()
-            where = self.expr()
-        return Statement(ed, where)
-
-
 def _unescape(s: str) -> str:
     return s[1:-1].replace('\\"', '"').replace("\\\\", "\\")
 

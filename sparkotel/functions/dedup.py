@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparkotel.functions.hashing import (
@@ -99,37 +99,62 @@ def lsh_bands(df: DataFrame) -> DataFrame:
     return df
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+DEFAULT_MAX_BUCKET = 1000
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
     """candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    The self-join shuffles only (id, band) pairs — 2 small rows per doc
-    regardless of document size.
+    Scale shape (ONE scan of the input, no self-join):
+    - the signature never leaves its row; only (id, band_idx, band)
+      pairs shuffle — ``posexplode`` over the band array;
+    - **bucket cap**: a window count partitioned by (band_idx, band)
+      drops degenerate buckets with more than ``max_bucket`` members
+      (empty/boilerplate docs would otherwise yield O(n²) pairs inside
+      one bucket).  The window spills instead of OOMing on a pathological
+      bucket, and the groupBy that follows reuses the window's
+      partitioning — no second Exchange;
+    - pair generation is per-bucket array combinatorics over the
+      collect_list'd ids — bounded at ``max_bucket`` members by the cap,
+      so the array and its C(n,2) pair expansion are bounded too.  A
+      self-join formulation instead re-scans the input for each side
+      (Catalyst does not reuse the exchange across an AQE broadcast
+      conversion) and was dropped for this shape.
     """
-    # persist + eagerly materialize the tiny signature frame: the band
-    # union consumes it twice, and branches racing a lazy cache build
-    # each recompute the md5 shingle pass (measured 3-5x slower)
     sig = lsh_bands(minhash_signature(df.select(id_col, text_col))).drop(text_col)
-    sig = sig.persist()
-    sig.count()
-    bands = None
-    for b in range(BANDS):
-        part = sig.select(
-            F.col(id_col).alias("id"), F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band")
+    bands = sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(BANDS)])
+        ).alias("band_idx", "band"),
+    )
+    w = Window.partitionBy("band_idx", "band")
+    capped = (
+        bands.withColumn("_bsize", F.count(F.lit(1)).over(w))
+        .filter((F.col("_bsize") <= max_bucket) & (F.col("_bsize") > 1))
+        .drop("_bsize")
+    )
+    ids = F.array_sort(F.collect_list("id"))
+    buckets = capped.groupBy("band_idx", "band").agg(ids.alias("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        bands = part if bands is None else bands.unionByName(part)
-    left = bands.alias("l")
-    right = bands.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    return pairs
 
 
 def _duck_sig_exprs() -> list[str]:
@@ -145,7 +170,9 @@ def duck_minhash_signature(table: str = "documents") -> str:
     return f"SELECT doc_id, {sigs} FROM {table}"
 
 
-def duck_minhash_lsh_pairs(table: str = "documents") -> str:
+def duck_minhash_lsh_pairs(
+    table: str = "documents", max_bucket: int = DEFAULT_MAX_BUCKET
+) -> str:
     band_exprs = []
     for b in range(BANDS):
         cols = " || '-' || ".join(
@@ -158,9 +185,14 @@ def duck_minhash_lsh_pairs(table: str = "documents") -> str:
     return f"""
 WITH s AS ({duck_minhash_signature(table)}),
 sig AS (SELECT doc_id, {', '.join(band_exprs)} FROM s),
-bands AS ({unions})
+bands AS ({unions}),
+capped AS (
+  SELECT id, band_idx, band FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band) AS bsize FROM bands
+  ) WHERE bsize <= {max_bucket}
+)
 SELECT DISTINCT l.id AS id_a, r.id AS id_b
-FROM bands l JOIN bands r
+FROM capped l JOIN capped r
   ON l.band_idx = r.band_idx AND l.band = r.band AND l.id < r.id
 """
 

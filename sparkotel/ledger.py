@@ -94,9 +94,22 @@ def run_resumable(
             .partitionBy("bucket")
             .parquet(out_path)
         )
-        n = part.count()
+        # per-bucket row counts from the files just written: partition
+        # pruning limits the scan to this batch's directories and a
+        # no-column count(*) is satisfied from parquet footers, so this
+        # is metadata-cheap (vs. re-running the whole pipeline with
+        # part.count(), which also mis-attributed the batch total to
+        # every bucket in the batch).
+        counts = {
+            r["bucket"]: r["n"]
+            for r in spark.read.parquet(out_path)
+            .filter(F.col("bucket").isin(batch))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
         for b in batch:
-            commit_bucket(spark, ledger_path, b, stage, n)
+            commit_bucket(spark, ledger_path, b, stage, counts.get(b, 0))
             committed += 1
             if fail_after is not None and committed >= fail_after:
                 return committed

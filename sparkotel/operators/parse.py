@@ -43,7 +43,9 @@ SEVERITY_NUMBER = {"trace": 1, "debug": 5, "info": 9, "warn": 13, "error": 17, "
 def _apply_on_error(df: DataFrame, matched: Column, on_error: str) -> DataFrame:
     if on_error not in ON_ERROR_MODES:
         raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
-    df = df.withColumn("_error", ~matched)
+    # NULL input: rlike yields NULL but the pandas engine yields a miss —
+    # normalize so both engines agree that un-matchable rows are errors
+    df = df.withColumn("_error", ~F.coalesce(matched, F.lit(False)))
     if on_error.startswith("drop"):
         df = df.filter(~F.col("_error"))
     return df

@@ -92,7 +92,7 @@ def enrich_stage(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-def build(spark: SparkSession, sf_dir: str, engine: str = "native") -> dict:
+def build(spark: SparkSession, sf_dir: str, engine: str = "pandas") -> dict:
     """Run the full pipeline lazily; returns all intermediate frames.
 
     The enriched prefix feeds 4 sinks + their aggregates — at scale it
@@ -100,7 +100,7 @@ def build(spark: SparkSession, sf_dir: str, engine: str = "native") -> dict:
     here the frames stay lazy and the caller decides.
     """
     src = P.pages(spark, sf_dir).drop("html")  # prune the heavy column early
-    parsed = parse_stage(src)
+    parsed = parse_stage(src, engine=engine)
     enriched = enrich_stage(spark, parsed)
     routed = assign_routes(enriched, ROUTES, "other")
     sinks = route_outputs(enriched, ROUTES, "other")

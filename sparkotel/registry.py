@@ -420,13 +420,16 @@ def _add_operator_queries(q: dict[str, Query]) -> None:
     q["recombine"] = Query(recomb, _duck_recombine_sql())
 
     # --- servicegraphconnector (as-of pairing via window) -------------------
+    # client/server types are ones that actually occur in the events
+    # fixture (signup → purchase), so the as-of pairing produces real
+    # matches rather than an all-NULL (vacuously green) result.
     def servicegraph(spark, sf):
         return A.service_graph_edges(
             _events(spark, sf),
             key_cols=("user_id",),
             order_cols=("ts", "event_id"),
             type_col="event_type",
-            client_type="login",
+            client_type="signup",
             server_type="purchase",
             ts_col="ts",
         )
@@ -435,7 +438,7 @@ def _add_operator_queries(q: dict[str, Query]) -> None:
         servicegraph,
         "WITH w AS ("
         "  SELECT user_id, event_id, ts, event_type,"
-        "    last_value(CASE WHEN event_type = 'login' THEN ts END IGNORE NULLS)"
+        "    last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)"
         "      OVER (PARTITION BY user_id ORDER BY ts, event_id"
         "            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS client_ts"
         "  FROM events)"
@@ -759,8 +762,27 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
         SIM.duck_lsh_bucket_counts(),
     )
     # multimodal plumbing: binary column + mapInPandas — rows-only check
-    # (DuckDB can't replay the Arrow-batch stub path)
+    # (DuckDB can't replay the Arrow-batch stub path).  The features
+    # array is JSON-serialized: the driver's rows-only canonicalizer
+    # sorts in pandas, which cannot hash list cells.
     q["multimodal_features"] = Query(
-        lambda spark, sf: MM.extract_features(P.pages(spark, sf)),
+        lambda spark, sf: MM.extract_features(P.pages(spark, sf)).withColumn(
+            "features", F.to_json("features")
+        ),
         None,
+    )
+    # magic-byte sniff + byte length: native expressions only, so DuckDB
+    # can mirror it exactly on the same synthetic html payload
+    q["multimodal_sniff"] = Query(
+        lambda spark, sf: MM.sniff_media_type(P.pages(spark, sf).select("url", "html"))
+        .select(
+            "url",
+            "media_type",
+            F.length(F.col("html")).cast("bigint").alias("n_bytes"),
+        ),
+        f"""
+SELECT url, 'html' AS media_type,
+  CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS n_bytes
+FROM ({P.duckdb_pages_sql()}) p
+""",
     )

@@ -17,17 +17,41 @@ straggler partitions.  Two layers of defense:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def heavy_hitters(df: DataFrame, key: str, threshold_fraction: float = 0.05) -> list:
-    """Keys owning more than ``threshold_fraction`` of rows."""
-    total = df.count()
-    counts = df.groupBy(key).count()
+def heavy_hitters_frame(
+    df: DataFrame, key: str, threshold_fraction: float = 0.05
+) -> DataFrame:
+    """Keys owning more than ``threshold_fraction`` of rows, as a frame.
+
+    SINGLE pass over the input: one map-side-combined groupBy; the grand
+    total comes from a window over the (already tiny) aggregate rather
+    than a second ``df.count()`` scan.  The unpartitioned window runs on
+    the aggregate, not the input — fine for grouping keys like ``host``;
+    for a near-unique key, pre-sample (``df.sample(0.01)``) before
+    calling.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+    return (
+        counts.withColumn("_total", F.sum("count").over(Window.partitionBy()))
+        .filter(F.col("count") > F.col("_total") * threshold_fraction)
+        .drop("_total")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key: str, threshold_fraction: float = 0.05, max_keys: int = 256
+) -> list:
+    """Keys owning more than ``threshold_fraction`` of rows.
+
+    The collect is bounded: at most ``max_keys`` (by construction at
+    most 1/threshold_fraction keys can exceed the threshold, but the cap
+    guards miscalibrated thresholds)."""
+    hh = heavy_hitters_frame(df, key, threshold_fraction)
     return [
-        r[key]
-        for r in counts.filter(F.col("count") > total * threshold_fraction).collect()
+        r[key] for r in hh.orderBy(F.desc("count")).limit(max_keys).collect()
     ]
 
 

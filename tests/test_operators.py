@@ -168,3 +168,46 @@ def test_interval_and_delta(spark, logs):
     d = A.cumulative_to_delta(logs, ["host"], ["ts"], "status")
     md = {r["id"]: r["delta"] for r in d.collect()}
     assert md[1] is None and md[2] == 300 and md[4] == 0
+
+
+def test_service_graph_edges(spark):
+    """as-of pairing: match, no-preceding-client, tie ordering
+    (connector/servicegraphconnector store semantics)."""
+    rows = [
+        # u1: client at t1, servers at t2 and t4, newer client at t3
+        ("u1", 1, "2024-01-01 00:00:01", "client"),
+        ("u1", 2, "2024-01-01 00:00:02", "server"),
+        ("u1", 3, "2024-01-01 00:00:03", "client"),
+        ("u1", 4, "2024-01-01 00:00:04", "server"),
+        # u2: server with NO preceding client -> NULL edge
+        ("u2", 5, "2024-01-01 00:00:05", "server"),
+        ("u2", 6, "2024-01-01 00:00:06", "client"),
+        # u3: client and server at the SAME ts -> event_id breaks the tie,
+        # client (id 7) precedes server (id 8) so they pair
+        ("u3", 7, "2024-01-01 00:00:07", "client"),
+        ("u3", 8, "2024-01-01 00:00:07", "server"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id int, ts_s string, event_type string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    out = A.service_graph_edges(
+        df,
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        type_col="event_type",
+        client_type="client",
+        server_type="server",
+        ts_col="ts",
+    )
+    edges = {
+        (r["user_id"], str(r["server_ts"])): (
+            str(r["client_ts"]) if r["client_ts"] else None,
+            r["latency_seconds"],
+        )
+        for r in out.collect()
+    }
+    assert edges[("u1", "2024-01-01 00:00:02")] == ("2024-01-01 00:00:01", 1.0)
+    # most RECENT preceding client wins (t3, not t1)
+    assert edges[("u1", "2024-01-01 00:00:04")] == ("2024-01-01 00:00:03", 1.0)
+    assert edges[("u2", "2024-01-01 00:00:05")] == (None, None)
+    assert edges[("u3", "2024-01-01 00:00:07")] == ("2024-01-01 00:00:07", 0.0)

@@ -43,6 +43,16 @@ def test_resume_no_duplicates(spark, tmp_path):
     a = sorted([r["url"] for r in got.collect()])
     b = sorted([r["url"] for r in spark.read.parquet(clean).collect()])
     assert a == b
+    # ledger `rows` is each bucket's OWN count, not the batch total
+    true_counts = {
+        r["bucket"]: r["n"]
+        for r in got.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ledger_rows = {
+        r["bucket"]: r["rows"]
+        for r in spark.read.schema(L.LEDGER_SCHEMA).parquet(led).collect()
+    }
+    assert ledger_rows == {b: true_counts.get(b, 0) for b in range(8)}
 
 
 def test_bucket_stability(spark):
@@ -82,6 +92,36 @@ def test_heavy_hitters_and_salted_count(spark):
         parts.filter(F.col("host") == "h0.example.com").select("_salt").distinct().count()
     )
     assert n_salts > 1  # heavy host actually spread
+
+
+def test_heavy_hitters_single_scan(spark):
+    """heavy-hitter detection scans the input exactly once (no separate
+    df.count() pass) — the 10^12-row-input contract."""
+    df = P.pages(spark, SF_DIR).select("url", "host")
+    plan = SK.heavy_hitters_frame(df, "host", 0.05)._jdf.queryExecution().optimizedPlan().toString()
+    import re as _re
+
+    scans = len(_re.findall(r"Relation|LogicalRDD", plan))
+    assert scans == 1, plan
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """1000 identical docs land in one LSH bucket; the bucket cap must
+    bound the candidate-pair count instead of emitting ~500k pairs."""
+    from sparkotel.functions import dedup as D
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears in every document here").alias("text"),
+    )
+    pairs = D.minhash_lsh_pairs(docs, max_bucket=50)
+    assert pairs.count() == 0  # oversized bucket dropped entirely
+    # small duplicate groups below the cap still pair up
+    small = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears in every document here").alias("text"),
+    )
+    assert D.minhash_lsh_pairs(small, max_bucket=50).count() == 45
 
 
 # -- sinks --------------------------------------------------------------------
