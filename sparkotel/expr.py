@@ -427,7 +427,7 @@ _reg("SHA512")(lambda c, a: F.sha2(_c(a[0]).cast("string"), 512))
 _reg("SHA1")(lambda c, a: F.sha1(_c(a[0]).cast("string")))
 _reg("MD5")(lambda c, a: F.md5(_c(a[0]).cast("string")))
 _reg("Hex")(lambda c, a: F.lower(F.hex(_c(a[0]))))
-_reg("FNV")(lambda c, a: F.xxhash64(_c(a[0])))  # stand-in 64-bit hash
+_reg("FNV")(lambda c, a: _U().fnv_hash(_c(a[0]).cast("string")))  # exact FNV-1a 64 (func_fnv.go)
 _reg("Log")(lambda c, a: F.log(_c(a[0])))
 _reg("Year")(lambda c, a: F.year(_c(a[0])))
 _reg("Month")(lambda c, a: F.month(_c(a[0])))
@@ -449,7 +449,11 @@ _reg("Base64Decode")(lambda c, a: F.unbase64(_c(a[0])).cast("string"))
 _reg("URL")(lambda c, a: F.parse_url(_c(a[0]), _c(a[1]) if len(a) > 1 else F.lit("HOST")))
 _reg("Keys")(lambda c, a: F.array_sort(F.map_keys(_c(a[0]))))
 _reg("Values")(lambda c, a: F.map_values(_c(a[0])))
-_reg("Sort")(lambda c, a: F.array_sort(_c(a[0])))
+_reg("Sort")(
+    lambda c, a: F.sort_array(
+        _c(a[0]), asc=(len(a) < 2 or _lit_arg(a[1], "order") != "desc")
+    )
+)
 _reg("ParseJSON")(lambda c, a: F.from_json(_c(a[0]), "map<string,string>"))
 _reg("ParseKeyValue")(
     lambda c, a: F.str_to_map(
@@ -485,8 +489,14 @@ _reg("IsBool")(lambda c, a: _c(a[0]).try_cast("boolean").isNotNull())
 _reg("IsList")(lambda c, a: F.lit(True))  # typed columns: statically known
 _reg("IsMap")(lambda c, a: F.lit(True))
 _reg("ContainsValue")(lambda c, a: F.array_contains(_c(a[0]), _c(a[1])))
-_reg("Murmur3Hash")(lambda c, a: F.xxhash64(_c(a[0])))  # 64-bit stand-in
-_reg("XXH3")(lambda c, a: F.xxhash64(_c(a[0])))
+# exact hash converters (hex/int64 outputs match the reference byte for
+# byte — func_murmur3_hash{,128}.go, func_xxh3.go, func_xxh128.go; the
+# golden vectors from the reference's *_test.go files are asserted in
+# tests/test_ottl_converters.py)
+_reg("Murmur3Hash")(lambda c, a: _U().murmur3_hash(_c(a[0]).cast("string")))
+_reg("Murmur3Hash128")(lambda c, a: _U().murmur3_hash128(_c(a[0]).cast("string")))
+_reg("XXH3")(lambda c, a: _U().xxh3_hash(_c(a[0]).cast("string")))
+_reg("XXH128")(lambda c, a: _U().xxh128_hash(_c(a[0]).cast("string")))
 _reg("Now")(lambda c, a: F.current_timestamp())  # nondeterministic — keep out of golden paths
 _reg("UUID")(lambda c, a: F.expr("uuid()"))  # nondeterministic
 _reg("Append")(lambda c, a: F.array_append(_c(a[0]), _c(a[1])))
@@ -552,6 +562,352 @@ def _is_valid_luhn(c, a):
 _reg("IsValidLuhn")(_is_valid_luhn)
 
 
+def _U():
+    """lazy import of the pandas-UDF converter module (keeps plain
+    expression compilation importable without pandas)."""
+    from sparkotel.functions import udfconv
+
+    return udfconv
+
+
+# -- ConvertCase / string-shape converters (func_convert_case.go) ------------
+
+def _to_snake(col: Column) -> Column:
+    return F.lower(F.regexp_replace(col, r"([a-z0-9])([A-Z])", r"$1_$2"))
+
+
+def _to_camel(col: Column) -> Column:
+    return F.concat_ws("", F.transform(F.split(col, "[_ ]"), lambda w: F.initcap(w)))
+
+
+def _convert_case(c, a):
+    case = _lit_arg(a[1], "toCase")
+    col = _c(a[0])
+    if case == "lower":
+        return F.lower(col)
+    if case == "upper":
+        return F.upper(col)
+    if case == "snake":
+        return _to_snake(col)
+    if case == "camel":
+        return _to_camel(col)
+    raise ValueError(f"ConvertCase: invalid case {case!r} (lower|upper|snake|camel)")
+
+
+_reg("ConvertCase")(_convert_case)
+
+
+def _to_key_value_string(c, a):
+    """map → 'k=v k2=v2' (func_to_key_value_string.go).  Divergence
+    (documented): output is ALWAYS key-sorted — Go map iteration order is
+    random, so the reference is only deterministic with sortOutput=true;
+    a distributed engine cannot reproduce nondeterminism anyway."""
+    delim = _lit_arg(a[1], "delimiter") if len(a) > 1 else "="
+    pair_delim = _lit_arg(a[2], "pair delimiter") if len(a) > 2 else " "
+    return F.concat_ws(
+        pair_delim,
+        F.transform(
+            F.array_sort(F.map_entries(_c(a[0]))),
+            lambda e: F.concat(e.getField("key"), F.lit(delim), e.getField("value")),
+        ),
+    )
+
+
+_reg("ToKeyValueString")(_to_key_value_string)
+_reg("Decode")(lambda c, a: _U().decode_udf(_c(a[0]), _lit_arg(a[1], "encoding")))
+
+
+# -- UserAgent (func_useragent.go) -------------------------------------------
+#
+# The reference embeds the full ua-parser/uap-core regex database via
+# uap-go; this is a curated subset covering the major browser/OS/bot
+# families, evaluated natively (ordered when-chain, no UDF).  Returns
+# the same semconv keys: user_agent.name/original/version, os.name,
+# os.version.
+
+_UA_BROWSERS = [
+    # (detect regex, family, version-extract regex)
+    (r"Edg(?:e|A|iOS)?/", "Edge", r"Edg(?:e|A|iOS)?/([\d.]+)"),
+    (r"OPR/", "Opera", r"OPR/([\d.]+)"),
+    (r"Opera[/ ]", "Opera", r"Opera[/ ]([\d.]+)"),
+    (r"CriOS/", "Chrome Mobile iOS", r"CriOS/([\d.]+)"),
+    (r"FxiOS/", "Firefox iOS", r"FxiOS/([\d.]+)"),
+    (r"Chrome/.*Mobile", "Chrome Mobile", r"Chrome/([\d.]+)"),
+    (r"Chrome/", "Chrome", r"Chrome/([\d.]+)"),
+    (r"Firefox/", "Firefox", r"Firefox/([\d.]+)"),
+    (r"Version/.*Mobile.*Safari", "Mobile Safari", r"Version/([\d.]+)"),
+    (r"Version/.*Safari", "Safari", r"Version/([\d.]+)"),
+    (r"MSIE ", "IE", r"MSIE ([\d.]+)"),
+    (r"Trident/.*rv:", "IE", r"rv:([\d.]+)"),
+    (r"Googlebot/", "Googlebot", r"Googlebot/([\d.]+)"),
+    (r"bingbot/", "bingbot", r"bingbot/([\d.]+)"),
+    (r"curl/", "curl", r"curl/([\d.]+)"),
+    (r"Wget/", "Wget", r"Wget/([\d.]+)"),
+    (r"python-requests/", "Python Requests", r"python-requests/([\d.]+)"),
+]
+
+_UA_OS = [
+    (r"Windows NT 10\.0", "Windows", r"Windows NT (10\.0)"),
+    (r"Windows NT", "Windows", r"Windows NT ([\d.]+)"),
+    (r"iPhone OS", "iOS", r"iPhone OS ([\d_]+)"),
+    (r"Mac OS X", "Mac OS X", r"Mac OS X ([\d_.]+)"),
+    (r"Android", "Android", r"Android ([\d.]+)"),
+    (r"CrOS", "Chrome OS", r"CrOS \S+ ([\d.]+)"),
+    (r"Linux", "Linux", None),
+]
+
+
+def _user_agent(c, a):
+    ua = _c(a[0])
+    fam = None
+    ver = None
+    for detect, family, vre in _UA_BROWSERS:
+        cond = ua.rlike(detect)
+        fam = (F.when(cond, family) if fam is None else fam.when(cond, family))
+        v = F.regexp_extract(ua, vre, 1)
+        ver = (F.when(cond, v) if ver is None else ver.when(cond, v))
+    fam = fam.otherwise(F.lit("Other"))
+    ver = ver.otherwise(F.lit(""))
+    os_name = None
+    os_ver = None
+    for detect, name, vre in _UA_OS:
+        cond = ua.rlike(detect)
+        os_name = (F.when(cond, name) if os_name is None else os_name.when(cond, name))
+        v = (
+            F.regexp_replace(F.regexp_extract(ua, vre, 1), "_", ".")
+            if vre
+            else F.lit("")
+        )
+        os_ver = (F.when(cond, v) if os_ver is None else os_ver.when(cond, v))
+    os_name = os_name.otherwise(F.lit(""))
+    os_ver = os_ver.otherwise(F.lit(""))
+    return F.map_filter(
+        F.create_map(
+            F.lit("user_agent.name"), fam,
+            F.lit("user_agent.original"), ua,
+            F.lit("user_agent.version"), ver,
+            F.lit("os.name"), os_name,
+            F.lit("os.version"), os_ver,
+        ),
+        lambda k, v: v != "",
+    )
+
+
+_reg("UserAgent")(_user_agent)
+
+
+# -- durations & time fields (func_duration.go, func_hours.go, …) ------------
+
+_reg("Duration")(lambda c, a: _U().duration_seconds(_c(a[0])))
+_reg("Hours")(lambda c, a: _c(a[0]) / 3600.0)
+_reg("Minutes")(lambda c, a: _c(a[0]) / 60.0)
+_reg("Seconds")(lambda c, a: _c(a[0]).cast("double"))
+_reg("Milliseconds")(lambda c, a: (_c(a[0]) * 1000).cast("bigint"))
+_reg("Microseconds")(lambda c, a: (_c(a[0]) * 1000000).cast("bigint"))
+_reg("Nanoseconds")(lambda c, a: (_c(a[0]) * 1000000000).cast("bigint"))
+_reg("Nanosecond")(
+    lambda c, a: (F.unix_micros(_c(a[0])) % 1000000) * 1000
+)
+_reg("Unix")(
+    lambda c, a: F.timestamp_micros(
+        (_c(a[0]).cast("bigint") * 1000000)
+        + ((_c(a[1]).cast("bigint") / 1000).cast("bigint") if len(a) > 1 else F.lit(0))
+    )
+)
+
+
+def _uuid_v7(c, a):
+    """UUIDv7 layout (unix-ms timestamp + random) — nondeterministic,
+    like UUID(); keep out of golden paths."""
+    ms = F.lpad(F.lower(F.hex(F.unix_millis(F.current_timestamp()))), 12, "0")
+    r = lambda n: F.substring(F.md5(F.rand().cast("string")), 1, n)  # noqa: E731
+    return F.concat_ws(
+        "-",
+        F.substring(ms, 1, 8),
+        F.substring(ms, 9, 4),
+        F.concat(F.lit("7"), r(3)),
+        F.concat(F.lit("8"), r(3)),
+        r(12),
+    )
+
+
+_reg("UUIDv7")(_uuid_v7)
+
+
+# -- ids (func_span_id.go, func_trace_id.go, func_profile_id.go) -------------
+
+def _hex_id(n_hex: int):
+    def f(c, a):
+        col = _c(a[0])
+        return F.when(
+            col.rlike(f"^[0-9a-fA-F]{{{n_hex}}}$"), F.unhex(col)
+        )
+
+    return f
+
+
+_reg("SpanID")(_hex_id(16))
+_reg("TraceID")(_hex_id(32))
+_reg("ProfileID")(_hex_id(32))
+
+
+# -- ParseCSV / ParseSeverity / pattern extractors ---------------------------
+
+def _parse_csv(c, a):
+    """ParseCSV(target, header, delimiter?) → map (func_parse_csv.go)."""
+    header = _lit_arg(a[1], "header")
+    sep = _lit_arg(a[2], "delimiter") if len(a) > 2 else ","
+    cols = header.split(sep)
+    schema = ", ".join(f"`c{i}` STRING" for i in range(len(cols)))
+    parsed = F.from_csv(_c(a[0]), schema, {"sep": sep})
+    return F.map_from_arrays(
+        F.array(*[F.lit(h) for h in cols]),
+        F.array(*[parsed.getField(f"c{i}") for i in range(len(cols))]),
+    )
+
+
+_reg("ParseCSV")(_parse_csv)
+
+# severity alias table (pkg/stanza/operator/helper/severity_builder.go +
+# ParseSeverity's default registry): text aliases → canonical level
+_SEV_ALIASES = {
+    "trace": "trace", "trc": "trace",
+    "debug": "debug", "dbg": "debug",
+    "info": "info", "information": "info", "notice": "info",
+    "warn": "warn", "warning": "warn",
+    "error": "error", "err": "error",
+    "fatal": "fatal", "crit": "fatal", "critical": "fatal",
+    "alert": "fatal", "emerg": "fatal", "emergency": "fatal",
+}
+
+
+def _parse_severity(c, a):
+    col = F.lower(F.btrim(_c(a[0]).cast("string")))
+    out = None
+    for alias, level in _SEV_ALIASES.items():
+        cond = col == alias
+        out = F.when(cond, level) if out is None else out.when(cond, level)
+    # OTel SeverityNumber bands for numeric input (severity.go enum)
+    n = col.try_cast("int")
+    for lo, hi, level in [
+        (1, 4, "trace"), (5, 8, "debug"), (9, 12, "info"),
+        (13, 16, "warn"), (17, 20, "error"), (21, 24, "fatal"),
+    ]:
+        out = out.when(n.between(lo, hi), level)
+    return out
+
+
+_reg("ParseSeverity")(_parse_severity)
+
+
+def _capture_group_indexes(pattern: str) -> list[tuple[str | None, int]]:
+    """[(name-or-None, group_index)] in order, python/RE2 syntax."""
+    out = []
+    idx = 0
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(":
+            named = None
+            if pattern[i : i + 4] == "(?P<":
+                named = i + 4
+            elif pattern[i : i + 2] == "(?<" and pattern[i + 3 : i + 4] not in ("=", "!") and pattern[i + 2] not in ("=", "!"):
+                named = i + 3
+            if named is not None:
+                j = pattern.index(">", i)
+                idx += 1
+                out.append((pattern[named:j], idx))
+                i = j + 1
+                continue
+            if pattern[i : i + 2] == "(?":
+                i += 2
+                continue
+            idx += 1
+            out.append((None, idx))
+        i += 1
+    return out
+
+
+def _strip_group_names(pattern: str) -> str:
+    """python `(?P<n>` / java `(?<n>` named groups → plain groups, so the
+    pattern runs on the JVM regex engine (extraction is by index)."""
+    return re.sub(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", "(", pattern)
+
+
+def _extract_patterns(c, a):
+    """ExtractPatterns(target, pattern) → map of NAMED captures
+    (func_extract_patterns.go: errors when no named groups)."""
+    pattern = _lit_arg(a[1], "pattern")
+    named = [(n, i) for n, i in _capture_group_indexes(pattern) if n]
+    if not named:
+        raise ValueError("ExtractPatterns: pattern has no named capture groups")
+    col = _c(a[0])
+    jpat = _strip_group_names(pattern)
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n, _ in named]),
+            F.array(*[F.regexp_extract(col, jpat, i) for _, i in named]),
+        ),
+        lambda k, v: v != "",
+    )
+
+
+_reg("ExtractPatterns")(_extract_patterns)
+
+
+def _extract_grok(c, a):
+    """ExtractGrokPatterns(target, pattern) → map
+    (func_extract_grok_patterns.go); shares the operator-side grok
+    dictionary (sparkotel.operators.grok)."""
+    from sparkotel.operators.grok import expand_grok
+
+    regex, captures = expand_grok(_lit_arg(a[1], "pattern"))
+    col = _c(a[0])
+    return F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(n) for n, _ in captures]),
+            F.array(
+                *[F.regexp_extract(col, regex, i + 1) for i in range(len(captures))]
+            ),
+        ),
+        lambda k, v: v != "",
+    )
+
+
+_reg("ExtractGrokPatterns")(_extract_grok)
+
+
+# -- XML family (ElementTree XPath subset; see udfconv) ----------------------
+
+_reg("ParseXML")(lambda c, a: _U().parse_xml_udf(_c(a[0])))
+_reg("ParseSimplifiedXML")(lambda c, a: _U().parse_simplified_xml_udf(_c(a[0])))
+_reg("GetXML")(lambda c, a: _U().get_xml_udf(_c(a[0]), _lit_arg(a[1], "xpath")))
+_reg("RemoveXML")(lambda c, a: _U().remove_xml_udf(_c(a[0]), _lit_arg(a[1], "xpath")))
+_reg("InsertXML")(
+    lambda c, a: _U().insert_xml_udf(
+        _c(a[0]), _lit_arg(a[1], "xpath"), _lit_arg(a[2], "subdocument")
+    )
+)
+_reg("ConvertTextToElementsXML")(
+    lambda c, a: _U().convert_text_xml_udf(
+        _c(a[0]), _lit_arg(a[1], "elementName") if len(a) > 1 else "value"
+    )
+)
+_reg("ConvertAttributesToElementsXML")(
+    lambda c, a: _U().convert_attrs_xml_udf(_c(a[0]))
+)
+
+# CommunityID(source_ip, source_port, dest_ip, dest_port, proto_number)
+_reg("CommunityID")(
+    lambda c, a: _U().community_id_udf(
+        _c(a[0]), _c(a[2]), _c(a[1]), _c(a[3]), _lit_arg(a[4], "protocol")
+    )
+)
+
+
 def _duration_unit(d: str) -> str:
     return {"1h": "hour", "1m": "minute", "1s": "second", "24h": "day", "1d": "day"}[d]
 
@@ -565,6 +921,74 @@ def _strp(fmt: str) -> str:
 # ---------------------------------------------------------------------------
 # editors (statement application over a DataFrame)
 # ---------------------------------------------------------------------------
+
+
+def _glob_to_regex(glob: str) -> str:
+    """gobwas/glob subset (`*`, `?`) → anchored regex (full-value match,
+    as replace_match requires)."""
+    out = "^"
+    for ch in glob:
+        if ch == "*":
+            out += ".*"
+        elif ch == "?":
+            out += "."
+        else:
+            out += re.escape(ch)
+    return out + "$"
+
+
+def _join_key(prefix_col: Column, name_col: Column) -> Column:
+    return F.when(prefix_col == "", name_col).otherwise(
+        F.concat(prefix_col, F.lit("."), name_col)
+    )
+
+
+def _flatten_entries(col: Column, dt, prefix_col: Column, depth: int) -> Column:
+    """array<struct<key,value>> of dotted-key leaves — the schema-driven
+    recursion behind the flatten editor (type recursion is static, key
+    paths are data-driven)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, StructType) and depth > 0 and dt.fields:
+        arrs = [
+            _flatten_entries(
+                col.getField(f.name), f.dataType, _join_key(prefix_col, F.lit(f.name)), depth - 1
+            )
+            for f in dt.fields
+        ]
+        return arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    if isinstance(dt, MapType) and depth > 0:
+        vt = dt.valueType
+        return F.flatten(
+            F.transform(
+                F.map_entries(col),
+                lambda e: _flatten_entries(
+                    e.getField("value"), vt, _join_key(prefix_col, e.getField("key")), depth - 1
+                ),
+            )
+        )
+    if isinstance(dt, ArrayType) and depth > 0:
+        et = dt.elementType
+        return F.flatten(
+            F.transform(
+                col,
+                lambda x, i: _flatten_entries(
+                    x, et, _join_key(prefix_col, i.cast("string")), depth - 1
+                ),
+            )
+        )
+    return F.array(
+        F.struct(prefix_col.alias("key"), col.cast("string").alias("value"))
+    )
+
+
+def flatten_column(df: DataFrame, col_name: str, prefix: str = "", depth: int = 100) -> Column:
+    """flatten editor body: nested struct/map/array column → flat
+    map<string,string> with dotted (and array-indexed) keys."""
+    dt = df.schema[col_name].dataType
+    return F.map_from_entries(
+        _flatten_entries(F.col(col_name), dt, F.lit(prefix), depth)
+    )
 
 
 def compile_condition(df: DataFrame, src: str) -> Column:
@@ -639,6 +1063,21 @@ def apply_statement(df: DataFrame, src: str) -> DataFrame:
                     )
                 )
         return df.withColumn(col_name, gated(new, old))
+    if name in ("replace_match", "replace_all_matches"):
+        # glob (full-value) match → whole-value replacement
+        # (func_replace_match.go / func_replace_all_matches.go; the Go
+        # side compiles gobwas/glob — `*` and `?` wildcards)
+        col_name = comp.path_target_name(ed.args[0])
+        old = F.col(col_name)
+        pat = _glob_to_regex(_lit_arg(comp.compile(ed.args[1]), "pattern"))
+        rep = _lit_arg(comp.compile(ed.args[2]), "replacement")
+        if name == "replace_match":
+            new = F.when(old.rlike(pat), F.lit(rep)).otherwise(old)
+        else:  # map-valued: every string value matching the glob
+            new = F.transform_values(
+                old, lambda k, v: F.when(v.rlike(pat), F.lit(rep)).otherwise(v)
+            )
+        return df.withColumn(col_name, gated(new, old))
     if name == "truncate_all":
         col_name = comp.path_target_name(ed.args[0])
         n = _lit_arg(comp.compile(ed.args[1]), "limit")
@@ -653,7 +1092,23 @@ def apply_statement(df: DataFrame, src: str) -> DataFrame:
         new = F.map_from_entries(F.slice(F.array_sort(F.map_entries(old)), 1, n))
         return df.withColumn(col_name, gated(new, old))
     if name == "flatten":
-        raise NotImplementedError("flatten is resolved at plan time by the schema")
+        # flatten(target[, prefix][, depth]) — plan-time recursive
+        # expansion driven by the column's Spark schema
+        # (func_flatten.go: nested maps/slices → dotted / indexed keys)
+        col_name = comp.path_target_name(ed.args[0])
+        prefix = _lit_arg(comp.compile(ed.args[1]), "prefix") if len(ed.args) > 1 else ""
+        depth = _lit_arg(comp.compile(ed.args[2]), "depth") if len(ed.args) > 2 else 100
+        old = F.col(col_name)
+        new = flatten_column(df, col_name, prefix, depth)
+        return df.withColumn(col_name, gated(new, old))
+    if name == "stringify_all":
+        # StringifyAll: every leaf value → its string form
+        # (func_stringify_all.go); typed columns make this a per-value
+        # cast on the map
+        col_name = comp.path_target_name(ed.args[0])
+        old = F.col(col_name)
+        new = F.transform_values(old, lambda k, v: v.cast("string"))
+        return df.withColumn(col_name, gated(new, old))
     if name == "merge_maps":
         col_name = comp.path_target_name(ed.args[0])
         src_col = _c(comp.compile(ed.args[1]))

@@ -273,3 +273,114 @@ def cumulative_to_delta(
     first point yields NULL (the reference drops the first observation)."""
     w = Window.partitionBy(*stream_cols).orderBy(*_order(ts_col))
     return df.withColumn(out, F.col(value_col) - F.lag(value_col).over(w))
+
+
+def delta_to_rate(
+    df: DataFrame,
+    stream_cols: Sequence[str],
+    ts_col,
+    value_col: str,
+    time_col: str | None = None,
+    out: str = "rate",
+) -> DataFrame:
+    """deltatorateprocessor: delta value / seconds since the previous
+    point of the same stream (processor/deltatorateprocessor/processor.go).
+    First point (no interval) and zero-width intervals yield NULL.
+    ``time_col`` names the timestamp column when ``ts_col`` is a
+    multi-column total order."""
+    order = _order(ts_col)
+    tcol = time_col or order[0]
+    w = Window.partitionBy(*stream_cols).orderBy(*order)
+    dt = (
+        F.unix_micros(F.col(tcol).cast("timestamp"))
+        - F.unix_micros(F.lag(tcol).over(w).cast("timestamp"))
+    ) / 1000000.0
+    return df.withColumn(out, F.when(dt > 0, F.col(value_col) / dt))
+
+
+def metrics_transform(
+    df: DataFrame,
+    rules: Sequence[dict],
+    metric_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """metricstransformprocessor subset: ordered rename / scale rules
+    (processor/metricstransformprocessor/ metric_name update +
+    experimental_scale_value).  Each rule:
+    ``{"match": name, "new_name": str?}`` or
+    ``{"match": name, "scale": factor?}``."""
+    metric = F.col(metric_col)
+    value = F.col(value_col)
+    for r in rules:
+        cond = F.col(metric_col) == r["match"]
+        if "scale" in r:
+            value = F.when(cond, value * F.lit(r["scale"])).otherwise(value)
+        if "new_name" in r:
+            metric = F.when(cond, F.lit(r["new_name"])).otherwise(metric)
+    # one withColumns: both expressions (and their match conditions)
+    # resolve against the ORIGINAL metric names, not the renamed ones
+    return df.withColumns({metric_col: metric, value_col: value})
+
+
+def metrics_generate(
+    df: DataFrame,
+    name: str,
+    operand1: str,
+    operand2: str,
+    operation: str = "divide",
+    dims: Sequence[str] = (),
+    metric_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """metricsgenerationprocessor: derive a new metric from two existing
+    ones per dimension group (processor/metricsgenerationprocessor/
+    processor.go calculate rule).  Returns the input plus generated rows.
+
+    One groupBy (conditional-aggregation pivot of the two operands), no
+    self-join — the scale shape for 10^9 series."""
+    ops = {
+        "add": lambda a, b: a + b,
+        "subtract": lambda a, b: a - b,
+        "multiply": lambda a, b: a * b,
+        "divide": lambda a, b: F.when(b != 0, a / b),
+        "percent": lambda a, b: F.when(b != 0, a * 100.0 / b),
+    }
+    m, v = F.col(metric_col), F.col(value_col)
+    derived = (
+        df.filter(m.isin([operand1, operand2]))
+        .groupBy(*dims)
+        .agg(
+            F.sum(F.when(m == operand1, v)).alias("_a"),
+            F.sum(F.when(m == operand2, v)).alias("_b"),
+        )
+        .select(
+            *dims,
+            F.lit(name).alias(metric_col),
+            ops[operation](F.col("_a"), F.col("_b")).alias(value_col),
+        )
+    )
+    return df.select(*dims, metric_col, value_col).unionByName(derived)
+
+
+def exponential_histogram(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 3,
+    dims: Sequence[str] = (),
+) -> DataFrame:
+    """Base-2 exponential histogram bucketing (OTel spec mapping, the
+    spanmetricsconnector exponential branch —
+    connector/spanmetricsconnector/connector.go): bucket index =
+    floor(log2(v) * 2^scale); base = 2^(2^-scale).  Pure column math +
+    one map-side-combined groupBy."""
+    v = F.col(value_col).cast("double")
+    idx = F.floor(F.log2(v) * F.lit(float(2 ** scale))).cast("int")
+    return (
+        df.filter(v > 0)
+        .groupBy(*[F.col(d) for d in dims], idx.alias("bucket_index"))
+        .agg(
+            F.count(F.lit(1)).alias("bucket_count"),
+            F.round(F.min(v), 6).alias("min_value"),
+            F.round(F.max(v), 6).alias("max_value"),
+        )
+    )

@@ -226,6 +226,83 @@ def syslog_parser(df: DataFrame, parse_from: str = "text", line1: bool = False) 
     )
 
 
+SYSLOG_5424_RE = (
+    r"^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) (-|(?:\[[^\]]*\])+) ?(.*)$"
+)
+_SD_ELEMENT = r"\[([^\]]+)\]"
+_SD_PARAM = r'(\S+)="([^"]*)"'
+
+
+def syslog_parser_5424(
+    df: DataFrame,
+    parse_from: str = "text",
+    line1: bool = False,
+    octet_counting: bool = False,
+) -> DataFrame:
+    """RFC5424 syslog (operator/parser/syslog/parser.go:61-510, 5424
+    branch): <PRI>VERSION TS HOSTNAME APP-NAME PROCID MSGID SD [MSG].
+
+    - ``octet_counting`` strips the RFC6587 length prefix ("123 <34>1…")
+      before parsing (parser.go octet-counting framing);
+    - NILVALUE ('-') fields become NULL;
+    - STRUCTURED-DATA parses into ``structured_data``
+      map<string,string> keyed ``sdid.param`` — all native
+      (regexp_extract_all + higher-order transforms, no UDF).
+    """
+    src = F.col(parse_from) if not line1 else first_line(parse_from)
+    if octet_counting:
+        src = F.regexp_replace(src, r"^\d+ ", "")
+    df = df.withColumn("_src5424", src)
+    df = regex_parser(
+        df,
+        SYSLOG_5424_RE,
+        ["pri", "version", "sys_ts", "hostname", "appname", "proc_id", "msgid", "sd_raw", "message"],
+        parse_from="_src5424",
+        on_error="send",
+        line1=False,
+    )
+    pri = F.col("pri").cast("int")
+    for nil_col in ("hostname", "appname", "proc_id", "msgid"):
+        df = df.withColumn(nil_col, F.when(F.col(nil_col) != "-", F.col(nil_col)))
+    # SD elements -> entries ("sdid.param", value), flattened across
+    # elements; '-' (no SD) and parse misses yield an empty map
+    elements = F.regexp_extract_all(F.col("sd_raw"), F.lit(_SD_ELEMENT), 1)
+    entries = F.flatten(
+        F.transform(
+            elements,
+            lambda e: F.zip_with(
+                F.transform(
+                    F.regexp_extract_all(e, F.lit(_SD_PARAM), 1),
+                    lambda k: F.concat(F.split_part(e, F.lit(" "), F.lit(1)), F.lit("."), k),
+                ),
+                F.regexp_extract_all(e, F.lit(_SD_PARAM), 2),
+                lambda k, v: F.struct(k.alias("key"), v.alias("value")),
+            ),
+        )
+    )
+    df = df.withColumn(
+        "structured_data",
+        F.when(F.col("sd_raw").isNotNull() & (F.col("sd_raw") != "-"), F.map_from_entries(entries))
+        .otherwise(
+            F.map_from_entries(F.array().cast("array<struct<key:string,value:string>>"))
+        ),
+    )
+    # RFC3339 timestamp (fractional seconds + 'Z' | numeric offset)
+    ts = F.coalesce(
+        F.try_to_timestamp(F.col("sys_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(F.col("sys_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(F.col("sys_ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+    )
+    return (
+        df.withColumn("log_ts", ts)
+        .withColumn("facility", (pri / 8).cast("int"))
+        .withColumn("syslog_severity", pri % 8)
+        .withColumn("version", F.col("version").cast("int"))
+        .withColumn("proc_id", F.col("proc_id").cast("int"))
+        .drop("_src5424", "sd_raw")
+    )
+
+
 CRI_RE = r"^(\S+) (stdout|stderr) ([PF]) (.*)$"
 
 
@@ -260,6 +337,32 @@ def container_parser(df: DataFrame, parse_from: str = "line") -> DataFrame:
             "partial",
             F.when(is_docker, F.lit(False)).otherwise(F.regexp_extract(c, CRI_RE, 3) == "P"),
         )
+    )
+
+
+def container_recombine(
+    df: DataFrame, source_col: str, order_col: str, parse_from: str = "line"
+) -> DataFrame:
+    """CRI partial-line reassembly: ``P``-flagged lines concatenate with
+    the following lines up to and including the next ``F`` line
+    (operator/parser/container/parser.go:72-474 recombine wiring).
+
+    is_last = NOT partial; a row starts a new record iff the previous
+    row (same source, in offset order) was a record end.  Docker rows
+    (partial always false) pass through one-line-per-record.
+    """
+    from pyspark.sql import Window
+
+    parsed = container_parser(df, parse_from)
+    w = Window.partitionBy(source_col).orderBy(order_col)
+    parsed = parsed.withColumn(
+        "_is_first", F.coalesce(F.lag(~F.col("partial")).over(w), F.lit(True))
+    )
+    from sparkotel.operators.recombine import recombine
+
+    # CRI partial lines join with NO separator (the split was mid-line)
+    return recombine(
+        parsed, source_col, order_col, "log", F.col("_is_first"), combine_with=""
     )
 
 

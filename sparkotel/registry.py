@@ -296,6 +296,177 @@ def _add_operator_queries(q: dict[str, Query]) -> None:
         "PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta FROM events",
     )
 
+    # --- deltatorateprocessor -----------------------------------------------
+    def d2r(spark, sf):
+        df = A.delta_to_rate(
+            _events(spark, sf), ["user_id"], ["ts", "event_id"], "value"
+        )
+        return df.select("event_id", "user_id", F.round("rate", 6).alias("rate"))
+
+    q["delta_to_rate"] = Query(
+        d2r,
+        "SELECT event_id, user_id, round(value / ((epoch_us(ts) - epoch_us(lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0), 6) AS rate "
+        "FROM events",
+    )
+
+    # --- metricstransformprocessor (rename + scale rules) -------------------
+    def mtrans(spark, sf):
+        df = _events(spark, sf).select(
+            F.col("event_type").alias("metric"), "event_id", "value"
+        )
+        out = A.metrics_transform(
+            df,
+            [
+                {"match": "purchase", "scale": 0.01, "new_name": "purchase_dollars"},
+                {"match": "click", "new_name": "interaction.click"},
+            ],
+        )
+        return out.select("event_id", "metric", F.round("value", 6).alias("value"))
+
+    q["metrics_transform"] = Query(
+        mtrans,
+        "SELECT event_id, "
+        "CASE WHEN event_type = 'purchase' THEN 'purchase_dollars' "
+        "     WHEN event_type = 'click' THEN 'interaction.click' "
+        "     ELSE event_type END AS metric, "
+        "round(CASE WHEN event_type = 'purchase' THEN value * 0.01 ELSE value END, 6) AS value "
+        "FROM events",
+    )
+
+    # --- metricsgenerationprocessor (derived ratio metric) ------------------
+    def mgen(spark, sf):
+        df = _events(spark, sf).select(
+            F.col("event_type").alias("metric"),
+            (F.col("user_id") % 10).alias("cohort"),
+            "value",
+        )
+        out = A.metrics_generate(
+            df, "purchase_per_view", "purchase", "view", "divide", dims=("cohort",)
+        )
+        return out.groupBy("cohort", "metric").agg(
+            F.round(F.sum("value"), 6).alias("total")
+        )
+
+    q["metrics_generate"] = Query(
+        mgen,
+        """
+WITH base AS (SELECT user_id % 10 AS cohort, event_type AS metric, value FROM events),
+derived AS (
+  SELECT cohort, 'purchase_per_view' AS metric,
+    CASE WHEN sum(CASE WHEN metric = 'view' THEN value END) != 0
+         THEN sum(CASE WHEN metric = 'purchase' THEN value END)
+              / sum(CASE WHEN metric = 'view' THEN value END) END AS value
+  FROM base GROUP BY cohort),
+unioned AS (SELECT * FROM base UNION ALL SELECT * FROM derived)
+SELECT cohort, metric, round(sum(value), 6) AS total FROM unioned GROUP BY 1, 2
+""",
+    )
+
+    # --- spanmetrics exponential histogram (base-2 OTel mapping) ------------
+    def exph(spark, sf):
+        return A.exponential_histogram(
+            _events(spark, sf), "value", scale=3, dims=("event_type",)
+        )
+
+    q["spanmetrics_exp_histogram"] = Query(
+        exph,
+        "SELECT event_type, CAST(FLOOR(log2(value) * 8) AS INT) AS bucket_index, "
+        "CAST(count(*) AS BIGINT) AS bucket_count, "
+        "round(min(value), 6) AS min_value, round(max(value), 6) AS max_value "
+        "FROM events WHERE value > 0 GROUP BY 1, 2",
+    )
+
+    # --- RFC5424 syslog with structured data --------------------------------
+    # lines synthesized deterministically from documents; the oracle
+    # derives every parsed field analytically from the same formula
+    def syslog5424(spark, sf):
+        docs = _docs(spark, sf).select("doc_id", "lang")
+        line = F.format_string(
+            '<%d>1 2024-03-15T00:00:%02dZ h%d app %d - [meta lang="%s" n="%d"] body %d',
+            (F.col("doc_id") % 192).cast("int"),
+            (F.col("doc_id") % 60).cast("int"),
+            (F.col("doc_id") % 10).cast("int"),
+            (F.col("doc_id") % 1000).cast("int"),
+            F.col("lang"),
+            (F.col("doc_id") % 100).cast("int"),
+            F.col("doc_id"),
+        )
+        df = PR.syslog_parser_5424(docs.withColumn("raw", line), "raw")
+        sd = F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_entries(F.col("structured_data"))),
+                lambda e: F.concat(e.getField("key"), F.lit("="), e.getField("value")),
+            ),
+        )
+        return df.select(
+            "doc_id",
+            "facility",
+            "syslog_severity",
+            "version",
+            "hostname",
+            "appname",
+            "proc_id",
+            "msgid",
+            "log_ts",
+            sd.alias("sd"),
+            "message",
+        )
+
+    q["syslog_rfc5424"] = Query(
+        syslog5424,
+        """
+SELECT doc_id,
+  CAST(FLOOR((doc_id % 192) / 8.0) AS INT) AS facility,
+  CAST((doc_id % 192) % 8 AS INT) AS syslog_severity,
+  1 AS version,
+  'h' || CAST(doc_id % 10 AS VARCHAR) AS hostname,
+  'app' AS appname,
+  CAST(doc_id % 1000 AS INT) AS proc_id,
+  CAST(NULL AS VARCHAR) AS msgid,
+  TIMESTAMP '2024-03-15 00:00:00' + to_seconds(doc_id % 60) AS log_ts,
+  'meta.lang=' || lang || ',meta.n=' || CAST(doc_id % 100 AS VARCHAR) AS sd,
+  'body ' || CAST(doc_id AS VARCHAR) AS message
+FROM documents
+""",
+    )
+
+    # --- container partial-line recombination (CRI 'P'/'F' flags) -----------
+    def cri_recombine(spark, sf):
+        base = _docs(spark, sf).select(
+            "doc_id", F.translate(F.col("text"), "\n", " ").alias("t")
+        )
+        pieces = base.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    F.substring("t", 1, 10),
+                    F.substring("t", 11, 10),
+                    F.substring("t", 21, 10),
+                )
+            ).alias("ordi", "piece"),
+        )
+        lines = pieces.select(
+            "doc_id",
+            (F.col("ordi") + 1).alias("ord"),
+            F.concat(
+                F.lit("2024-03-15T00:00:00.000000000Z stdout "),
+                F.when(F.col("ordi") < 2, "P").otherwise("F"),
+                F.lit(" "),
+                F.col("piece"),
+            ).alias("line"),
+        )
+        out = PR.container_recombine(lines, "doc_id", "ord")
+        return out.select("doc_id", "group_id", "combined", "n_lines", "first_ord")
+
+    q["container_recombine"] = Query(
+        cri_recombine,
+        "SELECT doc_id, CAST(1 AS BIGINT) AS group_id, "
+        "substr(replace(text, chr(10), ' '), 1, 30) AS combined, "
+        "CAST(3 AS BIGINT) AS n_lines, CAST(1 AS INT) AS first_ord FROM documents",
+    )
+
     # --- probabilisticsampler (25%, arithmetic mode = oracle-replayable) ---
     def sampler(spark, sf):
         return probabilistic_sampler(_docs(spark, sf), 25.0, key="doc_id").select("doc_id")
@@ -674,6 +845,50 @@ def _add_operator_queries(q: dict[str, Query]) -> None:
         f"{cte()} SELECT url, "
         f"'method=' || substr(method, 1, 3) || ',status=*' AS attrs "
         f"FROM parsed_sev WHERE NOT _error",
+    )
+
+    # --- OTTL round 2: glob editors, flatten, new converters ----------------
+    # replace_match (glob), flatten (schema-driven), ConvertCase,
+    # ToKeyValueString, Unix, SpanID round-trip — each mirrored exactly
+    # in DuckDB (func_replace_match.go, func_flatten.go,
+    # func_convert_case.go, func_to_key_value_string.go, func_unix.go,
+    # func_span_id.go)
+    def ottl_round2(spark, sf):
+        from sparkotel.expr import apply_statement, apply_statements
+
+        df = _docs(spark, sf).select("doc_id", "lang", "text")
+        df = apply_statements(
+            df,
+            [
+                'set(cam, ConvertCase(lang, "camel"))',
+                'set(kv, ToKeyValueString(ParseKeyValue(Concat("lang", lang, "=")), "=", " "))',
+                "set(unix_ts, Unix(doc_id))",
+                "set(span_hex, Hex(SpanID(Substring(MD5(text), 0, 16))))",
+                'replace_match(lang, "e*", "EN")',
+            ],
+        )
+        df = df.withColumn(
+            "nested",
+            F.create_map(F.lit("a"), F.create_map(F.lit("x"), F.col("cam"))),
+        )
+        df = apply_statement(df, "flatten(nested)")
+        df = apply_statement(df, 'set(flat_kv, ToKeyValueString(nested, "=", " "))')
+        return df.select(
+            "doc_id", "cam", "kv", "unix_ts", "span_hex", "lang", "flat_kv"
+        )
+
+    q["ottl_editors_2"] = Query(
+        ottl_round2,
+        """
+SELECT doc_id,
+  upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS cam,
+  'lang=' || lang AS kv,
+  TIMESTAMP '1970-01-01 00:00:00' + to_seconds(doc_id) AS unix_ts,
+  substr(md5(text), 1, 16) AS span_hex,
+  CASE WHEN lang LIKE 'e%' THEN 'EN' ELSE lang END AS lang,
+  'a.x=' || upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS flat_kv
+FROM documents
+""",
     )
 
 

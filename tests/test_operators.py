@@ -211,3 +211,48 @@ def test_service_graph_edges(spark):
     assert edges[("u1", "2024-01-01 00:00:04")] == ("2024-01-01 00:00:03", 1.0)
     assert edges[("u2", "2024-01-01 00:00:05")] == (None, None)
     assert edges[("u3", "2024-01-01 00:00:07")] == ("2024-01-01 00:00:07", 0.0)
+
+
+def test_syslog_rfc5424(spark):
+    """5424 branch: version, nil values, multi-element SD, octet framing
+    (operator/parser/syslog/parser.go:61-510)."""
+    line = (
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 123 ID47 '
+        '[exampleSDID@32473 iut="3" eventSource="Application"][other x="y"] An application log'
+    )
+    df = spark.createDataFrame([(line,), ("<34>1 - - - - - -",)], "text string")
+    out = {r["pri"]: r for r in PR.syslog_parser_5424(df).collect()}
+    r = out["165"]
+    assert r["version"] == 1 and r["facility"] == 20 and r["syslog_severity"] == 5
+    assert r["hostname"] == "mymachine.example.com" and r["appname"] == "evntslog"
+    assert r["proc_id"] == 123 and r["msgid"] == "ID47"
+    assert r["message"] == "An application log"
+    assert r["structured_data"]["exampleSDID@32473.iut"] == "3"
+    assert r["structured_data"]["exampleSDID@32473.eventSource"] == "Application"
+    assert r["structured_data"]["other.x"] == "y"
+    assert str(r["log_ts"]).startswith("2003-10-11 22:14:15")
+    nil = out["34"]
+    assert nil["hostname"] is None and nil["msgid"] is None
+    assert nil["structured_data"] == {}
+    # octet-counting framing (RFC6587): length prefix stripped
+    framed = spark.createDataFrame([(f"{len(line)} {line}",)], "text string")
+    r2 = PR.syslog_parser_5424(framed, octet_counting=True).first()
+    assert r2["hostname"] == "mymachine.example.com"
+
+
+def test_container_recombine(spark):
+    """CRI 'P' lines join with following lines through the next 'F'
+    (container/parser.go recombine wiring); docker rows pass through."""
+    rows = [
+        ("c1", 1, "2024-01-01T00:00:00Z stdout P hel"),
+        ("c1", 2, "2024-01-01T00:00:00Z stdout P lo "),
+        ("c1", 3, "2024-01-01T00:00:00Z stdout F world"),
+        ("c1", 4, "2024-01-01T00:00:01Z stdout F single"),
+        ("c2", 5, '{"log":"docker line","stream":"stdout","time":"t"}'),
+    ]
+    df = spark.createDataFrame(rows, "container string, ord int, line string")
+    out = PR.container_recombine(df, "container", "ord")
+    got = {(r["container"], r["first_ord"]): (r["combined"], r["n_lines"]) for r in out.collect()}
+    assert got[("c1", 1)] == ("hello world", 3)
+    assert got[("c1", 4)] == ("single", 1)
+    assert got[("c2", 5)] == ("docker line", 1)

@@ -142,3 +142,56 @@ def test_converters(spark, tiny):
     a = r["https://a/x"]
     assert a["up"] == "EN" and len(a["hashval"]) == 64 and a["num"] == 42
     assert a["bad"] is None and a["joined"] == "en-https://a/x"
+
+
+def test_replace_match_glob(spark, tiny):
+    out = X.apply_statement(tiny, 'replace_match(lang, "e*", "EN-GLOB")')
+    langs = {r["url"]: r["lang"] for r in out.collect()}
+    assert langs["https://a/x"] == "EN-GLOB"  # 'en' matches e*
+    assert all(v == "EN-GLOB" or not v.startswith("e") for v in langs.values())
+    # '?' matches exactly one char; non-matches untouched
+    out2 = X.apply_statement(tiny, 'replace_match(lang, "??", "TWO")')
+    assert all(
+        (len(orig) == 2) == (new == "TWO")
+        for orig, new in zip(
+            [r["lang"] for r in tiny.collect()], [r["lang"] for r in out2.collect()]
+        )
+    )
+
+
+def test_replace_all_matches_map(spark, tiny):
+    out = X.apply_statement(tiny, 'replace_all_matches(attributes, "v*", "MASKED")')
+    m = {r["url"]: r["attributes"] for r in out.collect()}
+    for url, attrs in m.items():
+        for k, v in attrs.items():
+            assert not v.startswith("v") or v == "MASKED"
+
+
+def test_flatten_editor(spark):
+    df = spark.createDataFrame(
+        [(
+            {"a": {"x": "1", "y": "2"}, "b": {"z": "3"}},
+        )],
+        "nested map<string,map<string,string>>",
+    )
+    out = X.apply_statement(df, "flatten(nested)")
+    assert out.first()["nested"] == {"a.x": "1", "a.y": "2", "b.z": "3"}
+    # prefix arg
+    out2 = X.apply_statement(df, 'flatten(nested, "pre")')
+    assert out2.first()["nested"] == {"pre.a.x": "1", "pre.a.y": "2", "pre.b.z": "3"}
+    # arrays get index keys (func_flatten.go resolveValue slice branch)
+    df2 = spark.createDataFrame([({"l": ["p", "q"]},)], "nested map<string,array<string>>")
+    assert X.apply_statement(df2, "flatten(nested)").first()["nested"] == {
+        "l.0": "p",
+        "l.1": "q",
+    }
+    # depth cap stops expansion (stringifies the remainder)
+    out3 = X.apply_statement(df, 'flatten(nested, "", 1)')
+    flat = out3.first()["nested"]
+    assert set(flat) == {"a", "b"} and "x" in flat["a"]
+
+
+def test_stringify_all(spark):
+    df = spark.createDataFrame([({"n": 1, "m": 2},)], "attrs map<string,int>")
+    out = X.apply_statement(df, "stringify_all(attrs)")
+    assert out.first()["attrs"] == {"n": "1", "m": "2"}
