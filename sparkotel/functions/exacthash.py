@@ -162,6 +162,32 @@ def fnv1a_64_signed(s: str) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
+def fnv1a_32(data: bytes) -> int:
+    h = 0x811C9DC5
+    for b in data:
+        h ^= b
+        h = (h * 0x01000193) & MASK32
+    return h
+
+
+def fnv1a_32_seeded_udf(seed: int):
+    """FNV-1a-32 over le32(seed) ‖ utf8(value) — the probabilistic
+    sampler's computeHash (probabilisticsamplerprocessor/fnvhasher.go)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    prefix = seed.to_bytes(4, "little")
+
+    # legacy (function, returnType) form: `from __future__ import
+    # annotations` makes hint-style signatures unresolvable here
+    return F.pandas_udf(
+        lambda s: s.map(
+            lambda v: None if v is None else fnv1a_32(prefix + v.encode("utf-8"))
+        ),
+        LongType(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # XXH3 (64 and 128) — default secret, seed 0
 # ---------------------------------------------------------------------------

@@ -64,11 +64,33 @@ def probabilistic_sampler(
     Reference: logsprocessor.go:115-230 — sampled iff
     hash(key) mod 2^56 < threshold(percent).
     """
+    if mode == "hash_seed":
+        return hash_seed_sampler(df, percent, key=key)
     if mode == "hash":
         bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(10000))
     else:
         bucket = F.pmod(F.col(key) * F.lit(2654435761), F.lit(10000))
     return df.filter(bucket < F.lit(int(percent * 100)))
+
+
+def hash_seed_sampler(
+    df: DataFrame, percent: float, key: str = "url", hash_seed: int = 0
+) -> DataFrame:
+    """The reference's exact ``hash_seed`` mode
+    (probabilisticsamplerprocessor/sampler_mode.go:35-38 +
+    fnvhasher.go:12-26): bucket = FNV-1a-32(le32(seed) ‖ key-bytes)
+    & 0x3FFF, sampled iff bucket < uint32(percent · 16384/100).
+
+    The FNV pass is an Arrow-batched pandas UDF (byte-sequential hash,
+    not expressible as native columns); the arithmetic mode above stays
+    the oracle-replayable default."""
+    from sparkotel.functions.exacthash import fnv1a_32_seeded_udf
+
+    scaled = int(percent * (0x4000 / 100.0))
+    bucket = fnv1a_32_seeded_udf(hash_seed)(F.col(key).cast("string")).bitwiseAND(
+        F.lit(0x3FFF)
+    )
+    return df.filter(bucket < F.lit(scaled))
 
 
 def redact(

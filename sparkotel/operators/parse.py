@@ -40,6 +40,44 @@ ON_ERROR_MODES = ("send", "send_quiet", "drop", "drop_quiet")
 SEVERITY_NUMBER = {"trace": 1, "debug": 5, "info": 9, "warn": 13, "error": 17, "fatal": 21}
 
 
+def full_severity_table() -> dict[str, int]:
+    """The complete 25-level alias table
+    (pkg/stanza/operator/helper/severity_builder.go): six base levels ×
+    fine grades 2-4, plus the common text aliases."""
+    table = {"default": 0}
+    for base, n in SEVERITY_NUMBER.items():
+        table[base] = n
+        for i in (2, 3, 4):
+            table[f"{base}{i}"] = n + i - 1
+    table.update(
+        {
+            "trc": 1, "dbg": 5, "information": 9, "notice": 9,
+            "warning": 13, "err": 17, "critical": 21, "crit": 21,
+            "alert": 21, "emerg": 21, "emergency": 21, "catastrophe": 24,
+        }
+    )
+    return table
+
+
+def text_severity_parser(
+    df: DataFrame, parse_from: str, aliases: dict[str, int] | None = None
+) -> DataFrame:
+    """Text-alias severity parsing over the full 25-level table (the
+    severity_builder default mapping); unmatched text → 0/'default'.
+    One broadcast literal map lookup — native, no UDF."""
+    table = aliases or full_severity_table()
+    num_map = F.create_map(*[x for k, v in table.items() for x in (F.lit(k), F.lit(v))])
+    key = F.lower(F.btrim(F.col(parse_from).cast("string")))
+    num = F.coalesce(num_map[key], F.lit(0))
+    base = None
+    for name, lo in sorted(SEVERITY_NUMBER.items(), key=lambda kv: kv[1]):
+        cond = num.between(lo, lo + 3)
+        base = F.when(cond, name) if base is None else base.when(cond, name)
+    return df.withColumn("severity_number", num).withColumn(
+        "severity_text", base.otherwise(F.lit("default"))
+    )
+
+
 def _apply_on_error(df: DataFrame, matched: Column, on_error: str) -> DataFrame:
     if on_error not in ON_ERROR_MODES:
         raise ValueError(f"on_error must be one of {ON_ERROR_MODES}")
@@ -119,6 +157,73 @@ def strptime_to_spark(layout: str) -> str:
     return out
 
 
+# Go reference-time layout tokens → JDK datetime pattern
+# (pkg/stanza/operator/helper/time.go gotime branch; longest-first so
+# "2006" wins over "06", "January" over "Jan").
+_GOTIME = [
+    ("2006", "yyyy"),
+    ("January", "MMMM"),
+    ("Jan", "MMM"),
+    ("Monday", "EEEE"),
+    ("Mon", "EEE"),
+    (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    ("15", "HH"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("03", "hh"),
+    ("04", "mm"),
+    ("05", "ss"),
+    ("Z07:00", "XXX"),
+    ("Z0700", "XX"),
+    ("-07:00", "XXX"),
+    ("-0700", "XX"),
+    ("MST", "xx"),  # abbreviation slot; the data is pre-normalized to offsets
+    ("PM", "a"),
+    ("06", "yy"),
+    ("002", "DDD"),
+]
+
+
+def gotime_to_spark(layout: str) -> str:
+    """Go time.Format reference layout → Spark/JDK pattern."""
+    out = ""
+    i = 0
+    while i < len(layout):
+        for tok, rep in _GOTIME:
+            if layout.startswith(tok, i):
+                out += rep
+                i += len(tok)
+                break
+        else:
+            ch = layout[i]
+            out += f"'{ch}'" if ch.isalpha() else ch
+            i += 1
+    return out
+
+
+# classic timezone abbreviations → numeric offsets (helper/time.go
+# location handling; JDK patterns cannot parse bare abbreviations)
+TZ_ABBREVS = {
+    "UTC": "+0000", "GMT": "+0000",
+    "EST": "-0500", "EDT": "-0400",
+    "CST": "-0600", "CDT": "-0500",
+    "MST": "-0700", "MDT": "-0600",
+    "PST": "-0800", "PDT": "-0700",
+    "CET": "+0100", "CEST": "+0200",
+    "JST": "+0900", "IST": "+0530",
+}
+
+
+def replace_tz_abbrevs(col: Column, abbrevs: dict[str, str] | None = None) -> Column:
+    """'… 15:04:05 EST' → '… 15:04:05 -0500', per-row (a single chained
+    regexp_replace pass per abbreviation, all native)."""
+    for abbr, off in (abbrevs or TZ_ABBREVS).items():
+        col = F.regexp_replace(col, rf"\b{abbr}\b", off)
+    return col
+
+
 def time_parser(
     df: DataFrame,
     parse_from: str = "ts_str",
@@ -131,9 +236,17 @@ def time_parser(
     ``try_to_timestamp`` keeps on_error=send rows NULL instead of
     failing the task (ANSI mode safe).
     """
-    if layout_type == "strptime":
-        fmt = strptime_to_spark(layout)
-        return df.withColumn(to, F.try_to_timestamp(F.col(parse_from), F.lit(fmt)))
+    if layout_type in ("strptime", "gotime"):
+        if layout_type == "gotime":
+            fmt = gotime_to_spark(layout)
+            needs_tz = "MST" in layout
+        else:
+            fmt = strptime_to_spark(layout.replace("%Z", "%z"))
+            needs_tz = "%Z" in layout
+        src = F.col(parse_from)
+        if needs_tz:
+            src = replace_tz_abbrevs(src)
+        return df.withColumn(to, F.try_to_timestamp(src, F.lit(fmt)))
     if layout_type == "epoch":
         units = {
             "s": lambda c: F.timestamp_seconds(c.cast("long")),

@@ -467,6 +467,44 @@ FROM documents
         "CAST(3 AS BIGINT) AS n_lines, CAST(1 AS INT) AS first_ord FROM documents",
     )
 
+    # --- full 25-level severity alias table ---------------------------------
+    def sev_full(spark, sf):
+        ev = _events(spark, sf).select("event_id", "event_type")
+        txt = (
+            F.when(F.col("event_type") == "error", "err")
+            .when(F.col("event_type") == "view", "trace3")
+            .when(F.col("event_type") == "click", "notice")
+            .when(F.col("event_type") == "signup", "WARNING")
+            .otherwise("crit")
+        )
+        out = PR.text_severity_parser(ev.withColumn("sev", txt), "sev")
+        return out.select("event_id", "severity_number", "severity_text")
+
+    q["severity_full_table"] = Query(
+        sev_full,
+        "SELECT event_id, "
+        "CASE event_type WHEN 'error' THEN 17 WHEN 'view' THEN 3 "
+        "WHEN 'click' THEN 9 WHEN 'signup' THEN 13 ELSE 21 END AS severity_number, "
+        "CASE event_type WHEN 'error' THEN 'error' WHEN 'view' THEN 'trace' "
+        "WHEN 'click' THEN 'info' WHEN 'signup' THEN 'warn' ELSE 'fatal' END AS severity_text "
+        "FROM events",
+    )
+
+    # --- probabilisticsampler hash_seed mode (exact FNV-1a-32 bucketing;
+    # DuckDB has no FNV → rows-only here, bit-exactness is asserted by
+    # tests/test_operators.py::test_hash_seed_sampler) -----------------------
+    from sparkotel.operators.filter import hash_seed_sampler
+
+    q["sampler_hash_seed"] = Query(
+        lambda spark, sf: hash_seed_sampler(
+            _docs(spark, sf).select(F.col("doc_id").cast("string").alias("key")),
+            25.0,
+            key="key",
+            hash_seed=22,
+        ),
+        None,
+    )
+
     # --- probabilisticsampler (25%, arithmetic mode = oracle-replayable) ---
     def sampler(spark, sf):
         return probabilistic_sampler(_docs(spark, sf), 25.0, key="doc_id").select("doc_id")

@@ -256,3 +256,38 @@ def test_container_recombine(spark):
     assert got[("c1", 1)] == ("hello world", 3)
     assert got[("c1", 4)] == ("single", 1)
     assert got[("c2", 5)] == ("docker line", 1)
+
+
+def test_gotime_layouts_and_tz_abbrevs(spark):
+    """gotime reference layouts + tz-abbreviation normalization
+    (helper/time.go:95-224)."""
+    df = spark.createDataFrame(
+        [("15/Mar/2024:01:02:03 +0100",)], "t string"
+    )
+    out = PR.time_parser(df, "t", "02/Jan/2006:15:04:05 -0700", layout_type="gotime")
+    assert str(out.first()["timestamp"]) == "2024-03-15 00:02:03"  # UTC session
+    df2 = spark.createDataFrame([("2024 Mar 15 01:02:03 EST",)], "t string")
+    out2 = PR.time_parser(df2, "t", "%Y %b %d %H:%M:%S %Z", layout_type="strptime")
+    assert str(out2.first()["timestamp"]) == "2024-03-15 06:02:03"  # EST = UTC-5
+    df3 = spark.createDataFrame([("2024 Mar 15 01:02:03 MST",)], "t string")
+    out3 = PR.time_parser(df3, "t", "2006 Jan 02 15:04:05 MST", layout_type="gotime")
+    assert str(out3.first()["timestamp"]) == "2024-03-15 08:02:03"  # MST = UTC-7
+
+
+def test_hash_seed_sampler(spark):
+    """FNV-1a-32 hash_seed mode matches the reference's computeHash
+    bucketing (fnvhasher.go + sampler_mode.go:35-38)."""
+    from sparkotel.functions.exacthash import fnv1a_32
+    from sparkotel.operators.filter import hash_seed_sampler
+
+    docs = spark.range(2000).selectExpr("cast(id as string) AS key")
+    out = hash_seed_sampler(docs, 25.0, key="key", hash_seed=22)
+    got = {r["key"] for r in out.collect()}
+    seed = (22).to_bytes(4, "little")
+    want = {
+        str(i)
+        for i in range(2000)
+        if (fnv1a_32(seed + str(i).encode()) & 0x3FFF) < int(25.0 * 0x4000 / 100)
+    }
+    assert got == want
+    assert 0.15 < len(got) / 2000 < 0.35  # ~25%
