@@ -126,7 +126,15 @@ def minhash_lsh_pairs(
       (Catalyst does not reuse the exchange across an AQE broadcast
       conversion) and was dropped for this shape.
     """
-    sig = lsh_bands(minhash_signature(df.select(id_col, text_col))).drop(text_col)
+    src = df.select(id_col, text_col)
+    # the signature math is the expensive per-row stage; a small-file
+    # local read arrives as ONE partition and serializes it.  At scale
+    # the scan already has >= defaultParallelism partitions and this
+    # branch is a no-op.
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    sig = lsh_bands(minhash_signature(src)).drop(text_col)
     bands = sig.select(
         F.col(id_col).alias("id"),
         F.posexplode(

@@ -119,6 +119,192 @@ SELECT bucket, count(*) AS n FROM b GROUP BY 1
 """
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
+    are pairs sharing a random-hyperplane bucket; only those pairs get
+    the exact cosine, and pairs ≥ threshold survive.  Cross-bucket
+    near-dups are missed by design (the ANN recall trade) — raise
+    N_PLANES at scale so buckets stay small.
+
+    One scan + one shuffle (bucket), like minhash_lsh_pairs; the
+    within-bucket join ships only (id, vec, bucket)."""
+    b = lsh_bucket(df, id_col, vec_col, dim)
+    dfb = df.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
+    left = dfb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket").alias("ba")
+    )
+    right = dfb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("bb")
+    )
+    return (
+        left.join(right, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def _duck_cos(a: str, b: str, dim: int = 64) -> str:
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def duck_embedding_near_dup_pairs(
+    threshold: float = 0.25, table: str = "embeddings", dim: int = 64
+) -> str:
+    bits = []
+    for j in range(N_PLANES):
+        terms = " + ".join(
+            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({plane_weight(j, d)!r})" for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {2 ** j} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM {table})
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+  round({_duck_cos('l.embedding', 'r.embedding', dim)}, 4) AS score
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round({_duck_cos('l.embedding', 'r.embedding', dim)}, 4) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroid_rows(
+    df: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic training-free centroid seeding: the first
+    ``n_centroids`` vectors by id.  (A k-means refinement would slot in
+    here; seeding keeps the oracle replayable.)  The collect is
+    n_centroids rows — plan-time metadata, not a data motion."""
+    rows = (
+        df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect()
+    )
+    return sorted((r[id_col], [float(x) for x in r[vec_col]]) for r in rows)
+
+
+def _cent_struct(vec: Column, cid: int, cvec: list[float]) -> Column:
+    lit_vec = F.array(*[F.lit(x) for x in cvec])
+    return F.struct(
+        F.round(cosine(vec, lit_vec), 6).alias("s"), F.lit(cid).alias("c")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid cell per vector — ``greatest`` over literal
+    centroid structs (lexicographic: score, then centroid id), zero
+    joins and zero shuffles; the centroid list rides into the task
+    closure like a broadcast."""
+    vec = F.col(vec_col)
+    best = F.greatest(*[_cent_struct(vec, cid, cvec) for cid, cvec in cents])
+    return df.withColumn(out, best.getField("c"))
+
+
+def ivf_cell_counts(df: DataFrame, n_centroids: int = 8, **kw) -> DataFrame:
+    cents = ivf_centroid_rows(df, n_centroids, **kw)
+    return (
+        ivf_assign(df, cents, **kw)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the query's ``n_probe`` closest cells, exact
+    cosine only within them.  Corpus side is one scan (assign = pure
+    column math); the query side broadcasts."""
+    cents = ivf_centroid_rows(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    vec = F.col(vec_col)
+    ranked_cells = F.reverse(
+        F.array_sort(F.array(*[_cent_struct(vec, cid, cvec) for cid, cvec in cents]))
+    )
+    probed = F.transform(F.slice(ranked_cells, 1, n_probe), lambda s: s.getField("c"))
+    q = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            probed.alias("qcells"),
+        )
+    )
+    c = assigned.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), F.col("cell")
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            F.array_contains(F.col("qcells"), F.col("cell"))
+            & (F.col("qid") != F.col("cid")),
+        )
+        .withColumn("score", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
+        .select("qid", "cid", "score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def duck_ivf_topk(
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _duck_cos("e.embedding", "c.cvec", dim)
+    return f"""
+WITH cents AS (SELECT vec_id AS ccid, embedding AS cvec FROM {table} WHERE vec_id < {n_centroids}),
+cos AS (SELECT e.vec_id, c.ccid, round({cos}, 6) AS s FROM {table} e CROSS JOIN cents c),
+assign AS (SELECT vec_id, max({{'s': s, 'c': ccid}}) AS m FROM cos GROUP BY vec_id),
+cells AS (SELECT vec_id, m.c AS cell FROM assign),
+qprobe AS (
+  SELECT vec_id AS qid, ccid AS cell FROM (
+    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, ccid DESC) AS rn
+    FROM cos WHERE vec_id IN ({ids})
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT q.qid, cl.vec_id AS cid FROM qprobe q JOIN cells cl ON cl.cell = q.cell AND cl.vec_id != q.qid
+),
+scored AS (
+  SELECT cand.qid, cand.cid,
+    round({_duck_cos('eq.embedding', 'ec.embedding', dim)}, 4) AS score
+  FROM cand JOIN {table} eq ON eq.vec_id = cand.qid JOIN {table} ec ON ec.vec_id = cand.cid
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INT) AS rank
+  FROM scored
+)
+SELECT qid, cid, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def bucketed_topk(
     df: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -35,6 +35,26 @@ from pyspark.sql import functions as F
 LEDGER_SCHEMA = "bucket INT, stage STRING, rows BIGINT, committed_at DOUBLE"
 
 
+def with_file_attrs(df: DataFrame, include_offset: bool = True) -> DataFrame:
+    """fileconsumer resolved attributes
+    (pkg/stanza/fileconsumer/attrs/attrs.go): ``log.file.path`` /
+    ``log.file.name`` from the scan's actual file, plus a per-record
+    offset.  All native: ``input_file_name()`` is free at the scan;
+    the offset is ``monotonically_increasing_id`` — unique and ordered
+    within a file-partition but intentionally NOT dense (a dense rank
+    would force a global sort; the reference's byte offset is likewise
+    only monotone per file).
+
+    Apply DIRECTLY over the scan: ``input_file_name()`` evaluates empty
+    once a limit/exchange boundary separates it from the file source."""
+    df = df.withColumn("log_file_path", F.input_file_name()).withColumn(
+        "log_file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    if include_offset:
+        df = df.withColumn("record_offset", F.monotonically_increasing_id())
+    return df
+
+
 def with_bucket(df: DataFrame, key: str = "url", n_buckets: int = 16) -> DataFrame:
     return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int"))
 

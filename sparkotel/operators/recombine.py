@@ -56,11 +56,37 @@ def recombine(
     return out
 
 
-def split_lines(df: DataFrame, text_col: str = "text", keep: list[str] | None = None) -> DataFrame:
-    """Line splitter (pkg/stanza/split/) — text → one row per line with
-    its offset, the fileconsumer reader's emit shape."""
+def split_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    keep: list[str] | None = None,
+    encoding: str | None = None,
+    trim: str | None = None,
+) -> DataFrame:
+    """Line splitter (pkg/stanza/split/ + trim.go + decode.go) — text →
+    one row per line with its offset, the fileconsumer reader's emit
+    shape.
+
+    ``encoding``: decode a binary payload column first (fileconsumer's
+    encoding config; ``F.decode`` handles the charsets the JVM knows —
+    UTF-8/16, ISO-8859-*, windows-125*).  ``trim`` ∈
+    {'leading','trailing','both'} mirrors trim.Config.
+    """
     keep = keep or [c for c in df.columns if c != text_col]
-    return df.select(
+    src = F.col(text_col)
+    if encoding is not None:
+        src = F.decode(src.cast("binary"), encoding)
+    line = F.col("line")
+    if trim == "leading":
+        line = F.ltrim(line)
+    elif trim == "trailing":
+        line = F.rtrim(line)
+    elif trim == "both":
+        line = F.btrim(line)
+    out = df.select(
         *keep,
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_offset", "line"),
+        F.posexplode(F.split(src, "\n")).alias("line_offset", "line"),
     )
+    if trim is not None:
+        out = out.withColumn("line", line)
+    return out

@@ -1014,6 +1014,17 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
         lambda spark, sf: SIM.lsh_bucket_counts(_emb(spark, sf)),
         SIM.duck_lsh_bucket_counts(),
     )
+    # embedding-cosine near-dup: LSH-bucketed candidate pairs + exact
+    # cosine filter (cross-bucket recall loss is the documented trade)
+    q["embedding_near_dup"] = Query(
+        lambda spark, sf: SIM.embedding_near_dup_pairs(_emb(spark, sf)),
+        SIM.duck_embedding_near_dup_pairs(),
+    )
+    # IVF coarse-quantizer ANN: nearest-centroid cells, probe top-2
+    q["ann_ivf_topk"] = Query(
+        lambda spark, sf: SIM.ivf_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),
+        SIM.duck_ivf_topk([0, 1, 2, 3, 4]),
+    )
     # multimodal plumbing: binary column + mapInPandas — rows-only check
     # (DuckDB can't replay the Arrow-batch stub path).  The features
     # array is JSON-serialized: the driver's rows-only canonicalizer

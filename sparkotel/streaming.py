@@ -70,6 +70,92 @@ def dedup_stream(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return df.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
 
 
+def stateful_recombine(
+    df: DataFrame,
+    is_first_pattern: str,
+    source_col: str = "host",
+    order_col: str = "ord",
+    line_col: str = "line",
+    timeout_ms: int = 0,
+):
+    """CUSTOM stateful operator via ``applyInPandasWithState`` — the
+    true streaming analogue of the stanza recombine transformer
+    (operator/transformer/recombine/transformer.go): per-source
+    buffered lines persist in the state store ACROSS micro-batches,
+    a record flushes when the next is_first boundary arrives, and
+    ``timeout_ms`` > 0 force-flushes idle buffers
+    (``forceFlushTimeout``) via a processing-time timeout.
+
+    Emits (source, combined, n_lines, first_ord) in append mode.
+    Incomplete trailing records stay buffered until a boundary or
+    timeout — exactly the reference's behavior.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("combined", StringType()),
+            StructField("n_lines", LongType()),
+            StructField("first_ord", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("lines", ArrayType(StringType())),
+            StructField("ords", ArrayType(LongType())),
+        ]
+    )
+    cols = ["source", "combined", "n_lines", "first_ord"]
+
+    def fn(key, pdf_iter, state):
+        import re
+
+        first_re = re.compile(is_first_pattern)
+        source = key[0]
+        if state.hasTimedOut:
+            lines, ords = state.get
+            state.remove()
+            if lines:
+                yield pd.DataFrame(
+                    [(source, "\n".join(lines), len(lines), ords[0])], columns=cols
+                )
+            return
+        lines, ords = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        out_rows = []
+        frames = [p for p in pdf_iter]
+        rows = pd.concat(frames).sort_values(order_col) if frames else pd.DataFrame()
+        for _, r in rows.iterrows():
+            line = r[line_col]
+            if first_re.match(str(line)) and lines:
+                out_rows.append((source, "\n".join(lines), len(lines), ords[0]))
+                lines, ords = [], []
+            lines.append(str(line))
+            ords.append(int(r[order_col]))
+        state.update((lines, ords))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(source_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def start_routed_sink(
     routed: DataFrame, out_dir: str, checkpoint: str, available_now: bool = True
 ):

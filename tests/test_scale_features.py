@@ -186,3 +186,43 @@ def test_bucketed_topk_recall(spark):
     # every approx candidate shares the query's bucket
     b = {r["vec_id"]: r["bucket"] for r in SIM.lsh_bucket(emb).collect()}
     assert all(b[q] == b[c] for q, c in ap)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN recall vs brute force (same bar as the LSH-bucketed
+    variant): probing 2 of 8 cells must recover a reasonable share of
+    the true top-5 and every returned neighbor must score correctly."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    truth = {
+        (r["qid"], r["cid"]) for r in SIM.brute_force_topk(emb, qids).collect()
+    }
+    approx = SIM.ivf_topk(emb, qids, n_centroids=8, n_probe=2).collect()
+    got = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+    # scores are true cosines (no approximation inside a probed cell)
+    bf = {(r["qid"], r["cid"]): r["score"] for r in SIM.brute_force_topk(emb, qids, k=500).collect()}
+    for r in approx:
+        assert abs(bf[(r["qid"], r["cid"])] - r["score"]) < 1e-9
+
+
+def test_file_attrs_and_line_split_options(spark):
+    """fileconsumer attrs + trim/encoding line-split options."""
+    # attrs must attach at the scan (input_file_name is empty after a
+    # limit/exchange boundary)
+    df = L.with_file_attrs(spark.read.parquet(f"{SF_DIR}/documents.parquet")).limit(5)
+    rows = df.collect()
+    assert all(r["log_file_name"] == "documents.parquet" for r in rows)
+    assert all(r["log_file_path"].endswith("documents.parquet") for r in rows)
+    assert len({r["record_offset"] for r in rows}) == 5  # unique
+
+    from sparkotel.operators.recombine import split_lines
+
+    t = spark.createDataFrame([("  a \nb  ",)], "text string")
+    lines = [r["line"] for r in split_lines(t, trim="both").collect()]
+    assert lines == ["a", "b"]
+    # charset decode of a binary payload (latin-1 é = 0xe9)
+    b = spark.createDataFrame([(bytes([0x61, 0xE9, 0x0A, 0x62]),)], "text binary")
+    decoded = [r["line"] for r in split_lines(b, encoding="ISO-8859-1").collect()]
+    assert decoded == ["aé", "b"]

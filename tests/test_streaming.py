@@ -82,3 +82,60 @@ def test_streaming_dedup(spark, tmp_path):
     n = P.pages(spark, SF_DIR).count()
     assert got.count() == n
     assert got.select("url").distinct().count() == n
+
+
+def test_stateful_recombine_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState recombine: a logical record whose lines
+    span TWO micro-batches must reassemble through the state store
+    (recombine/transformer.go stateful buffer semantics)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    schema = "host string, ord long, line string"
+    os.makedirs(str(tmp_path / "lines"))
+
+    def stage_file(df, name):
+        """the file stream source lists FILES — stage a bare part file,
+        not a Spark output directory."""
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        shutil.copy(part, str(tmp_path / "lines" / name))
+
+    # record A starts in batch 1 and continues there; record B starts in
+    # batch 2 (flushing A), record B's tail stays buffered (no boundary
+    # after it) — exactly the reference's pending-buffer behavior.
+    stage_file(
+        spark.createDataFrame(
+            [("h1", 1, "REC one"), ("h1", 2, " cont-a"), ("h1", 3, " cont-b")], schema
+        ),
+        "batch1.parquet",
+    )
+    time.sleep(1.1)  # distinct mod times -> deterministic batch order
+    stage_file(
+        spark.createDataFrame([("h1", 4, "REC two"), ("h1", 5, " cont-c")], schema),
+        "batch2.parquet",
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "lines"))
+    )
+    out = S.stateful_recombine(stream, r"^REC", source_col="host")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("recombined")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = {r["first_ord"]: r for r in spark.sql("SELECT * FROM recombined").collect()}
+    # record A flushed when 'REC two' arrived in the SECOND micro-batch
+    assert rows[1]["combined"] == "REC one\n cont-a\n cont-b"
+    assert rows[1]["n_lines"] == 3
+    # record B has no terminating boundary -> still buffered, not emitted
+    assert 4 not in rows
