@@ -47,6 +47,32 @@ GROK_PATTERNS: dict[str, str] = {
     "SYSLOGTIMESTAMP": r"\w{3} (?:[12][0-9]|3[01]| [1-9]|0[1-9]) [0-9]{2}:[0-9]{2}:[0-9]{2}",
     "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    # round-2 additions from the grok-patterns base set the reference's
+    # ExtractGrokPatterns ships (vjeantet/grok default dictionary)
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "BASE10NUM": r"(?<![0-9.+-])(?>[+-]?(?:(?:[0-9]+(?:\.[0-9]+)?)|(?:\.[0-9]+)))",
+    "BASE16FLOAT": r"\b(?:0[xX])?(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}(?:%\w+)?",
+    "MAC": r"(?:[A-Fa-f0-9]{2}[:-]){5}[A-Fa-f0-9]{2}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-][0-9]{2}(?::?[0-9]{2})?)",
+    "TIMESTAMP_ISO8601": (
+        r"(?:\d\d){1,2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12][0-9]|3[01])"
+        r"[T ][0-9]{2}:[0-9]{2}(?::[0-9]{2}(?:\.[0-9]+)?)?"
+        r"(?:Z|[+-][0-9]{2}(?::?[0-9]{2})?)?"
+    ),
+    "DATE_US": r"(?:0[1-9]|1[0-2])[/-](?:0[1-9]|[12][0-9]|3[01]|[1-9])[/-](?:\d\d){1,2}",
+    "DATE_EU": r"(?:0[1-9]|[12][0-9]|3[01]|[1-9])[./-](?:0[1-9]|1[0-2])[./-](?:\d\d){1,2}",
+    "DAY": r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]+",
+    "URIHOST": r"\S+?(?::[0-9]+)?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\[\]\-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+    "PATH": r"(?:/[\w_%!$@:.,~-]+)+",
+    "EMAILADDRESS": r"[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+(?:\.[a-zA-Z0-9-]+)+",
+    "PROG": r"[\w._/%-]+",
+    "SYSLOGPROG": r"[\w._/%-]+(?:\[[0-9]+\])?",
+    "HTTPDUSER": r"[a-zA-Z0-9._-]+|-",
 }
 GROK_PATTERNS["COMMONAPACHELOG"] = (
     '%{IP:clientip} - %{NOTSPACE:auth} \\[%{HTTPDATE:timestamp}\\] '

@@ -430,9 +430,12 @@ def container_parser(df: DataFrame, parse_from: str = "line") -> DataFrame:
         df.withColumn("format", F.when(is_docker, "docker").otherwise("cri"))
         .withColumn(
             "log",
-            F.when(is_docker, docker.getField("log")).otherwise(
-                F.regexp_extract(c, CRI_RE, 4)
-            ),
+            # docker: strip ONE trailing newline — it is the record
+            # separator the daemon appends to complete records, not
+            # content (its absence marks a >16KB partial chunk)
+            F.when(
+                is_docker, F.regexp_replace(docker.getField("log"), r"\n$", "")
+            ).otherwise(F.regexp_extract(c, CRI_RE, 4)),
         )
         .withColumn(
             "stream",
@@ -448,7 +451,16 @@ def container_parser(df: DataFrame, parse_from: str = "line") -> DataFrame:
         )
         .withColumn(
             "partial",
-            F.when(is_docker, F.lit(False)).otherwise(F.regexp_extract(c, CRI_RE, 3) == "P"),
+            # CRI: explicit P flag.  Docker: the daemon splits >16KB
+            # lines WITHOUT a flag — a partial chunk is one whose log
+            # payload does NOT end in a newline (parser.go docker
+            # branch); complete docker records keep their trailing \n.
+            F.when(
+                is_docker,
+                ~F.coalesce(
+                    docker.getField("log").endswith("\n"), F.lit(True)
+                ),
+            ).otherwise(F.regexp_extract(c, CRI_RE, 3) == "P"),
         )
     )
 
@@ -499,6 +511,84 @@ def drain_templates(
         df.withColumn("template", tpl)
         .groupBy("template")
         .agg(F.count(F.lit(1)).alias("n"), F.min(parse_from).alias("example"))
+    )
+
+
+def drain_tree_templates(
+    df: DataFrame,
+    parse_from: str = "line",
+    sim_threshold: float = 0.5,
+    max_tokens_compared: int = 64,
+) -> DataFrame:
+    """Full Drain log-template mining, distributed (the IBM Drain paper
+    algorithm the reference's drainprocessor wraps).
+
+    The Drain parse tree's first two levels — token count, then first
+    token (with numeric first tokens wildcarded) — ARE a partitioning
+    key, so the tree distributes as one groupBy; inside each leaf group
+    the exact sequential Drain similarity clustering runs in pandas
+    (``applyInPandas``, Arrow-batched): a line joins the first cluster
+    whose positional token-match ratio ≥ ``sim_threshold`` (tokens
+    already wildcarded in the template don't count against it, as in
+    Drain's simSeq), else starts a new cluster; matched clusters
+    generalize mismatching positions to ``<*>``.
+
+    Scale: leaf groups are independent and small (lines sharing length +
+    first token); the only shuffle is the groupBy.  Returns (template,
+    n, example).
+    """
+    import pandas as pd
+
+    tok = F.split(F.col(parse_from), r"\s+")
+    first = F.element_at(tok, 1)
+    pre = df.select(
+        F.col(parse_from).alias("line"),
+        F.size(tok).alias("n_tokens"),
+        F.when(first.rlike(r"^\d"), F.lit("<*>")).otherwise(first).alias("first_tok"),
+    )
+
+    def cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        clusters: list[tuple[list, int, str]] = []  # (template tokens, count, example)
+        # lexicographic processing order: greedy clustering becomes a
+        # pure function of the leaf's line SET (deterministic across
+        # runs/partitionings)
+        for line in pdf["line"].sort_values():
+            toks = str(line).split()
+            best = None
+            for idx, (tpl, _, _) in enumerate(clusters):
+                if len(tpl) != len(toks):
+                    continue
+                same = sum(
+                    1
+                    for a, b in zip(tpl[:max_tokens_compared], toks[:max_tokens_compared])
+                    if a == b
+                )
+                wild = sum(1 for a in tpl[:max_tokens_compared] if a == "<*>")
+                denom = min(len(toks), max_tokens_compared)
+                sim = (same + wild) / denom if denom else 1.0
+                if sim >= sim_threshold:
+                    best = idx
+                    break
+            if best is None:
+                clusters.append((list(toks), 1, str(line)))
+            else:
+                tpl, n, ex = clusters[best]
+                merged = [a if a == b else "<*>" for a, b in zip(tpl, toks)]
+                clusters[best] = (merged, n + 1, ex)
+        return pd.DataFrame(
+            [(" ".join(tpl), n, ex) for tpl, n, ex in clusters],
+            columns=["template", "n", "example"],
+        )
+
+    out_schema = "template string, n long, example string"
+    leaves = pre.groupBy("n_tokens", "first_tok").applyInPandas(
+        lambda pdf: cluster(pdf), out_schema
+    )
+    # identical templates can emerge in different leaves only when first
+    # tokens differ — they are distinct Drain clusters; but re-aggregate
+    # to be safe against wildcarded first tokens colliding
+    return leaves.groupBy("template").agg(
+        F.sum("n").alias("n"), F.min("example").alias("example")
     )
 
 

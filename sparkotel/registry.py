@@ -748,8 +748,10 @@ FROM documents
         df = _docs(spark, sf).withColumn(
             "line",
             F.expr(
+                # complete docker records carry the daemon's trailing
+                # \n (JSON-escaped) — the parser strips it
                 "CASE WHEN doc_id % 2 = 0 THEN "
-                "concat('{\"log\":\"l', doc_id, '\",\"stream\":\"stdout\",\"time\":\"T', doc_id, '\"}') "
+                "concat('{\"log\":\"l', doc_id, '\\\\n\",\"stream\":\"stdout\",\"time\":\"T', doc_id, '\"}') "
                 "ELSE concat('T', doc_id, ' stderr F l', doc_id) END"
             ),
         )
@@ -795,6 +797,15 @@ FROM documents
         f"{cte()} SELECT regexp_replace(_line, '\\d+', '<*>', 'g') AS template, "
         f"count(*) AS n, min(_line) AS example FROM lines GROUP BY 1",
     )
+
+    # --- full Drain tree (greedy similarity clustering; deterministic
+    # via lexicographic in-leaf order, but not SQL-expressible → the
+    # driver's rows-only check + tests/test_operators.py golden clusters)
+    def drain_tree_q(spark, sf):
+        lines = P.pages(spark, sf).select(PR.first_line("text").alias("line"))
+        return PR.drain_tree_templates(lines)
+
+    q["drain_tree_templates"] = Query(drain_tree_q, None)
 
     # --- spanmetricsconnector (R.E.D. metrics with explicit buckets) --------
     def spanmetrics(spark, sf):

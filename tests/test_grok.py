@@ -62,7 +62,7 @@ def test_syslog_parser_unit(spark):
 def test_container_parser_unit(spark):
     df = spark.createDataFrame(
         [
-            ('{"log":"hello","stream":"stdout","time":"T1"}',),
+            ('{"log":"hello\\n","stream":"stdout","time":"T1"}',),  # \n = complete record
             ("2024-03-15T00:00:01Z stderr P partial line",),
         ],
         "line string",
@@ -82,3 +82,21 @@ def test_drain_templates_unit(spark):
     assert out["user <*> logged in"]["n"] == 2
     assert out["user <*> logged in"]["example"] == "user 1 logged in"
     assert out["other event"]["n"] == 1
+
+
+def test_grok_round2_patterns(spark):
+    """round-2 dictionary additions parse representative tokens."""
+    df = spark.createDataFrame(
+        [("2024-03-15T01:02:03Z fe80::1 00:1b:44:11:3a:b7 /var/log/app.log a@b.co",)],
+        "text string",
+    )
+    out = grok_parser(
+        df,
+        "%{TIMESTAMP_ISO8601:ts} %{IPV6:ip6} %{MAC:mac} %{PATH:path} %{EMAILADDRESS:mail}",
+        line1=False,
+    ).first()
+    assert out["ts"] == "2024-03-15T01:02:03Z"
+    assert out["ip6"] == "fe80::1"
+    assert out["mac"] == "00:1b:44:11:3a:b7"
+    assert out["path"] == "/var/log/app.log"
+    assert out["mail"] == "a@b.co"

@@ -248,7 +248,11 @@ def test_container_recombine(spark):
         ("c1", 2, "2024-01-01T00:00:00Z stdout P lo "),
         ("c1", 3, "2024-01-01T00:00:00Z stdout F world"),
         ("c1", 4, "2024-01-01T00:00:01Z stdout F single"),
-        ("c2", 5, '{"log":"docker line","stream":"stdout","time":"t"}'),
+        ("c2", 5, '{"log":"docker line\\n","stream":"stdout","time":"t"}'),
+        # docker >16KB split: chunk without trailing \n is partial and
+        # joins the next chunk (the daemon's record separator rule)
+        ("c3", 6, '{"log":"big-part1 ","stream":"stdout","time":"t"}'),
+        ("c3", 7, '{"log":"big-part2\\n","stream":"stdout","time":"t"}'),
     ]
     df = spark.createDataFrame(rows, "container string, ord int, line string")
     out = PR.container_recombine(df, "container", "ord")
@@ -256,6 +260,7 @@ def test_container_recombine(spark):
     assert got[("c1", 1)] == ("hello world", 3)
     assert got[("c1", 4)] == ("single", 1)
     assert got[("c2", 5)] == ("docker line", 1)
+    assert got[("c3", 6)] == ("big-part1 big-part2", 2)
 
 
 def test_gotime_layouts_and_tz_abbrevs(spark):
@@ -291,3 +296,27 @@ def test_hash_seed_sampler(spark):
     }
     assert got == want
     assert 0.15 < len(got) / 2000 < 0.35  # ~25%
+
+
+def test_drain_tree_templates(spark):
+    """full Drain clustering: same-shape lines merge with <*> at variable
+    positions; different lengths / first tokens stay separate clusters."""
+    lines = [
+        ("Receive block blk_1 from 10.0.0.1",),
+        ("Receive block blk_2 from 10.0.0.2",),
+        ("Receive block blk_3 from 10.0.0.9",),
+        ("Delete block blk_4 now",),
+        ("Delete block blk_5 now",),
+        ("Totally different line shape here with many extra tokens",),
+    ]
+    df = spark.createDataFrame(lines, "line string")
+    out = {r["template"]: r for r in PR.drain_tree_templates(df, sim_threshold=0.5).collect()}
+    assert out["Receive block <*> from <*>"]["n"] == 3
+    assert out["Delete block <*> now"]["n"] == 2
+    assert out["Totally different line shape here with many extra tokens"]["n"] == 1
+    # determinism: same result under different partitioning
+    out2 = {
+        r["template"]: r["n"]
+        for r in PR.drain_tree_templates(df.repartition(5), sim_threshold=0.5).collect()
+    }
+    assert out2 == {k: v["n"] for k, v in out.items()}
