@@ -103,6 +103,17 @@ class Not:
 
 
 @dataclass
+class ListLit:
+    items: list
+
+
+@dataclass
+class Index:
+    target: object
+    key: object
+
+
+@dataclass
 class Statement:
     editor: Call
     where: object | None
@@ -184,12 +195,34 @@ class Parser:
         return self.primary()
 
     def primary(self):
+        node = self._primary_inner()
+        # postfix indexing: Split(x, "|")[1], SliceToMap(xs)["k"] —
+        # grammar.go's key access on any value expression.  (Plain
+        # paths handle their own [..] segments inside self.path().)
+        while not isinstance(node, Path) and self.peek().text == "[":
+            self.next()
+            key = self.expr()
+            self.expect("]")
+            node = Index(node, key)
+        return node
+
+    def _primary_inner(self):
         t = self.peek()
         if t.text == "(":
             self.next()
             e = self.expr()
             self.expect(")")
             return e
+        if t.text == "[":  # list literal: ["a", attributes["x"], 3]
+            self.next()
+            items = []
+            if self.peek().text != "]":
+                items.append(self.expr())
+                while self.peek().text == ",":
+                    self.next()
+                    items.append(self.expr())
+            self.expect("]")
+            return ListLit(items)
         if t.kind == "string":
             self.next()
             return Lit(_unescape(t.text))
@@ -310,8 +343,13 @@ class Compiler:
                 return F.col("attributes")
             key = parts[1][1]
             if self.columns is None or key in self.columns:
-                return F.col(key)
-            return F.col("attributes").getItem(key)
+                base = F.col(key)
+            else:
+                base = F.col("attributes").getItem(key)
+            # nested segments: attributes["foo"]["bar"] chains getItem
+            for seg in parts[2:]:
+                base = base.getItem(seg[1] if isinstance(seg, tuple) else seg)
+            return base
         name = _CTX_ALIASES.get(head, head)
         if len(parts) == 2 and parts[1] == "string":  # body.string / trace_id.string
             return F.col(name).cast("string")
@@ -340,6 +378,24 @@ class Compiler:
             return ~_c(self.compile(node.operand))
         if isinstance(node, BinOp):
             return self.compile_binop(node)
+        if isinstance(node, ListLit):
+            items = [self.compile(i) for i in node.items]
+            if any(isinstance(i, Column) for i in items):
+                return F.array(*[_c(i) for i in items])
+            return items  # python list — converters can inspect elements
+        if isinstance(node, Index):
+            target = _c(self.compile(node.target))
+            key = self.compile(node.key)
+            if isinstance(key, int):
+                return target.getItem(key)  # 0-based slice access
+            if isinstance(key, str):
+                return target.getItem(key)  # map key
+            # dynamic (column) key: map-producing converters take string
+            # keys via element_at; everything else is a 0-based slice
+            is_map = isinstance(node.target, Call) and node.target.name in _MAP_PRODUCERS
+            if is_map:
+                return F.element_at(target, key.cast("string"))
+            return F.get(target, key.cast("int"))
         raise TypeError(node)
 
     def compile_bool(self, node) -> Column:
@@ -351,6 +407,14 @@ class Compiler:
             # constant folding, like the reference's Go-compile-time consts;
             # stays a python literal (no SparkContext needed at plan time)
             return _PYOPS[node.op](left, right)
+        # `x == nil` / `x != nil`: OTTL nil equality is a null test, not
+        # SQL three-valued NULL comparison (LANGUAGE.md nil semantics)
+        if right is None and node.op in ("==", "!="):
+            col = _c(left)
+            return col.isNull() if node.op == "==" else col.isNotNull()
+        if left is None and node.op in ("==", "!="):
+            col = _c(right)
+            return col.isNull() if node.op == "==" else col.isNotNull()
         lc, rc = _c(left), _c(right)
         return _COLOPS[node.op](lc, rc)
 
@@ -361,8 +425,20 @@ class Compiler:
         return fn(self, [self.compile(a) for a in node.args])
 
 
+# converters whose result is a map (for dynamic-key postfix indexing)
+_MAP_PRODUCERS = {
+    "SliceToMap", "ParseKeyValue", "ParseJSON", "UserAgent",
+    "ExtractPatterns", "ExtractGrokPatterns", "ParseCSV",
+    "ParseSimplifiedXML",
+}
+
+
 def _c(v) -> Column:
-    return v if isinstance(v, Column) else F.lit(v)
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, list):
+        return F.array(*[_c(x) for x in v])
+    return F.lit(v)
 
 
 _PYOPS = {
@@ -405,7 +481,23 @@ def _reg(name):
     return deco
 
 
-_reg("Concat")(lambda c, a: F.concat_ws(_lit_arg(a[-1], "delimiter"), *[_c(x).cast("string") for x in a[:-1]]))
+def _concat(c, a):
+    """Concat([values], delimiter) — the reference signature
+    (func_concat.go, delimiter may be dynamic) — plus the legacy
+    varargs+literal-delimiter form used by older statements here."""
+    if len(a) == 2 and isinstance(a[0], (list, Column)):
+        arr = _c(a[0]) if isinstance(a[0], list) else a[0]
+        arr = F.transform(arr, lambda x: x.cast("string"))
+        delim = a[1]
+        if isinstance(delim, Column):
+            return F.call_function("array_join", arr, delim)
+        return F.array_join(arr, delim)
+    return F.concat_ws(
+        _lit_arg(a[-1], "delimiter"), *[_c(x).cast("string") for x in a[:-1]]
+    )
+
+
+_reg("Concat")(_concat)
 _reg("Len")(lambda c, a: F.length(_c(a[0])))
 _reg("Substring")(lambda c, a: F.substring(_c(a[0]), _lit_arg(a[1], "start") + 1, _lit_arg(a[2], "length")))
 _reg("Split")(lambda c, a: F.split(_c(a[0]), re.escape(_lit_arg(a[1], "delimiter"))))
@@ -415,9 +507,24 @@ _reg("ToLowerCase")(lambda c, a: F.lower(_c(a[0])))
 _reg("ToSnakeCase")(lambda c, a: F.lower(F.regexp_replace(_c(a[0]), r"([a-z0-9])([A-Z])", r"$1_$2")))
 _reg("HasPrefix")(lambda c, a: F.startswith(_c(a[0]), _c(a[1])))
 _reg("HasSuffix")(lambda c, a: F.endswith(_c(a[0]), _c(a[1])))
-_reg("IsMatch")(lambda c, a: _c(a[0]).rlike(_lit_arg(a[1], "pattern")))
+_reg("IsMatch")(
+    lambda c, a: F.regexp_like(_c(a[0]), a[1])
+    if isinstance(a[1], Column)
+    else _c(a[0]).rlike(_lit_arg(a[1], "pattern"))
+)
 _reg("IsString")(lambda c, a: F.lit(True))  # typed columns: statically known
-_reg("Coalesce")(lambda c, a: F.coalesce(*[_c(x) for x in a]))
+def _coalesce(c, a):
+    """Coalesce([a, b, ...]) list form (func_coalesce.go) + varargs."""
+    if len(a) == 1 and isinstance(a[0], list):
+        return F.coalesce(*[_c(x) for x in a[0]])
+    if len(a) == 1 and isinstance(a[0], Column):
+        # list literal with column members compiles to an array column:
+        # first non-null element
+        return F.element_at(F.array_compact(a[0]), 1)
+    return F.coalesce(*[_c(x) for x in a])
+
+
+_reg("Coalesce")(_coalesce)
 _reg("Int")(lambda c, a: _c(a[0]).try_cast("bigint"))
 _reg("Double")(lambda c, a: _c(a[0]).try_cast("double"))
 _reg("String")(lambda c, a: _c(a[0]).cast("string"))
@@ -426,7 +533,26 @@ _reg("SHA256")(lambda c, a: F.sha2(_c(a[0]).cast("string"), 256))
 _reg("SHA512")(lambda c, a: F.sha2(_c(a[0]).cast("string"), 512))
 _reg("SHA1")(lambda c, a: F.sha1(_c(a[0]).cast("string")))
 _reg("MD5")(lambda c, a: F.md5(_c(a[0]).cast("string")))
-_reg("Hex")(lambda c, a: F.lower(F.hex(_c(a[0]))))
+def _hex(c, a):
+    """Hex() — Go encoding semantics per input type (func_hex.go):
+    float64 → IEEE-754 bits, bool → 00/01, int → 8 BE bytes, string →
+    utf8 bytes.  Literals get the exact Go encoding; column inputs use
+    Spark's hex (string/binary bytes), the dominant telemetry case."""
+    v = a[0]
+    if not isinstance(v, Column):
+        import struct as _struct
+
+        if isinstance(v, bool):
+            return F.lit("01" if v else "00")
+        if isinstance(v, float):
+            return F.lit(_struct.pack(">d", v).hex())
+        if isinstance(v, int):
+            return F.lit(v.to_bytes(8, "big", signed=True).hex())
+        return F.lit(str(v).encode("utf-8").hex())
+    return F.lower(F.hex(v))
+
+
+_reg("Hex")(_hex)
 _reg("FNV")(lambda c, a: _U().fnv_hash(_c(a[0]).cast("string")))  # exact FNV-1a 64 (func_fnv.go)
 _reg("Log")(lambda c, a: F.log(_c(a[0])))
 _reg("Year")(lambda c, a: F.year(_c(a[0])))
@@ -443,7 +569,27 @@ _reg("UnixSeconds")(lambda c, a: F.unix_timestamp(_c(a[0])))
 _reg("UnixMilli")(lambda c, a: F.unix_millis(_c(a[0])))
 _reg("UnixMicro")(lambda c, a: F.unix_micros(_c(a[0])))
 _reg("UnixNano")(lambda c, a: F.unix_micros(_c(a[0])) * 1000)
-_reg("ParseInt")(lambda c, a: _c(a[0]).try_cast("bigint"))
+def _parse_int(c, a):
+    """ParseInt(target[, base]) — Go strconv.ParseInt semantics
+    (func_parse_int.go): base 0 auto-detects 0x/0o/0b prefixes."""
+    base = _lit_arg(a[1], "base") if len(a) > 1 else 10
+    col = _c(a[0]).cast("string")
+    if base == 10:
+        return col.try_cast("bigint")
+    if base == 0:
+        hexed = F.conv(F.substring(col, 3, 2 ** 31 - 1), 16, 10).cast("bigint")
+        octed = F.conv(F.substring(col, 3, 2 ** 31 - 1), 8, 10).cast("bigint")
+        bined = F.conv(F.substring(col, 3, 2 ** 31 - 1), 2, 10).cast("bigint")
+        return (
+            F.when(col.rlike("^0[xX]"), hexed)
+            .when(col.rlike("^0[oO]"), octed)
+            .when(col.rlike("^0[bB]"), bined)
+            .otherwise(col.try_cast("bigint"))
+        )
+    return F.conv(col, base, 10).cast("bigint")
+
+
+_reg("ParseInt")(_parse_int)
 _reg("Base64Encode")(lambda c, a: F.base64(_c(a[0]).cast("binary")))
 _reg("Base64Decode")(lambda c, a: F.unbase64(_c(a[0])).cast("string"))
 _reg("URL")(lambda c, a: F.parse_url(_c(a[0]), _c(a[1]) if len(a) > 1 else F.lit("HOST")))
@@ -476,7 +622,14 @@ def _trim_suffix(c, a):
 
 _reg("TrimPrefix")(_trim_prefix)
 _reg("TrimSuffix")(_trim_suffix)
-_reg("Format")(lambda c, a: F.format_string(_lit_arg(a[0], "format"), *[_c(x) for x in a[1:]]))
+def _format(c, a):
+    args = a[1:]
+    if len(args) == 1 and isinstance(args[0], list):  # Format(fmt, [args])
+        args = args[0]
+    return F.format_string(_lit_arg(a[0], "format"), *[_c(x) for x in args])
+
+
+_reg("Format")(_format)
 _reg("ToCamelCase")(
     lambda c, a: F.concat_ws(
         "", F.transform(F.split(_c(a[0]), "[_ ]"), lambda w: F.initcap(w))
@@ -604,11 +757,22 @@ def _to_key_value_string(c, a):
     a distributed engine cannot reproduce nondeterminism anyway."""
     delim = _lit_arg(a[1], "delimiter") if len(a) > 1 else "="
     pair_delim = _lit_arg(a[2], "pair delimiter") if len(a) > 2 else " "
+
+    def quoted(s: Column) -> Column:
+        # escapeAndQuoteKV: values containing either delimiter get
+        # double-quoted, embedded quotes escaped
+        needs = s.contains(delim) | s.contains(pair_delim) | s.contains('"')
+        return F.when(
+            needs, F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('\\"')), F.lit('"'))
+        ).otherwise(s)
+
     return F.concat_ws(
         pair_delim,
         F.transform(
             F.array_sort(F.map_entries(_c(a[0]))),
-            lambda e: F.concat(e.getField("key"), F.lit(delim), e.getField("value")),
+            lambda e: F.concat(
+                quoted(e.getField("key")), F.lit(delim), quoted(e.getField("value"))
+            ),
         ),
     )
 
@@ -900,10 +1064,15 @@ _reg("ConvertAttributesToElementsXML")(
     lambda c, a: _U().convert_attrs_xml_udf(_c(a[0]))
 )
 
-# CommunityID(source_ip, source_port, dest_ip, dest_port, proto_number)
+# CommunityID(source_ip, source_port, dest_ip, dest_port[, protocol="TCP"][, seed=0])
 _reg("CommunityID")(
     lambda c, a: _U().community_id_udf(
-        _c(a[0]), _c(a[2]), _c(a[1]), _c(a[3]), _lit_arg(a[4], "protocol")
+        _c(a[0]),
+        _c(a[1]),
+        _c(a[2]),
+        _c(a[3]),
+        _lit_arg(a[4], "protocol") if len(a) > 4 else "TCP",
+        _lit_arg(a[5], "seed") if len(a) > 5 else 0,
     )
 )
 

@@ -109,14 +109,30 @@ duration_seconds = _series_udf(parse_go_duration, DoubleType())
 
 # -- CommunityID (v1) --------------------------------------------------------
 
+# protocol-name table (func_community_id.go communityIDProtocols)
+CID_PROTOCOLS = {"ICMP": 1, "TCP": 6, "UDP": 17, "RSVP": 46, "ICMP6": 58, "SCTP": 132}
+
+
+def _ip_bytes(ip: str) -> bytes:
+    if ":" in ip:
+        return socket.inet_pton(socket.AF_INET6, ip)
+    return socket.inet_aton(ip)
+
+
 def community_id_v1(
     src_ip: str, dst_ip: str, src_port: int, dst_port: int, proto: int, seed: int = 0
 ) -> str:
     """'1:<base64(sha1(seed . ip1 . ip2 . proto . 0 . port1 . port2))>'
-    with the (ip, port) pair ordered so the flow is direction-neutral."""
-    sip, dip = socket.inet_aton(src_ip), socket.inet_aton(dst_ip)
+    with the (ip, port) pair ordered so the flow is direction-neutral
+    (func_community_id.go normalize + compute; v4 before v6, bytewise)."""
+    sip, dip = _ip_bytes(src_ip), _ip_bytes(dst_ip)
     sp, dp = int(src_port), int(dst_port)
-    if (sip, sp) > (dip, dp):
+    swap = (
+        len(sip) > len(dip)
+        if len(sip) != len(dip)
+        else (sip > dip or (sip == dip and sp > dp))
+    )
+    if swap:
         sip, dip, sp, dp = dip, sip, dp, sp
     data = (
         struct.pack("!H", seed)
@@ -128,20 +144,27 @@ def community_id_v1(
 
 
 def community_id_udf(
-    src_ip: Column, dst_ip: Column, src_port: Column, dst_port: Column, proto: int
+    src_ip: Column,
+    src_port: Column,
+    dst_ip: Column,
+    dst_port: Column,
+    protocol: str = "TCP",
+    seed: int = 0,
 ) -> Column:
+    proto = CID_PROTOCOLS[protocol]
+
     @F.pandas_udf(StringType())
     def udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
         return pd.Series(
             [
                 None
                 if si is None
-                else community_id_v1(si, di, sp, dp, proto)
-                for si, di, sp, dp in zip(a, b, c, d)
+                else community_id_v1(si, di, sp, dp, proto, seed)
+                for si, sp, di, dp in zip(a, b, c, d)
             ]
         )
 
-    return udf(src_ip, dst_ip, src_port, dst_port)
+    return udf(src_ip, src_port, dst_ip, dst_port)
 
 
 # -- XML family (ElementTree XPath subset) -----------------------------------
@@ -182,33 +205,51 @@ def parse_simplified_xml(s: str) -> dict:
     return out
 
 
-def get_xml(s: str, xpath: str) -> list:
+def _tostr(el: ET.Element) -> str:
+    # short_empty_elements=False: emptied elements serialize as
+    # <a></a>, matching the Go xml encoder the reference uses
+    return ET.tostring(el, encoding="unicode", short_empty_elements=False)
+
+
+def _findall(root: ET.Element, xpath: str) -> list:
+    """ElementTree XPath with absolute-path support: '/root', '/root/x',
+    '/root//x' select from the document root like the reference's
+    antchfx xpath does."""
+    if xpath.startswith("//"):
+        return root.findall("." + xpath)
+    if xpath.startswith("/"):
+        head, _, rest = xpath[1:].partition("/")
+        if head != root.tag:
+            return []
+        if not rest:
+            return [root]
+        return root.findall(".//" + rest[1:] if rest.startswith("/") else rest)
+    return root.findall(xpath)
+
+
+def get_xml(s: str, xpath: str) -> str:
+    """GetXML returns the matched nodes' serialized XML, concatenated
+    (func_get_xml.go)."""
     root = ET.fromstring(s)
-    matches = root.findall(xpath) if not xpath.startswith("/") else ET.ElementTree(
-        root
-    ).findall("." + xpath)
-    return [ET.tostring(m, encoding="unicode").strip() for m in matches]
+    return "".join(_tostr(m).strip() for m in _findall(root, xpath))
 
 
 def remove_xml(s: str, xpath: str) -> str:
     root = ET.fromstring(s)
-    path = "." + xpath if xpath.startswith("/") else xpath
-    doomed = set(map(id, root.findall(path)))
+    doomed = set(map(id, _findall(root, xpath)))
     for parent in root.iter():
         for child in list(parent):
             if id(child) in doomed:
                 parent.remove(child)
-    return ET.tostring(root, encoding="unicode")
+    return _tostr(root)
 
 
 def insert_xml(s: str, xpath: str, sub: str) -> str:
     root = ET.fromstring(s)
-    path = "." + xpath if xpath.startswith("/") else xpath
     node = ET.fromstring(sub)
-    targets = root.findall(path) or ([root] if path in (".", "./") else [])
-    for t in targets:
+    for t in _findall(root, xpath):
         t.append(node)
-    return ET.tostring(root, encoding="unicode")
+    return _tostr(root)
 
 
 def convert_attributes_to_elements_xml(s: str) -> str:
@@ -219,7 +260,7 @@ def convert_attributes_to_elements_xml(s: str) -> str:
             child.text = el.attrib[k]
             el.insert(0, child)
         el.attrib.clear()
-    return ET.tostring(root, encoding="unicode")
+    return _tostr(root)
 
 
 def convert_text_to_elements_xml(s: str, element_name: str = "value") -> str:
@@ -231,7 +272,7 @@ def convert_text_to_elements_xml(s: str, element_name: str = "value") -> str:
             child.text = text
             el.insert(0, child)
             el.text = None
-    return ET.tostring(root, encoding="unicode")
+    return _tostr(root)
 
 
 parse_xml_udf = _series_udf(parse_xml_json, StringType())
@@ -242,7 +283,7 @@ convert_attrs_xml_udf = _series_udf(convert_attributes_to_elements_xml, StringTy
 
 
 def get_xml_udf(col: Column, xpath: str) -> Column:
-    return _series_udf(lambda v: get_xml(v, xpath), ArrayType(StringType()))(col)
+    return _series_udf(lambda v: get_xml(v, xpath), StringType())(col)
 
 
 def remove_xml_udf(col: Column, xpath: str) -> Column:

@@ -160,7 +160,7 @@ def test_xml_family(spark, spark_xml_df=None):
     one = lambda stmt: XP.apply_statement(sp, stmt).first()["out"]  # noqa: E731
     simp = one("set(out, ParseSimplifiedXML(x))")
     assert simp == {"root.b": "t1", "root.c.d": "t2"}
-    assert one('set(out, GetXML(x, ".//d"))') == ["<d>t2</d>"]
+    assert one('set(out, GetXML(x, ".//d"))') == "<d>t2</d>"
     assert one('set(out, RemoveXML(x, ".//b"))') == '<root a="1"><c><d>t2</d></c></root>'
     assert "<e>new</e>" in one('set(out, InsertXML(x, "c", "<e>new</e>"))')
     assert one("set(out, ConvertAttributesToElementsXML(x))").startswith("<root><a>1</a>")
@@ -176,13 +176,13 @@ def test_community_id(spark):
         [("1.2.3.4", 12345, "5.6.7.8", 80)],
         "sip string, sport int, dip string, dport int",
     )
-    out = XP.apply_statement(sp, "set(out, CommunityID(sip, sport, dip, dport, 6))")
+    out = XP.apply_statement(sp, 'set(out, CommunityID(sip, sport, dip, dport, "TCP"))')
     assert out.first()["out"] == "1:0by3b/tE95hcOzccyt6d4kjgbZc="
     flipped = spark.createDataFrame(
         [("5.6.7.8", 80, "1.2.3.4", 12345)],
         "sip string, sport int, dip string, dport int",
     )
-    out2 = XP.apply_statement(flipped, "set(out, CommunityID(sip, sport, dip, dport, 6))")
+    out2 = XP.apply_statement(flipped, 'set(out, CommunityID(sip, sport, dip, dport, "TCP"))')
     assert out2.first()["out"] == "1:0by3b/tE95hcOzccyt6d4kjgbZc="
 
 
