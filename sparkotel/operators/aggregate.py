@@ -95,14 +95,13 @@ def connector_metrics_single_pass(
     by the bench.  Dims are serialized as a sorted ``k=v`` string
     (canonical — mirrors the reference's content-hash map grouping,
     pdatautil/hash.go:100, without hashing).
+
+    Note: a variant grouping on raw dim-value columns (string built
+    post-aggregation) was tried and measured 2-3x SLOWER at local[32]
+    (wider structs + wider hash keys beat the per-row concat cost), so
+    the per-row canonical string stays.
     """
     copy_conds = copy_conds or {}
-    # union of every dim column any metric uses: the contribution struct
-    # carries raw dim VALUES (no per-row string building — measured 2x
-    # the map-side cost and the 2→8 scaling bottleneck); the canonical
-    # "k=v,..." dims string is rebuilt AFTER aggregation, on the handful
-    # of grouped rows.
-    all_dims = sorted({d for defs in sink_metrics.values() for m in defs for d in m.dims})
     entries = []
     for sink, defs in sink_metrics.items():
         if sink in copy_conds:
@@ -113,17 +112,14 @@ def connector_metrics_single_pass(
             cond = base
             if m.conditions:
                 cond = cond & F.expr(" OR ".join(f"({c})" for c in m.conditions))
-            fields = []
-            for d in all_dims:
-                if d not in m.dims:
-                    fields.append(F.lit(None).cast("string").alias(f"d_{d}"))
-                    continue
-                c = F.col(d).cast("string")
+            kvs = []
+            for d in m.dims:
+                c = F.col(d)
                 if d in m.defaults:
                     c = F.coalesce(c, F.lit(m.defaults[d]))
                 else:
                     cond = cond & F.col(d).isNotNull()
-                fields.append(c.alias(f"d_{d}"))
+                kvs.append(F.concat(F.lit(f"{d}="), c.cast("string")))
             value = (F.col(m.sum_attr) if m.sum_attr else F.lit(1)).cast("double")
             entries.append(
                 F.when(
@@ -131,39 +127,24 @@ def connector_metrics_single_pass(
                     F.struct(
                         F.lit(sink).alias("sink"),
                         F.lit(m.name).alias("metric_name"),
-                        *fields,
+                        F.concat_ws(",", *kvs).alias("dims"),
                         value.alias("v"),
                     ),
                 )
             )
     arr = F.filter(F.array(*entries), lambda x: x.isNotNull())
     ex = df.select(F.col(ts_col).alias("_ts"), F.explode(arr).alias("e"))
-    grouped = ex.groupBy(
-        F.col("e.sink").alias("sink"),
-        F.col("e.metric_name").alias("metric_name"),
-        *[F.col(f"e.d_{d}").alias(f"d_{d}") for d in all_dims],
-    ).agg(
-        F.sum("e.v").alias("value"),
-        F.min("_ts").alias("start_ts"),
-        F.max("_ts").alias("end_ts"),
-    )
-    # canonical dims string, per metric def's own dim order — computed
-    # on the aggregated rows only
-    dims_expr = None
-    for sink, defs in sink_metrics.items():
-        for m in defs:
-            is_def = (F.col("sink") == sink) & (F.col("metric_name") == m.name)
-            s = F.concat_ws(
-                ",", *[F.concat(F.lit(f"{d}="), F.col(f"d_{d}")) for d in m.dims]
-            )
-            dims_expr = F.when(is_def, s) if dims_expr is None else dims_expr.when(is_def, s)
-    return grouped.select(
-        "sink",
-        "metric_name",
-        dims_expr.alias("dims"),
-        "value",
-        "start_ts",
-        "end_ts",
+    return (
+        ex.groupBy(
+            F.col("e.sink").alias("sink"),
+            F.col("e.metric_name").alias("metric_name"),
+            F.col("e.dims").alias("dims"),
+        )
+        .agg(
+            F.sum("e.v").alias("value"),
+            F.min("_ts").alias("start_ts"),
+            F.max("_ts").alias("end_ts"),
+        )
     )
 
 
