@@ -119,31 +119,99 @@ SELECT bucket, count(*) AS n FROM b GROUP BY 1
 """
 
 
+NEARDUP_PLANES = 12  # bits per hash table — expected bucket size N / 2^12
+NEARDUP_TABLES = 4   # independent tables recover recall lost to more bits
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _table_buckets(vec: Column, n_planes: int, n_tables: int, dim: int) -> Column:
+    """array of ``n_tables`` bucket ids; table t uses global hyperplanes
+    [t*n_planes, (t+1)*n_planes).  The weight matrix is one literal
+    array-of-arrays (a plan constant riding the task closure — no
+    broadcast, no join); all dot products evaluate in a single
+    higher-order-function pass."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(plane_weight(g, d)) for d in range(dim)])
+            for g in range(n_tables * n_planes)
+        ]
+    )
+    bits = F.transform(planes, lambda w: F.when(_dot(vec, w) >= 0, 1).otherwise(0))
+    powers = F.array(*[F.lit(2 ** j) for j in range(n_planes)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.zip_with(F.slice(bits, t * n_planes + 1, n_planes), powers, lambda b, p: b * p),
+            F.lit(0),
+            lambda s, x: s + x,
+        ).cast("int"),
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
-    are pairs sharing a random-hyperplane bucket; only those pairs get
-    the exact cosine, and pairs ≥ threshold survive.  Cross-bucket
-    near-dups are missed by design (the ANN recall trade) — raise
-    N_PLANES at scale so buckets stay small.
+    """Embedding-cosine near-duplicate pairs, multi-table LSH-bucketed.
 
-    One scan + one shuffle (bucket), like minhash_lsh_pairs; the
-    within-bucket join ships only (id, vec, bucket)."""
-    b = lsh_bucket(df, id_col, vec_col, dim)
-    dfb = df.select(F.col(id_col), F.col(vec_col)).join(b, id_col)
-    left = dfb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("bucket").alias("ba")
+    Scale shape (mirrors minhash_lsh_pairs, dedup.py:105):
+    - candidates are pairs sharing a random-hyperplane bucket in ANY of
+      ``n_tables`` independent tables (``n_planes`` sign bits each —
+      more bits bound bucket size, more tables recover recall; size
+      n_planes ≈ log2(N / target_bucket) at the target corpus);
+    - only (id, table_idx, bucket) shuffles — ONE scan, posexplode over
+      the per-table bucket array;
+    - **bucket cap**: a window count per (table_idx, bucket) drops
+      degenerate buckets (> ``max_bucket`` members) before pair
+      expansion, so a boilerplate/zero-vector pile can't produce an
+      O(n²) blow-up; the groupBy after the window reuses its
+      partitioning (no second Exchange);
+    - pair generation is bounded per-bucket array combinatorics over
+      collect_list'd ids; only the surviving candidate pairs (a tiny
+      fraction of C(N,2)) join vectors back for the exact cosine.
+
+    Cross-bucket near-dups are missed by design (the ANN recall trade).
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    b = src.select(
+        "id",
+        F.posexplode(_table_buckets(F.col("vec"), n_planes, n_tables, dim)).alias(
+            "table_idx", "bucket"
+        ),
     )
-    right = dfb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("bucket").alias("bb")
+    w = Window.partitionBy("table_idx", "bucket")
+    capped = (
+        b.withColumn("_bsize", F.count(F.lit(1)).over(w))
+        .filter((F.col("_bsize") <= max_bucket) & (F.col("_bsize") > 1))
+        .drop("_bsize")
     )
+    ids = F.array_sort(F.collect_list("id"))
+    buckets = capped.groupBy("table_idx", "bucket").agg(ids.alias("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    a = src.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    c = src.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     return (
-        left.join(right, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        pairs.join(a, "id_a")
+        .join(c, "id_b")
         .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
@@ -158,21 +226,48 @@ def _duck_cos(a: str, b: str, dim: int = 64) -> str:
 
 
 def duck_embedding_near_dup_pairs(
-    threshold: float = 0.25, table: str = "embeddings", dim: int = 64
+    threshold: float = 0.25,
+    table: str = "embeddings",
+    dim: int = 64,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> str:
-    bits = []
-    for j in range(N_PLANES):
-        terms = " + ".join(
-            f"CAST(embedding[{d + 1}] AS DOUBLE) * ({plane_weight(j, d)!r})" for d in range(dim)
-        )
-        bits.append(f"(CASE WHEN ({terms}) >= 0 THEN {2 ** j} ELSE 0 END)")
-    bucket = " + ".join(bits)
+    # the hyperplane weights are generated from the same integer formula
+    # as plane_weight() so the SQL stays small (a literal 48×64 weight
+    # matrix would be ~1 MB of SQL); both engines compute bit-identical
+    # doubles from the shared integer recurrence.
+    weight = (
+        f"((((1 + ((t.t * {n_planes} + j) * 64 + d) * 2654435761) % {_PLANE_MOD}) "
+        f"/ {_PLANE_MOD}.0) - 0.5)"
+    )
+    dot = (
+        f"list_sum(list_transform(range(0, {dim}), "
+        f"d -> {weight} * CAST(embedding[d + 1] AS DOUBLE)))"
+    )
+    bucket = (
+        f"CAST(list_sum(list_transform(range(0, {n_planes}), "
+        f"j -> CASE WHEN {dot} >= 0 THEN 1 << j ELSE 0 END)) AS INT)"
+    )
     return f"""
-WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM {table})
-SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-  round({_duck_cos('l.embedding', 'r.embedding', dim)}, 4) AS score
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE round({_duck_cos('l.embedding', 'r.embedding', dim)}, 4) >= {threshold}
+WITH e AS (SELECT vec_id, embedding FROM {table}),
+b AS (
+  SELECT vec_id AS id, CAST(t.t AS INT) AS table_idx, {bucket} AS bucket
+  FROM e CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS t) t
+),
+capped AS (
+  SELECT id, table_idx, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY table_idx, bucket) AS bsize FROM b
+  ) WHERE bsize <= {max_bucket} AND bsize > 1
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM capped l JOIN capped r
+    ON l.table_idx = r.table_idx AND l.bucket = r.bucket AND l.id < r.id
+)
+SELECT p.id_a, p.id_b, round({_duck_cos('a.embedding', 'c.embedding', dim)}, 4) AS score
+FROM pairs p JOIN e a ON a.vec_id = p.id_a JOIN e c ON c.vec_id = p.id_b
+WHERE round({_duck_cos('a.embedding', 'c.embedding', dim)}, 4) >= {threshold}
 """
 
 

@@ -65,8 +65,33 @@ def flatten(df: DataFrame, struct_col: str, prefix: str = "") -> DataFrame:
 
 
 def flatten_map(df: DataFrame, outer: str, inner_key: str) -> DataFrame:
-    """flatten for map-typed nesting: splice entries of m[k] into m."""
-    raise NotImplementedError("map-of-map bodies are schema-resolved at plan time")
+    """flatten for map-typed nesting: splice entries of m[k] into m, dropping k
+    (flatten/transformer.go:35-52, map-bodied branch).
+
+    Two schema shapes are supported, both yielding ``map<string,string>``
+    (Spark maps are homogeneous, so sibling nested maps are canonicalized to
+    their JSON encoding — stanza's heterogeneous body can't be represented
+    directly):
+    * ``map<string, map<string,string>>`` — splice the inner map's entries;
+      remaining nested-map siblings become JSON strings;
+    * ``map<string, string>`` whose ``inner_key`` value holds a JSON object
+      (the common shape after a json_parser stage) — ``from_json`` then splice.
+    """
+    from pyspark.sql.types import MapType, StringType
+
+    dt = df.schema[outer].dataType
+    if not isinstance(dt, MapType):
+        raise TypeError(f"flatten_map requires a map column, got {dt.simpleString()}")
+    rest = F.map_filter(F.col(outer), lambda k, _: k != F.lit(inner_key))
+    inner = F.col(outer).getItem(inner_key)
+    empty = F.create_map().cast("map<string,string>")
+    if isinstance(dt.valueType, MapType):
+        rest = F.transform_values(rest, lambda _, v: F.to_json(v))
+        spliced = F.map_concat(rest, F.coalesce(inner, empty))
+    else:
+        parsed = F.from_json(inner, MapType(StringType(), StringType()))
+        spliced = F.map_concat(rest, F.coalesce(parsed, empty))
+    return df.withColumn(outer, spliced)
 
 
 def assign_keys(df: DataFrame, arr_col: str, keys: Sequence[str]) -> DataFrame:

@@ -201,8 +201,12 @@ def build_registry() -> dict[str, Query]:
         f"'page.count.matched_user' AS metric_name FROM routed "
         f'WHERE route = \'other\' AND "user" IS NOT NULL GROUP BY 1',
     )
-    _add_operator_queries(q)
+    # Training-data (dedup/ANN/multimodal/text) queries register FIRST so the
+    # flagship LLM-pipeline family falls inside the driver's 50-query
+    # correctness window; the long-tail operator queries (multi-round green)
+    # occupy the tail.  (VERDICT r2 item #1.)
     _add_trainingdata_queries(q)
+    _add_operator_queries(q)
     return q
 
 

@@ -153,6 +153,25 @@ def test_flatten_struct(spark):
     assert r["a"] == 1 and r["b"] == "x" and "s" not in out.columns
 
 
+def test_flatten_map(spark):
+    # map<string,map> shape: inner entries spliced up, sibling maps → JSON.
+    df = spark.createDataFrame(
+        [({"nested": {"a": "1"}, "other": {"z": "9"}},)],
+        "m map<string,map<string,string>>",
+    )
+    r = T.flatten_map(df, "m", "nested").first()
+    assert r["m"]["a"] == "1" and "nested" not in r["m"]
+    assert '"z":"9"' in r["m"]["other"].replace(" ", "")
+    # map<string,string> shape with a JSON-encoded inner object.
+    df2 = spark.createDataFrame(
+        [({"nested": '{"a":"1","b":"2"}', "keep": "v"},), ({"keep": "w"},)],
+        "m map<string,string>",
+    )
+    rows = T.flatten_map(df2, "m", "nested").collect()
+    assert rows[0]["m"] == {"keep": "v", "a": "1", "b": "2"}
+    assert rows[1]["m"] == {"keep": "w"}
+
+
 def test_unroll(spark):
     df = spark.createDataFrame([(1, ["a", "b"])], "id int, xs array<string>")
     out = T.unroll(df, "xs", "x")

@@ -124,6 +124,20 @@ def test_lsh_degenerate_bucket_capped(spark):
     assert D.minhash_lsh_pairs(small, max_bucket=50).count() == 45
 
 
+def test_embedding_near_dup_degenerate_capped(spark):
+    """1000 identical embeddings collide in ONE bucket of every hash
+    table; the per-(table, bucket) cap must drop them instead of
+    expanding ~500k × 4 candidate pairs."""
+    from sparkotel.functions import similarity as S
+
+    vec = F.array(*[F.lit(float(d % 7) - 3.0) for d in range(64)])
+    emb = spark.range(1000).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    assert S.embedding_near_dup_pairs(emb, max_bucket=50).count() == 0
+    # small duplicate groups below the cap still pair up (all cosine 1.0)
+    small = spark.range(10).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    assert S.embedding_near_dup_pairs(small, max_bucket=50).count() == 45
+
+
 # -- sinks --------------------------------------------------------------------
 
 def test_partitioned_sink_write(spark, tmp_path):
