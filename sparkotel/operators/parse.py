@@ -514,45 +514,79 @@ def drain_templates(
     )
 
 
+def _drain_pre(df: DataFrame, parse_from: str, max_leaf: int) -> DataFrame:
+    """distinct-line leaf routing for drain_tree_templates: collapse
+    identical lines (map-side combinable), key by (n_tokens, t1, t2)
+    — the depth-4 Drain tree's internal nodes — and salt-split any leaf
+    whose DISTINCT-line population exceeds ``max_leaf``."""
+    from pyspark.sql import Window
+    src = df.groupBy(F.col(parse_from).alias("line")).agg(F.count(F.lit(1)).alias("cnt"))
+    tok = F.split(F.col("line"), r"\s+")
+
+    def mask(c):
+        return F.when(c.rlike(r"^\d"), F.lit("<*>")).otherwise(F.coalesce(c, F.lit("")))
+
+    pre = src.select(
+        "line",
+        "cnt",
+        F.size(tok).alias("n_tokens"),
+        mask(F.element_at(tok, 1)).alias("t1"),
+        mask(F.element_at(tok, 2)).alias("t2"),
+    )
+    w = Window.partitionBy("n_tokens", "t1", "t2")
+    n_salts = F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_leaf)).cast("int")
+    return pre.withColumn("salt", F.pmod(F.hash("line"), n_salts))
+
+
 def drain_tree_templates(
     df: DataFrame,
     parse_from: str = "line",
     sim_threshold: float = 0.5,
     max_tokens_compared: int = 64,
+    max_leaf: int = 50_000,
 ) -> DataFrame:
     """Full Drain log-template mining, distributed (the IBM Drain paper
     algorithm the reference's drainprocessor wraps).
 
-    The Drain parse tree's first two levels — token count, then first
-    token (with numeric first tokens wildcarded) — ARE a partitioning
-    key, so the tree distributes as one groupBy; inside each leaf group
-    the exact sequential Drain similarity clustering runs in pandas
+    The Drain parse tree's internal levels — token count, then the first
+    two tokens (numeric-leading tokens wildcarded), i.e. the paper's
+    standard depth-4 tree — ARE a partitioning key, so the tree
+    distributes as one groupBy; inside each leaf group the exact
+    sequential Drain similarity clustering runs in pandas
     (``applyInPandas``, Arrow-batched): a line joins the first cluster
     whose positional token-match ratio ≥ ``sim_threshold`` (tokens
     already wildcarded in the template don't count against it, as in
     Drain's simSeq), else starts a new cluster; matched clusters
     generalize mismatching positions to ``<*>``.
 
-    Scale: leaf groups are independent and small (lines sharing length +
-    first token); the only shuffle is the groupBy.  Returns (template,
-    n, example).
+    Scale / skew bounds (the greedy matcher is O(lines × clusters), so a
+    hot leaf must never concentrate the corpus in one Python task):
+    1. identical lines collapse FIRST via a map-side-combined groupBy —
+       a flood of one repeated line enters the tree as a single row with
+       a count;
+    2. the token-2 tree level (faithful to Drain's depth-4 default)
+       splits wildcard-first-token pileups like access logs;
+    3. a leaf whose DISTINCT-line count still exceeds ``max_leaf`` is
+       split deterministically by a line-hash salt; each salt shard
+       mines templates independently and the final template
+       re-aggregation merges shards.  Shards that generalize a template
+       differently may over-split it (bounded-memory trade, same spirit
+       as the LSH bucket cap) — raise ``max_leaf`` to taste.
+
+    Deterministic: leaf processing order is the sorted distinct-line
+    set, so results are invariant to input partitioning.  Returns
+    (template, n, example).
     """
     import pandas as pd
 
-    tok = F.split(F.col(parse_from), r"\s+")
-    first = F.element_at(tok, 1)
-    pre = df.select(
-        F.col(parse_from).alias("line"),
-        F.size(tok).alias("n_tokens"),
-        F.when(first.rlike(r"^\d"), F.lit("<*>")).otherwise(first).alias("first_tok"),
-    )
+    pre = _drain_pre(df, parse_from, max_leaf)
 
     def cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         clusters: list[tuple[list, int, str]] = []  # (template tokens, count, example)
         # lexicographic processing order: greedy clustering becomes a
-        # pure function of the leaf's line SET (deterministic across
-        # runs/partitionings)
-        for line in pdf["line"].sort_values():
+        # pure function of the leaf's distinct-line set (deterministic
+        # across runs/partitionings)
+        for line, cnt in sorted(zip(pdf["line"], pdf["cnt"])):
             toks = str(line).split()
             best = None
             for idx, (tpl, _, _) in enumerate(clusters):
@@ -570,23 +604,23 @@ def drain_tree_templates(
                     best = idx
                     break
             if best is None:
-                clusters.append((list(toks), 1, str(line)))
+                clusters.append((list(toks), int(cnt), str(line)))
             else:
                 tpl, n, ex = clusters[best]
                 merged = [a if a == b else "<*>" for a, b in zip(tpl, toks)]
-                clusters[best] = (merged, n + 1, ex)
+                clusters[best] = (merged, n + int(cnt), ex)
         return pd.DataFrame(
             [(" ".join(tpl), n, ex) for tpl, n, ex in clusters],
             columns=["template", "n", "example"],
         )
 
     out_schema = "template string, n long, example string"
-    leaves = pre.groupBy("n_tokens", "first_tok").applyInPandas(
+    leaves = pre.groupBy("n_tokens", "t1", "t2", "salt").applyInPandas(
         lambda pdf: cluster(pdf), out_schema
     )
-    # identical templates can emerge in different leaves only when first
-    # tokens differ — they are distinct Drain clusters; but re-aggregate
-    # to be safe against wildcarded first tokens colliding
+    # identical templates can emerge in different leaves only when tree
+    # keys differ — distinct Drain clusters; but re-aggregate to merge
+    # salt shards and wildcarded-token collisions
     return leaves.groupBy("template").agg(
         F.sum("n").alias("n"), F.min("example").alias("example")
     )

@@ -339,3 +339,28 @@ def test_drain_tree_templates(spark):
         for r in PR.drain_tree_templates(df.repartition(5), sim_threshold=0.5).collect()
     }
     assert out2 == {k: v["n"] for k, v in out.items()}
+
+
+def test_drain_tree_leaf_bound(spark):
+    """a skewed corpus (every line shares token count + first two tree
+    keys) must not concentrate in one Python task: identical lines
+    collapse first, and a leaf over max_leaf DISTINCT lines salt-splits.
+    The salt shards re-merge to the same templates."""
+    # 1000 distinct lines + 5000 copies of one line, all in one tree leaf
+    lines = spark.range(1000).selectExpr(
+        "concat('session ', cast(id AS string), ' opened by admin') AS line"
+    ).union(
+        spark.range(5000).selectExpr("'session 0 opened by admin' AS line")
+    )
+    pre = PR._drain_pre(lines, "line", max_leaf=100)
+    # identical-line flood collapsed to one distinct row per line
+    assert pre.count() == 1000
+    # the hot leaf split into ~10 salt shards, none oversized
+    shards = pre.groupBy("n_tokens", "t1", "t2", "salt").count().collect()
+    assert len(shards) >= 8
+    assert max(r["count"] for r in shards) <= 200
+    out = {r["template"]: r["n"] for r in PR.drain_tree_templates(lines, max_leaf=100).collect()}
+    assert out == {"session <*> opened by admin": 6000}
+    # bound disabled → identical result (salt shards merged cleanly)
+    big = {r["template"]: r["n"] for r in PR.drain_tree_templates(lines).collect()}
+    assert big == out
