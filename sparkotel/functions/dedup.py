@@ -70,19 +70,43 @@ def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     array is computed ONCE and all K permutations map over it inside a
     single expression (K separate withColumns would inline the md5 pass
     K times after projection collapse — measured 8× slower).
+
+    No ``array_distinct``: min over the permuted hashes is invariant to
+    duplicate shingles, so de-duplicating the (long string) shingle
+    array first is pure overhead — results are bit-identical with or
+    without it.  (The DuckDB oracle keeps its ``list_distinct`` — same
+    min either way.)
+
+    Single-traversal K-way min: Catalyst has no common-subexpression
+    elimination through higher-order-function lambdas, so the naive
+    ``transform(params, p -> array_min(transform(hs, ...)))`` re-runs
+    the whole md5 shingle-hash pass once PER permutation (measured 3.7 s
+    vs 0.76 s for one pass at sf0.1×32 cores).  Instead one
+    ``F.aggregate`` walks the hash array once, carrying all K running
+    minima; MERSENNE31 is a safe empty-array sentinel because
+    ``(h*a+b) % MERSENNE31`` is always < MERSENNE31, and the finish
+    lambda maps a surviving sentinel to NULL (= DuckDB's
+    ``list_min([])``).
     """
-    sh = F.array_distinct(shingles(F.col(text_col)))
-    hs = F.transform(sh, h31)
+    hs = F.transform(shingles(F.col(text_col)), h31)
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
             for a, b in perm_params()
         ]
     )
-    sig = F.transform(
-        params,
-        lambda p: F.array_min(
-            F.transform(hs, lambda h: (h * p.getField("a") + p.getField("b")) % F.lit(MERSENNE31))
+    sig = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(MERSENNE31).cast("bigint"), MINHASH_K),
+        lambda acc, h: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(
+                m, (h * p.getField("a") + p.getField("b")) % F.lit(MERSENNE31)
+            ),
+        ),
+        lambda acc: F.transform(
+            acc, lambda m: F.when(m < F.lit(MERSENNE31), m)
         ),
     )
     df = df.withColumn("_sig", sig)
