@@ -6,7 +6,8 @@ via named-group regex; ``on_error=send`` keeps misses flagged with
 lang_name/family; route (ordered):
 
   1. ``lang = 'en' AND status >= 500``  → sink ``errors_en``  (move)
-  2. ``geo_country = 'DE'``             → sink ``de``         (copy)
+  2. ``geo_country = 'DE'``             → sink ``de``         (copy;
+     sees only rows route 1 didn't consume — logs.go:66-160)
   3. ``status >= 400``                  → sink ``errors_other`` (move)
   4. default                            → sink ``other``
 

@@ -24,6 +24,7 @@ from sparkotel.functions import text as TX
 from sparkotel.operators import aggregate as A
 from sparkotel.operators import parse as PR
 from sparkotel.operators import recombine as RC
+from sparkotel.operators import route as R
 from sparkotel.operators import transform as T
 from sparkotel.operators.filter import filter_drop, probabilistic_sampler
 
@@ -178,7 +179,37 @@ def build_registry() -> dict[str, Query]:
     q["sink_errors_en"] = Query(_sink("errors_en"), _sink_sql("route = 'errors_en'"))
     q["sink_errors_other"] = Query(_sink("errors_other"), _sink_sql("route = 'errors_other'"))
     q["sink_other"] = Query(_sink("other"), _sink_sql("route = 'other'"))
-    q["sink_de_copy"] = Query(_sink("de"), _sink_sql("geo_country = 'DE'"))
+    # copy routes see the post-earlier-moves stream (logs.go:66-160): a row
+    # moved by route 1 (errors_en) never reaches the route-2 copy.
+    q["sink_de_copy"] = Query(
+        _sink("de"),
+        _sink_sql("geo_country = 'DE' AND NOT (lang = 'en' AND status >= 500)"),
+    )
+    # resource-context routing (router.go:230-259, plogutil.MoveResourcesIf):
+    # the condition evaluates once per resource (= host) and moves the WHOLE
+    # host's records — including rows that individually fail the predicate.
+    # A record-context route follows, seeing only unconsumed rows.
+    q["route_resource_ctx"] = Query(
+        lambda spark, sf: R.assign_routes(
+            PL.build(spark, sf)["enriched"],
+            [
+                R.Route("status >= 500", "incident", "move", context="resource"),
+                R.Route("status >= 400", "errors", "move"),
+            ],
+            "ok",
+            resource_keys=["host"],
+        ).select("url", "host", "doc_id", "status", "route"),
+        f"""{duck_pipeline_cte()},
+res AS (
+  SELECT *, coalesce(bool_or(status >= 500) OVER (PARTITION BY host), FALSE) AS host_5xx
+  FROM enriched
+)
+SELECT url, host, doc_id, status,
+  CASE WHEN host_5xx THEN 'incident'
+       WHEN status >= 400 THEN 'errors'
+       ELSE 'ok' END AS route
+FROM res""",
+    )
 
     q["agg_count_all_errors_other"] = Query(
         _metric("errors_other", 0),

@@ -80,8 +80,56 @@ def test_route_copy_semantics(spark, logs):
     outs = route_outputs(logs, routes, "rest")
     got = {k: sorted(r["id"] for r in v.collect()) for k, v in outs.items()}
     assert got["errors"] == [2, 3, 4]
-    assert got["a_copy"] == [1, 2]  # copy sees rows 'moved' elsewhere too
+    # copy AFTER a move sees only the remaining stream (logs.go:66-160):
+    # id 2 (a.com, 5xx) was consumed by route 1
+    assert got["a_copy"] == [1]
     assert got["rest"] == [1]
+
+    # copy BEFORE the move still sees the row, and the later move still
+    # consumes it (copies never consume)
+    outs2 = route_outputs(
+        logs,
+        [Route("host = 'a.com'", "a_copy", "copy"), Route("status >= 500", "errors", "move")],
+        "rest",
+    )
+    got2 = {k: sorted(r["id"] for r in v.collect()) for k, v in outs2.items()}
+    assert got2["a_copy"] == [1, 2] and got2["errors"] == [2, 3, 4] and got2["rest"] == [1]
+
+
+def test_route_resource_context(spark):
+    """resource-context routes move the WHOLE resource group (= host) when
+    ANY of its records matches — including records that individually fail
+    the predicate (plogutil.MoveResourcesIf, router.go:230-259)."""
+    from sparkotel.operators.route import assign_routes
+
+    df = spark.createDataFrame(
+        [
+            (1, "a.com", 200),  # a.com has a 5xx → whole host to incident
+            (2, "a.com", 503),
+            (3, "b.com", 404),  # no 5xx on b.com → record-context route
+            (4, "b.com", 200),
+            (5, "c.com", None),  # null condition = no match
+        ],
+        "id long, host string, status int",
+    )
+    routes = [
+        Route("status >= 500", "incident", "move", context="resource"),
+        Route("status >= 400", "errors", "move"),
+    ]
+    out = assign_routes(df, routes, "ok", resource_keys=["host"])
+    got = {r["id"]: r["route"] for r in out.collect()}
+    assert got == {1: "incident", 2: "incident", 3: "errors", 4: "ok", 5: "ok"}
+
+    # resource-context copy: whole group duplicated, nothing consumed
+    outs = route_outputs(
+        df,
+        [Route("status >= 500", "inc_copy", "copy", context="resource")],
+        "rest",
+        resource_keys=["host"],
+    )
+    got_c = {k: sorted(r["id"] for r in v.collect()) for k, v in outs.items()}
+    assert got_c["rest"] == [1, 2, 3, 4, 5]
+    assert got_c["inc_copy"] == [1, 2]
 
 
 def test_roundrobin(spark, logs):
