@@ -367,25 +367,82 @@ def metrics_generate(
     return df.select(*dims, metric_col, value_col).unionByName(derived)
 
 
+def _exp_hist_parts(value_col: str, scale: int, zero_threshold: float):
+    """Shared column math for the OTel exponential-histogram mapping.
+
+    Per the lightstep go-expohisto structure the spanmetricsconnector
+    aggregates into (expoHistToExponentialDataPoint,
+    connector/spanmetricsconnector/internal/metrics/metrics.go:248-276),
+    a datapoint has THREE ranges: a positive and a negative bucket half
+    — both bucketed on |v| with the base-2 spec mapping
+    ``index = ceil(log2(|v|) * 2^scale) - 1`` (buckets are
+    lower-exclusive / upper-inclusive: bucket i covers
+    (base^i, base^(i+1)], base = 2^(2^-scale)) — and a zero bucket for
+    ``|v| <= zero_threshold``."""
+    v = F.col(value_col).cast("double")
+    is_zero = F.abs(v) <= F.lit(float(zero_threshold))
+    sign = (
+        F.when(is_zero, F.lit("zero"))
+        .when(v < 0, F.lit("negative"))
+        .otherwise(F.lit("positive"))
+    )
+    idx = F.when(
+        ~is_zero,
+        (F.ceil(F.log2(F.abs(v)) * F.lit(float(2 ** scale))) - 1).cast("int"),
+    )
+    return v, is_zero, sign, idx
+
+
 def exponential_histogram(
     df: DataFrame,
     value_col: str,
     scale: int = 3,
     dims: Sequence[str] = (),
+    zero_threshold: float = 0.0,
 ) -> DataFrame:
-    """Base-2 exponential histogram bucketing (OTel spec mapping, the
-    spanmetricsconnector exponential branch —
-    connector/spanmetricsconnector/connector.go): bucket index =
-    floor(log2(v) * 2^scale); base = 2^(2^-scale).  Pure column math +
-    one map-side-combined groupBy."""
-    v = F.col(value_col).cast("double")
-    idx = F.floor(F.log2(v) * F.lit(float(2 ** scale))).cast("int")
+    """Base-2 exponential histogram buckets (positive + negative halves
+    + zero bucket), one row per (dims, sign, bucket_index).  Pure column
+    math + one map-side-combined groupBy; the zero row has a NULL
+    bucket_index (its count is the datapoint's ZeroCount,
+    metrics.go:256)."""
+    v, _, sign, idx = _exp_hist_parts(value_col, scale, zero_threshold)
     return (
-        df.filter(v > 0)
-        .groupBy(*[F.col(d) for d in dims], idx.alias("bucket_index"))
+        df.filter(v.isNotNull())
+        .groupBy(
+            *[F.col(d) for d in dims],
+            sign.alias("sign"),
+            idx.alias("bucket_index"),
+        )
         .agg(
             F.count(F.lit(1)).alias("bucket_count"),
             F.round(F.min(v), 6).alias("min_value"),
             F.round(F.max(v), 6).alias("max_value"),
+        )
+    )
+
+
+def exponential_histogram_datapoint(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 3,
+    dims: Sequence[str] = (),
+    zero_threshold: float = 0.0,
+) -> DataFrame:
+    """The datapoint header the reference emits alongside the bucket
+    halves (expoHistToExponentialDataPoint, metrics.go:248-258): count,
+    sum, min, max (only for non-empty datapoints — groupBy emits no
+    empty groups), zero_count, scale, zero_threshold."""
+    v, is_zero, _, _ = _exp_hist_parts(value_col, scale, zero_threshold)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*[F.col(d) for d in dims])
+        .agg(
+            F.count(F.lit(1)).alias("count_value"),
+            F.round(F.sum(v), 6).alias("sum_value"),
+            F.round(F.min(v), 6).alias("min_value"),
+            F.round(F.max(v), 6).alias("max_value"),
+            F.sum(is_zero.cast("bigint")).alias("zero_count"),
+            F.lit(scale).alias("scale"),
+            F.lit(float(zero_threshold)).alias("zero_threshold"),
         )
     )

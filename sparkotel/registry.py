@@ -399,17 +399,54 @@ SELECT cohort, metric, round(sum(value), 6) AS total FROM unioned GROUP BY 1, 2
     )
 
     # --- spanmetrics exponential histogram (base-2 OTel mapping) ------------
+    # events.value is all-positive; derive a deterministic signed value so
+    # the negative bucket half and the zero bucket (metrics.go:248-276) are
+    # exercised: event_id%7==0 -> 0, event_id%3==0 -> -value, else value.
+    def _signed_events(spark, sf):
+        return _events(spark, sf).withColumn(
+            "signed_value",
+            F.when(F.col("event_id") % 7 == 0, F.lit(0.0))
+            .when(F.col("event_id") % 3 == 0, -F.col("value"))
+            .otherwise(F.col("value")),
+        )
+
+    _SIGNED_SQL = (
+        "SELECT event_type, CASE WHEN event_id % 7 = 0 THEN 0.0 "
+        "WHEN event_id % 3 = 0 THEN -value ELSE value END AS v FROM events"
+    )
+
     def exph(spark, sf):
         return A.exponential_histogram(
-            _events(spark, sf), "value", scale=3, dims=("event_type",)
+            _signed_events(spark, sf), "signed_value", scale=3, dims=("event_type",)
         )
 
     q["spanmetrics_exp_histogram"] = Query(
         exph,
-        "SELECT event_type, CAST(FLOOR(log2(value) * 8) AS INT) AS bucket_index, "
-        "CAST(count(*) AS BIGINT) AS bucket_count, "
-        "round(min(value), 6) AS min_value, round(max(value), 6) AS max_value "
-        "FROM events WHERE value > 0 GROUP BY 1, 2",
+        f"""WITH sv AS ({_SIGNED_SQL})
+SELECT event_type,
+  CASE WHEN abs(v) <= 0.0 THEN 'zero'
+       WHEN v < 0 THEN 'negative' ELSE 'positive' END AS sign,
+  CASE WHEN abs(v) <= 0.0 THEN NULL
+       ELSE CAST(CEIL(log2(abs(v)) * 8) AS INT) - 1 END AS bucket_index,
+  CAST(count(*) AS BIGINT) AS bucket_count,
+  round(min(v), 6) AS min_value, round(max(v), 6) AS max_value
+FROM sv GROUP BY 1, 2, 3""",
+    )
+
+    def exph_dp(spark, sf):
+        return A.exponential_histogram_datapoint(
+            _signed_events(spark, sf), "signed_value", scale=3, dims=("event_type",)
+        )
+
+    q["spanmetrics_exp_datapoint"] = Query(
+        exph_dp,
+        f"""WITH sv AS ({_SIGNED_SQL})
+SELECT event_type, CAST(count(*) AS BIGINT) AS count_value,
+  round(sum(v), 6) AS sum_value, round(min(v), 6) AS min_value,
+  round(max(v), 6) AS max_value,
+  CAST(sum(CASE WHEN abs(v) <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_count,
+  3 AS scale, CAST(0.0 AS DOUBLE) AS zero_threshold
+FROM sv GROUP BY 1""",
     )
 
     # --- RFC5424 syslog with structured data --------------------------------

@@ -412,3 +412,30 @@ def test_drain_tree_leaf_bound(spark):
     # bound disabled → identical result (salt shards merged cleanly)
     big = {r["template"]: r["n"] for r in PR.drain_tree_templates(lines).collect()}
     assert big == out
+
+
+def test_exponential_histogram(spark):
+    """full OTel exponential datapoint semantics (metrics.go:248-276):
+    positive + negative halves bucketed on |v| with the spec mapping
+    ceil(log2(|v|)*2^scale)-1 (upper-inclusive: exact power 4.0 at
+    scale 3 lands in bucket 15, not 16), plus a zero bucket."""
+    from sparkotel.operators import aggregate as A
+
+    df = spark.createDataFrame(
+        [(4.0,), (5.0,), (-4.0,), (0.0,), (1.0,)], "v double"
+    )
+    rows = {
+        (r["sign"], r["bucket_index"]): r["bucket_count"]
+        for r in A.exponential_histogram(df, "v", scale=3).collect()
+    }
+    assert rows == {
+        ("positive", 15): 1,  # 4.0 = 2^2, upper-inclusive in (base^15, base^16]
+        ("positive", 18): 1,  # 5.0: ceil(log2(5)*8)-1 = 18
+        ("positive", -1): 1,  # 1.0 in (base^-1, 1]
+        ("negative", 15): 1,  # |-4.0| mirrors the positive mapping
+        ("zero", None): 1,
+    }
+    dp = A.exponential_histogram_datapoint(df, "v", scale=3).first()
+    assert dp["count_value"] == 5 and dp["zero_count"] == 1
+    assert dp["min_value"] == -4.0 and dp["max_value"] == 5.0
+    assert dp["sum_value"] == 6.0 and dp["scale"] == 3
