@@ -1108,6 +1108,14 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
         lambda spark, sf: SIM.ivf_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),
         SIM.duck_ivf_topk([0, 1, 2, 3, 4]),
     )
+    # IVF with deterministic Lloyd-refined centroids (integer-exact
+    # k-means, VERDICT r2 #6) — the oracle unrolls the same 2 iterations
+    q["ann_ivf_kmeans_topk"] = Query(
+        lambda spark, sf: SIM.ivf_topk(
+            _emb(spark, sf), [0, 1, 2, 3, 4], kmeans_iters=2
+        ),
+        SIM.duck_ivf_kmeans_topk([0, 1, 2, 3, 4], iters=2),
+    )
     # multimodal plumbing: binary column + mapInPandas — rows-only check
     # (DuckDB can't replay the Arrow-batch stub path).  The features
     # array is JSON-serialized: the driver's rows-only canonicalizer

@@ -221,6 +221,40 @@ def test_ivf_topk_recall(spark):
         assert abs(bf[(r["qid"], r["cid"])] - r["score"]) < 1e-9
 
 
+def test_ivf_kmeans_rebalances_skewed_seeds(spark):
+    """first-N-by-id seeding is data-order luck (VERDICT r2 #4): when the
+    first 8 ids all sit in one tight cluster, a second far cluster piles
+    into ONE cell.  Two deterministic Lloyd iterations must rebalance,
+    and the refinement must be partitioning-invariant (integer-exact
+    math — repartitioning can't change the centroids)."""
+    import math
+
+    dim = 8
+    rows = []
+    for i in range(400):
+        # directions over a quarter circle (cosine geometry); the 8 seed
+        # ids are a tight fan near axis 0, so seeding funnels the far
+        # half of the fan into one cell
+        th = 0.02 * i if i < 8 else (math.pi / 2) * ((i * 37) % 392) / 392.0
+        v = [math.cos(th), math.sin(th)] + [
+            0.01 * ((i * 7 + d) % 13) for d in range(dim - 2)
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def ratio(iters):
+        cc = [r["n"] for r in SIM.ivf_cell_counts(df, kmeans_iters=iters, dim=dim).collect()]
+        return max(cc) / (sum(cc) / len(cc))
+
+    seeded, refined = ratio(0), ratio(2)
+    assert seeded > 4  # most of the fan in one seeded cell
+    # Lloyd moves centroids into the unserved arc (measured 5.24 -> 3.8)
+    assert refined < seeded * 0.75
+    c1 = SIM.ivf_kmeans_centroids(df, iters=2, dim=dim)
+    c2 = SIM.ivf_kmeans_centroids(df.repartition(7), iters=2, dim=dim)
+    assert c1 == c2
+
+
 def test_file_attrs_and_line_split_options(spark):
     """fileconsumer attrs + trim/encoding line-split options."""
     # attrs must attach at the scan (input_file_name is empty after a
