@@ -39,9 +39,10 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<hex>0x[0-9a-fA-F]+)
   | (?P<float>-?\d+\.\d+)
   | (?P<int>-?\d+)
-  | (?P<op>==|!=|>=|<=|\band\b|\bor\b|\bnot\b|[><+\-*/(),\[\].=])
+  | (?P<op>=>|==|!=|>=|<=|\band\b|\bor\b|\bnot\b|[><+\-*/(),\[\].={}:])
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -83,6 +84,11 @@ class Path:
 class Call:
     name: str
     args: list
+    kwargs: dict = None  # named arguments: flatten(x, depth=1)
+
+    def __post_init__(self):
+        if self.kwargs is None:
+            self.kwargs = {}
 
 
 @dataclass
@@ -111,6 +117,17 @@ class ListLit:
 class Index:
     target: object
     key: object
+
+
+@dataclass
+class MapLit:
+    entries: list  # [(key_str, value_node), ...] — keys are string literals
+
+
+@dataclass
+class Lambda:
+    params: list  # parameter names ("_" = blank)
+    body: object
 
 
 @dataclass
@@ -206,9 +223,24 @@ class Parser:
             node = Index(node, key)
         return node
 
+    def _is_lambda_ahead(self) -> bool:
+        """lookahead for ``(ident[, ident]*) =>`` from a ``(`` token."""
+        j = self.i + 1
+        if self.toks[j].kind != "ident":
+            return False
+        j += 1
+        while self.toks[j].text == ",":
+            j += 1
+            if self.toks[j].kind != "ident":
+                return False
+            j += 1
+        return self.toks[j].text == ")" and self.toks[j + 1].text == "=>"
+
     def _primary_inner(self):
         t = self.peek()
         if t.text == "(":
+            if self._is_lambda_ahead():
+                return self.lambda_()
             self.next()
             e = self.expr()
             self.expect(")")
@@ -223,9 +255,29 @@ class Parser:
                     items.append(self.expr())
             self.expect("]")
             return ListLit(items)
+        if t.text == "{":  # map literal: {"k": v, ...} (grammar.go mapValue)
+            self.next()
+            entries = []
+            if self.peek().text != "}":
+                while True:
+                    key = self.next()
+                    if key.kind != "string":
+                        raise SyntaxError("OTTL: map-literal key must be a string")
+                    self.expect(":")
+                    entries.append((_unescape(key.text), self.expr()))
+                    if self.peek().text != ",":
+                        break
+                    self.next()
+                    if self.peek().text == "}":  # trailing comma
+                        break
+            self.expect("}")
+            return MapLit(entries)
         if t.kind == "string":
             self.next()
             return Lit(_unescape(t.text))
+        if t.kind == "hex":
+            self.next()
+            return Lit(bytes.fromhex(t.text[2:]))
         if t.kind == "int":
             self.next()
             return Lit(int(t.text))
@@ -239,23 +291,51 @@ class Parser:
             if t.text == "nil":
                 self.next()
                 return Lit(None)
+            if t.text in _ENUMS:  # enum symbol (grammar.go Enum)
+                self.next()
+                return Lit(_ENUMS[t.text])
             # Converter call (Uppercase initial) or path
             if self.toks[self.i + 1].text == "(" and t.text[0].isupper():
                 return self.call()
             return self.path()
         raise SyntaxError(f"OTTL: unexpected {t.text!r}")
 
+    def lambda_(self) -> Lambda:
+        self.expect("(")
+        params = [self.next().text]
+        while self.peek().text == ",":
+            self.next()
+            params.append(self.next().text)
+        self.expect(")")
+        self.expect("=>")
+        return Lambda(params, self.expr())
+
     def call(self) -> Call:
         name = self.next().text
         self.expect("(")
-        args = []
+        args, kwargs = [], {}
+
+        def one():
+            t = self.peek()
+            # named argument: ident=expr ('==' excluded by tokenizer order)
+            if (
+                t.kind == "ident"
+                and self.toks[self.i + 1].text == "="
+                and self.toks[self.i + 2].text != "="
+            ):
+                k = self.next().text
+                self.next()
+                kwargs[k] = self.expr()
+            else:
+                args.append(self.expr())
+
         if self.peek().text != ")":
-            args.append(self.expr())
+            one()
             while self.peek().text == ",":
                 self.next()
-                args.append(self.expr())
+                one()
         self.expect(")")
-        return Call(name, args)
+        return Call(name, args, kwargs)
 
     def path(self) -> Path:
         parts: list = [self.next().text]
@@ -266,16 +346,48 @@ class Parser:
                 parts.append(self.next().text)
             elif t.text == "[":
                 self.next()
-                key = self.next()
-                if key.kind != "string":
-                    raise SyntaxError("OTTL: map index must be a string literal")
+                key = self.expr()
                 self.expect("]")
-                parts.append(("key", _unescape(key.text)))
+                if isinstance(key, Lit) and isinstance(key.value, str):
+                    parts.append(("key", key.value))
+                elif isinstance(key, Lit) and isinstance(key.value, bool):
+                    raise TypeError("OTTL: bool cannot index a map or slice")
+                elif isinstance(key, Lit) and isinstance(key.value, int):
+                    parts.append(("idx", key.value))
+                elif isinstance(key, Lit) and isinstance(key.value, float):
+                    # float index — the reference rejects it at resolve time
+                    # ("expecting 'int64' but got 'float64'")
+                    parts.append(("badidx", key.value))
+                else:
+                    parts.append(("expr", key))
             else:
                 return Path(parts)
 
+
+# severity enum symbols (grammar.go Enum path; ctxlog severity enums —
+# plog.SeverityNumber values, TRACE=1 … FATAL4=24)
+_ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+for _i, _base in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")):
+    for _j in range(4):
+        _ENUMS[f"SEVERITY_NUMBER_{_base}" + ("" if _j == 0 else str(_j + 1))] = _i * 4 + _j + 1
+
+
+_ESCAPES = {'"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
 def _unescape(s: str) -> str:
-    return s[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    """proper escape scanner (the old pair of str.replace calls mangled
+    runs of backslashes like ``"\\\\\\"``)."""
+    body, out, i = s[1:-1], [], 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(_ESCAPES.get(body[i + 1], body[i + 1]))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def parse_expr(src: str):
@@ -318,42 +430,131 @@ _CTX_ALIASES = {
 
 
 class Compiler:
-    def __init__(self, df: DataFrame | None = None, error_mode: str = "propagate"):
+    def __init__(
+        self,
+        df: DataFrame | None = None,
+        error_mode: str = "propagate",
+        attrs_cols: list[str] | None = None,
+    ):
         self.df = df
         self.columns = set(df.columns) if df is not None else None
         self.error_mode = error_mode
+        # promoted attribute columns: logical members of `attributes`
+        # beyond the flat map (heterogeneous values live here)
+        self.attrs_cols = list(attrs_cols or [])
+        self.bindings: dict[str, object] = {}  # lambda params
+
+    def _col_dtype(self, name: str):
+        if self.df is not None and name in self.df.columns:
+            return self.df.schema[name].dataType
+        return None
+
+    def _apply_seg(self, base: Column, dt, seg):
+        """apply one path segment to a column, tracking the schema type
+        when known.  Mirrors the reference's key-type errors
+        (pkg/ottl/contexts/internal/ctxutil key resolution)."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(seg, str):
+            seg = ("key", seg)
+        kind, val = seg[0], seg[1]
+        if kind == "badidx":
+            raise TypeError(
+                "could not resolve key for map/slice, expecting 'int64' but got 'float64'"
+            )
+        if isinstance(dt, ArrayType):
+            if kind == "key":
+                # a string key into a slice of structs/maps is invalid in
+                # the reference too — but arr[i]["name"] arrives as idx
+                # then key; key-on-array only happens via bad statements
+                raise TypeError("unable to resolve a string index in slice")
+            if kind == "idx":
+                return base.getItem(val), dt.elementType
+            return F.get(base, _c(self.compile(val)).cast("int")), dt.elementType
+        if isinstance(dt, MapType):
+            if kind == "idx":
+                raise TypeError("unable to resolve a string index in map: invalid key type")
+            if kind == "key":
+                return base.getItem(val), dt.valueType
+            return F.element_at(base, _c(self.compile(val)).cast("string")), dt.valueType
+        if isinstance(dt, StructType):
+            if kind == "key":
+                sub = next((f.dataType for f in dt.fields if f.name == val), None)
+                return base.getItem(val), sub
+            if kind == "idx":
+                raise TypeError("unable to resolve an integer index in map: invalid key type")
+            raise TypeError(
+                "dynamic keys into struct-typed attributes are not supported "
+                "(documented divergence: promoted heterogeneous trees are structs)"
+            )
+        # unknown type: best effort (pre-schema compile)
+        if kind == "key":
+            return base.getItem(val), None
+        if kind == "idx":
+            return base.getItem(val), None
+        return F.element_at(base, _c(self.compile(val)).cast("string")), None
 
     # path → Column
     def resolve_path(self, p: Path) -> Column:
         parts = p.parts
         head = parts[0]
+        if head == "_":
+            raise SyntaxError("expression has invalid syntax: blank identifier in body")
+        if head in self.bindings:  # lambda parameter
+            v = self.bindings[head]
+            for seg in parts[1:]:
+                v, _dt = self._apply_seg(_c(v), None, seg)
+            return v if len(parts) > 1 else v
         if head == "cache":
             assert len(parts) == 2 and isinstance(parts[1], tuple)
             return F.col(f"_cache_{parts[1][1]}")
         if head == "resource" and len(parts) >= 2 and parts[1] == "attributes":
-            key = parts[2][1] if len(parts) > 2 else None
-            if key is None:
+            if len(parts) == 2:
                 return F.col("resource")
-            name = f"resource_{key}"
-            if self.columns is None or name in self.columns:
-                return F.col(name)
-            return F.col("resource").getItem(key)
+            seg = parts[2]
+            if isinstance(seg, tuple) and seg[0] == "key":
+                name = f"resource_{seg[1]}"
+                if self.columns is None or name in self.columns:
+                    base, dt = F.col(name), self._col_dtype(name)
+                else:
+                    base, dt = F.col("resource").getItem(seg[1]), None
+            else:
+                base, dt = self._apply_seg(
+                    F.col("resource"), self._col_dtype("resource"), seg
+                )
+            for s in parts[3:]:
+                base, dt = self._apply_seg(base, dt, s)
+            return base
         if head == "attributes":
             if len(parts) == 1:
                 return F.col("attributes")
-            key = parts[1][1]
-            if self.columns is None or key in self.columns:
-                base = F.col(key)
+            seg = parts[1]
+            if isinstance(seg, tuple) and seg[0] == "key":
+                key = seg[1]
+                if self.columns is None or key in self.columns:
+                    base, dt = F.col(key), self._col_dtype(key)
+                else:
+                    base, dt = (
+                        F.col("attributes").getItem(key),
+                        None,
+                    )
             else:
-                base = F.col("attributes").getItem(key)
-            # nested segments: attributes["foo"]["bar"] chains getItem
-            for seg in parts[2:]:
-                base = base.getItem(seg[1] if isinstance(seg, tuple) else seg)
+                base, dt = self._apply_seg(
+                    F.col("attributes"), self._col_dtype("attributes"), seg
+                )
+            for s in parts[2:]:
+                base, dt = self._apply_seg(base, dt, s)
             return base
         name = _CTX_ALIASES.get(head, head)
         if len(parts) == 2 and parts[1] == "string":  # body.string / trace_id.string
             return F.col(name).cast("string")
-        return F.col(name)
+        base, dt = F.col(name), self._col_dtype(name)
+        for s in parts[1:]:
+            if isinstance(s, tuple):
+                base, dt = self._apply_seg(base, dt, s)
+            else:
+                base, dt = self._apply_seg(base, dt, ("key", s))
+        return base
 
     def path_target_name(self, p: Path) -> str:
         """Column a `set()` writes to (promoted-column model)."""
@@ -383,6 +584,14 @@ class Compiler:
             if any(isinstance(i, Column) for i in items):
                 return F.array(*[_c(i) for i in items])
             return items  # python list — converters can inspect elements
+        if isinstance(node, MapLit):
+            entries = [(k, self.compile(v)) for k, v in node.entries]
+            if all(not isinstance(v, Column) for _, v in entries):
+                return dict(entries)  # plan-time constant (compile-time map)
+            # column-valued entries: struct keeps heterogeneous field types
+            return F.struct(*[_c(v).alias(k) for k, v in entries])
+        if isinstance(node, Lambda):
+            return node  # consumed by Eval
         if isinstance(node, Index):
             target = _c(self.compile(node.target))
             key = self.compile(node.key)
@@ -407,6 +616,13 @@ class Compiler:
             # constant folding, like the reference's Go-compile-time consts;
             # stays a python literal (no SparkContext needed at plan time)
             return _PYOPS[node.op](left, right)
+        # timestamp - timestamp → Duration (seconds double), so
+        # `Time(..) - Time(..) < Duration("10m")` compares in one unit
+        # (Go: time.Sub yields time.Duration)
+        if node.op == "-" and _is_ts_node(node.left) and _is_ts_node(node.right):
+            return (
+                F.unix_micros(_c(left)) - F.unix_micros(_c(right))
+            ).cast("double") / F.lit(1000000.0)
         # `x == nil` / `x != nil`: OTTL nil equality is a null test, not
         # SQL three-valued NULL comparison (LANGUAGE.md nil semantics)
         if right is None and node.op in ("==", "!="):
@@ -419,10 +635,48 @@ class Compiler:
         return _COLOPS[node.op](lc, rc)
 
     def compile_call(self, node: Call) -> Column:
+        if node.name == "Eval":
+            return self._compile_eval(node)
+        special = _AST_FUNCS.get(node.name)
+        if special is not None:
+            out = special(self, node)
+            if out is not NotImplemented:
+                return out
+        args = [self.compile(a) for a in node.args]
+        kwargs = {k: self.compile(v) for k, v in node.kwargs.items()}
+        fold = _PYFOLD.get(node.name)
+        if fold is not None and not kwargs and all(
+            not isinstance(a, Column) for a in args
+        ):
+            # compile-time constant evaluation, like the reference's
+            # Go-side literal arguments (exprs resolved at parse time)
+            return fold(*args)
         fn = FUNCS.get(node.name)
         if fn is None:
             raise NameError(f"OTTL converter not implemented: {node.name}")
-        return fn(self, [self.compile(a) for a in node.args])
+        if kwargs:
+            return fn(self, args, **kwargs)
+        return fn(self, args)
+
+    def _compile_eval(self, node: Call) -> Column:
+        """Eval((params) => body, [args]) — inline beta-reduction; the
+        reference gates this behind a feature flag
+        (e2e_test.go Test_e2e_lambda_expression)."""
+        lam = node.args[0]
+        if not isinstance(lam, Lambda):
+            raise SyntaxError("Eval: first argument must be a lambda")
+        vals = node.args[1]
+        vals = vals.items if isinstance(vals, ListLit) else [vals]
+        if len(lam.params) != len(vals):
+            raise SyntaxError("Eval: arity mismatch")
+        saved = dict(self.bindings)
+        try:
+            for p, v in zip(lam.params, vals):
+                if p != "_":
+                    self.bindings[p] = self.compile(v)
+            return self.compile(lam.body)
+        finally:
+            self.bindings = saved
 
 
 # converters whose result is a map (for dynamic-key postfix indexing)
@@ -433,11 +687,174 @@ _MAP_PRODUCERS = {
 }
 
 
+_TS_CALLS = {"Time", "Now", "TruncateTime", "Time_", "ObservedTime"}
+_TS_PATHS = {"time", "observed_time"}
+
+
+def _is_ts_node(node) -> bool:
+    """static check: does this AST node produce a timestamp?"""
+    if isinstance(node, Call):
+        return node.name in _TS_CALLS
+    if isinstance(node, Path):
+        return node.parts[0] in _TS_PATHS and len(node.parts) == 1
+    return False
+
+
+def _go_str(v) -> str:
+    """pcommon.Value.AsString, for plan-time folding (bools lowercase,
+    bytes → "[1,2,3]" like the Go fmt of []byte via String())."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (bytes, bytearray)):
+        return "[" + ",".join(str(b) for b in v) + "]"
+    if isinstance(v, float):
+        return repr(v) if v != int(v) else str(int(v))
+    if isinstance(v, list):
+        return "[" + ",".join(_go_str(x) for x in v) + "]"
+    if isinstance(v, dict):
+        import json
+
+        return json.dumps(v, separators=(",", ":"))
+    return str(v)
+
+
+def _py_sort(lst: list, order: str = "asc") -> list:
+    """func_sort.go: common type int → int sort; numeric mix → double;
+    any str/bool/nil present → string sort on AsString keys, original
+    values preserved."""
+    if not lst:
+        return lst
+    if any(isinstance(v, (str, bool)) or v is None for v in lst):
+        key = _go_str
+    elif any(isinstance(v, float) for v in lst):
+        key = float
+    else:
+        key = int
+    return sorted(lst, key=key, reverse=(order == "desc"))
+
+
+def _py_slice_to_map(lst: list, key_path=None, value_path=None):
+    out = {}
+    for i, v in enumerate(lst):
+        if key_path:
+            if not isinstance(v, dict) or key_path[0] not in v:
+                raise ValueError("could not extract key from element")
+            k = str(v[key_path[0]])
+        else:
+            k = str(i)
+        if value_path:
+            if not isinstance(v, dict) or value_path[0] not in v:
+                raise ValueError("provided object does not contain the path")
+            out[k] = v[value_path[0]]
+        else:
+            out[k] = v
+    return out
+
+
+def _py_parse_json(s: str):
+    """pcommon JSON parsing: numbers land as f64 (PutDouble)."""
+    import json
+
+    def conv(v):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, int):
+            return float(v)
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        return v
+
+    return conv(json.loads(s))
+
+
+# plan-time implementations used when every argument is a python
+# literal — mirrors the reference evaluating literal args eagerly
+_PYFOLD = {
+    "Concat": lambda vals, delim: delim.join(_go_str(v) for v in vals),
+    "Len": lambda v: len(v),
+    "IsMap": lambda v: isinstance(v, dict),
+    "IsList": lambda v: isinstance(v, list),
+    "IsBool": lambda v: isinstance(v, bool),
+    "IsDouble": lambda v: isinstance(v, float) and not isinstance(v, bool),
+    "IsString": lambda v: isinstance(v, str),
+    "IsInt": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "Sort": _py_sort,
+    "String": _go_str,
+    "Keys": lambda m: list(m.keys()),
+    "Values": lambda m: list(m.values()),
+    "ContainsValue": lambda lst, v: v in lst,
+    "SliceToMap": _py_slice_to_map,
+    "ParseJSON": _py_parse_json,
+    "Split": lambda s, d: s.split(d),
+    "Index": lambda t, v: (t.find(v) if isinstance(t, str) else (t.index(v) if v in t else -1)),
+}
+
+
+def _ast_len(comp: "Compiler", node: Call):
+    """Len needs the logical attribute set: Len(attributes) counts map
+    keys + promoted columns; Len of a promoted struct column is its
+    field count (plan-time schema fact)."""
+    from pyspark.sql.types import StructType
+
+    if len(node.args) != 1 or not isinstance(node.args[0], Path):
+        return NotImplemented
+    p = node.args[0]
+    if p.parts == ["attributes"] and comp.attrs_cols:
+        return F.size(F.col("attributes")) + F.lit(len(comp.attrs_cols))
+    col = comp.resolve_path(p)
+    # struct-typed targets: Len = number of fields
+    if comp.df is not None and len(p.parts) == 2 and p.parts[0] == "attributes":
+        seg = p.parts[1]
+        if isinstance(seg, tuple) and seg[0] == "key" and seg[1] in comp.df.columns:
+            dt = comp.df.schema[seg[1]].dataType
+            if isinstance(dt, StructType):
+                return len(dt.fields)
+    return NotImplemented
+
+
+def _ast_substring(comp: "Compiler", node: Call):
+    """Substring 4-arg byte mode (func_substring.go: offsets are BYTES,
+    result truncated to whole runes; out-of-range errors)."""
+    if len(node.args) != 4:
+        return NotImplemented
+    args = [comp.compile(a) for a in node.args]
+    if any(isinstance(a, Column) for a in args):
+        return NotImplemented
+    s, start, length, by_bytes = args
+    if not by_bytes:
+        return s[start : start + length]
+    raw = s.encode("utf-8")
+    if start < 0 or length < 0 or start + length > len(raw):
+        raise ValueError("invalid range for substring function")
+    return raw[start : start + length].decode("utf-8", errors="ignore")
+
+
+# converters that need the raw AST (schema facts, plan-time byte math);
+# NotImplemented falls through to the normal compile path
+_AST_FUNCS = {
+    "Len": _ast_len,
+    "Substring": _ast_substring,
+}
+
+
 def _c(v) -> Column:
     if isinstance(v, Column):
         return v
     if isinstance(v, list):
         return F.array(*[_c(x) for x in v])
+    if isinstance(v, dict):
+        vals = list(v.values())
+        types = {type(x) for x in vals}
+        if len(types) == 1 and types != {dict} and types != {list}:
+            return F.create_map(*[x for k, val in v.items() for x in (F.lit(k), _c(val))])
+        if not v:
+            return F.create_map().cast("map<string,string>")
+        # heterogeneous values → struct (field per key, typed)
+        return F.struct(*[_c(val).alias(k) for k, val in v.items()])
     return F.lit(v)
 
 

@@ -33,8 +33,12 @@ def test_parse_nested_calls_and_math():
 def test_parse_errors():
     with pytest.raises(SyntaxError):
         X.parse_expr("lang == ")
+    # dynamic map indexes are legal (e2e: attributes[attributes["flags"]])
+    st = X.parse_statement('set(attributes[k], 1)')
+    seg = st.editor.args[0].parts[1]
+    assert seg[0] == "expr"
     with pytest.raises(SyntaxError):
-        X.parse_statement('set(attributes[k], 1)')  # non-literal map index
+        X.parse_expr('{"unterminated": 1')
 
 
 def test_constant_folding():

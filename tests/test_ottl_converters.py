@@ -33,10 +33,15 @@ def test_format_and_cases(spark, df):
 
 
 def test_type_predicates(spark, df):
-    assert _one(df, 'set(out, IsInt("42"))') is True
+    # literal args: TYPE tests, not parseability (func_is_int.go etc. —
+    # a string is never an int; the e2e mirror pins IsBool(false) etc.)
+    assert _one(df, 'set(out, IsInt(42))') is True
+    assert _one(df, 'set(out, IsInt("42"))') is False
     assert _one(df, 'set(out, IsInt("x"))') is False
-    assert _one(df, 'set(out, IsDouble("4.5"))') is True
-    assert _one(df, 'set(out, IsBool("true"))') is True
+    assert _one(df, 'set(out, IsDouble(4.5))') is True
+    assert _one(df, 'set(out, IsDouble("4.5"))') is False
+    assert _one(df, 'set(out, IsBool(true))') is True
+    assert _one(df, 'set(out, IsBool("true"))') is False
 
 
 def test_array_converters(spark, df):
