@@ -1583,39 +1583,277 @@ def compile_condition(df: DataFrame, src: str) -> Column:
     return Compiler(df).compile_bool(parse_expr(src))
 
 
-def apply_statement(df: DataFrame, src: str) -> DataFrame:
+def compile_value(df: DataFrame, src: str, attrs_cols: list[str] | None = None) -> Column | object:
+    """OTTL value expression (ParseValueExpression,
+    pkg/ottl/parser.go ValueExpression) → Column or python constant."""
+    return Compiler(df, attrs_cols=attrs_cols).compile(parse_expr(src))
+
+
+def _pcol(name: str) -> Column:
+    """column ref that survives dots in promoted attribute names
+    (`conflict.conflict1` is a single key, not nested access)."""
+    return F.col("`" + name + "`") if "." in name else F.col(name)
+
+
+def _canon_leaf(col: Column, dt) -> Column:
+    """canonical string form of a flattened leaf: scalars cast, complex
+    values JSON-encoded (documented divergence: the engine's flat maps
+    are map<string,string>, so non-string leaf types canonicalize)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, (ArrayType, MapType, StructType)):
+        return F.to_json(col)
+    return col.cast("string")
+
+
+def _ref_flatten_entries(col: Column, dt, key: Column, depth: int, max_depth: int, resolve: bool) -> Column:
+    """array<struct<key,value>> leaves per the reference's exact
+    algorithm (func_flatten.go flattenValue): maps/structs recurse while
+    depth < max; slices emit `key.i` per element (bare `key` under
+    resolveConflicts — the suffix counter is applied globally later);
+    map/slice values AT the depth boundary stay whole (JSON-encoded
+    here)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def leaf(k: Column, c: Column, d) -> Column:
+        return F.array(F.struct(k.alias("key"), _canon_leaf(c, d).alias("value")))
+
+    if isinstance(dt, StructType) and depth < max_depth:
+        arrs = [
+            _ref_flatten_entries(
+                col.getField(f.name), f.dataType,
+                F.concat(key, F.lit("." + f.name)), depth + 1, max_depth, resolve,
+            )
+            for f in dt.fields
+        ]
+        return F.concat(*arrs) if len(arrs) > 1 else arrs[0]
+    if isinstance(dt, MapType) and depth < max_depth:
+        vt = dt.valueType
+        return F.flatten(
+            F.transform(
+                F.map_entries(col),
+                lambda e: _ref_flatten_entries(
+                    e.getField("value"), vt,
+                    F.concat(key, F.lit("."), e.getField("key")),
+                    depth + 1, max_depth, resolve,
+                ),
+            )
+        )
+    if isinstance(dt, ArrayType) and depth < max_depth:
+        et = dt.elementType
+        if isinstance(et, (MapType, StructType)) and depth + 1 < max_depth:
+            return F.flatten(
+                F.transform(
+                    col,
+                    lambda x, i: _ref_flatten_entries(
+                        x, et, F.concat(key, F.lit("."), i.cast("string")),
+                        depth + 2, max_depth, resolve,
+                    ),
+                )
+            )
+        if isinstance(et, ArrayType) and depth + 1 < max_depth:
+            return F.flatten(
+                F.transform(
+                    col,
+                    lambda x, i: _ref_flatten_entries(
+                        x, et, F.concat(key, F.lit("."), i.cast("string")),
+                        depth + 2, max_depth, resolve,
+                    ),
+                )
+            )
+        # leaf elements (or depth boundary): key.i, or bare key when
+        # resolveConflicts (global suffix counter disambiguates)
+        return F.transform(
+            col,
+            lambda x, i: F.struct(
+                (key if resolve else F.concat(key, F.lit("."), i.cast("string"))).alias("key"),
+                _canon_leaf(x, et).alias("value"),
+            ),
+        )
+    return leaf(key, col, dt)
+
+
+def _dedup_last_wins(entries: Column) -> Column:
+    """pcommon.Map.Put overwrites — keep each key's LAST occurrence,
+    preserving first-occurrence order (bounded per-row array, O(n²)
+    element ops in one JVM expression)."""
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda x: x.getField("key") == e.getField("key"),
+        ),
+    )
+
+
+def _suffix_conflicts(entries: Column) -> Column:
+    """resolveConflicts=true: repeated keys get `.N` suffixes in
+    occurrence order (func_flatten.go handleConflict)."""
+    return F.transform(
+        entries,
+        lambda e, i: F.struct(
+            F.when(
+                F.exists(
+                    F.slice(entries, 1, i),
+                    lambda x: x.getField("key") == e.getField("key"),
+                ),
+                F.concat(
+                    e.getField("key"),
+                    F.lit("."),
+                    (
+                        F.size(
+                            F.filter(
+                                F.slice(entries, 1, i),
+                                lambda x: x.getField("key") == e.getField("key"),
+                            )
+                        )
+                        - 1
+                    ).cast("string"),
+                ),
+            )
+            .otherwise(e.getField("key"))
+            .alias("key"),
+            e.getField("value").alias("value"),
+        ),
+    )
+
+
+def apply_statement(
+    df: DataFrame, src: str, attrs_cols: list[str] | None = None
+) -> DataFrame:
     """Execute one `editor(args) where cond` statement (parser.go:33-51):
-    rows failing the condition keep their original values."""
+    rows failing the condition keep their original values.
+
+    ``attrs_cols`` names the promoted attribute columns — typed columns
+    that are logical members of ``attributes`` beyond the flat
+    map<string,string> (the engine's representation of heterogeneous
+    OTel attribute values).  Editors whose target is bare ``attributes``
+    then operate on the UNION of the map and those columns."""
     stmt = parse_statement(src)
-    comp = Compiler(df)
+    comp = Compiler(df, attrs_cols=attrs_cols)
     cond = comp.compile_bool(stmt.where) if stmt.where is not None else None
     ed = stmt.editor
+    attrs_cols = [c for c in (attrs_cols or []) if c in df.columns]
 
     def gated(new: Column, old: Column) -> Column:
         if cond is None:
             return new
         return F.when(cond, new).otherwise(old)
 
+    def _struct_set(struct_name: str, field_segs: list, value: Column) -> DataFrame:
+        """write into a nested field of a promoted struct column via
+        withField (attributes["foo"]["test"] = ...)."""
+        base = _pcol(struct_name)
+        if len(field_segs) != 1:
+            raise NotImplementedError("only one nested level of struct writes")
+        fld = field_segs[0][1]
+        old = _pcol(struct_name)
+        return df.withColumn(struct_name, gated(base.withField(fld, value), old))
+
     name = ed.name
     if name == "set":
         target = ed.args[0]
         assert isinstance(target, Path)
+        value_raw = comp.compile(ed.args[1])
+        # set() does nothing when the value is nil (func_set.go:30-33) —
+        # including runtime nil from reading a missing attribute.  The
+        # null-skip applies to PATH values only (converter results keep
+        # overwrite behavior, as the engine's pipelines rely on it).
+        if value_raw is None:
+            return df
+        value = _c(value_raw)
+        keep_old_on_null = isinstance(ed.args[1], (Path, Index))
+        parts = target.parts
+        # dynamic-key writes: set(attributes[<expr>], v) → map update
+        if parts[0] in ("attributes",) and len(parts) == 2 and isinstance(parts[1], tuple) and parts[1][0] in ("expr", "idx"):
+            if parts[1][0] == "idx":
+                raise TypeError("unable to resolve a string index in map: invalid key type")
+            key = _c(comp.compile(parts[1][1])).cast("string")
+            m = F.col("attributes")
+            new = F.map_concat(
+                F.map_filter(m, lambda k, _v: k != key),
+                F.create_map(key, value.cast("string")),
+            )
+            return df.withColumn("attributes", gated(new, m))
+        if (
+            parts[0] == "resource"
+            and len(parts) == 3
+            and isinstance(parts[2], tuple)
+            and parts[2][0] == "expr"
+        ):
+            key = _c(comp.compile(parts[2][1])).cast("string")
+            m = F.col("resource")
+            new = F.map_concat(
+                F.map_filter(m, lambda k, _v: k != key),
+                F.create_map(key, value.cast("string")),
+            )
+            return df.withColumn("resource", gated(new, m))
+        # nested struct write: set(attributes["foo"]["test"], v)
+        if (
+            parts[0] == "attributes"
+            and len(parts) >= 3
+            and isinstance(parts[1], tuple)
+            and parts[1][0] == "key"
+            and parts[1][1] in df.columns
+        ):
+            from pyspark.sql.types import ArrayType, StructType
+
+            dt = df.schema[parts[1][1]].dataType
+            if isinstance(dt, ArrayType):
+                raise TypeError("unable to resolve an integer index in slice")
+            if isinstance(dt, StructType):
+                return _struct_set(parts[1][1], parts[2:], value)
+        # whole-attribute-set replacement: set(attributes, {...})
+        if parts == ["attributes"]:
+            out = df.withColumn("attributes", gated(value, F.col("attributes")))
+            for c in attrs_cols:
+                out = out.drop(c)
+            return out
         col_name = comp.path_target_name(target)
-        value = _c(comp.compile(ed.args[1]))
-        old = F.col(col_name) if col_name in df.columns else F.lit(None)
-        # set() does nothing when value is nil (func_set.go) — gated NULL
-        # writes still overwrite; fixtures avoid nil-valued set.
+        old = _pcol(col_name) if col_name in df.columns else F.lit(None)
+        if keep_old_on_null:
+            value = F.when(value.isNull(), old).otherwise(value)
         return df.withColumn(col_name, gated(value, old))
     if name in ("delete_key", "delete_matching_keys", "keep_keys", "keep_matching_keys"):
+        import re as _re
+
+        from pyspark.sql.types import StructType
+
         target = ed.args[0]
         col_name = comp.path_target_name(target)
-        m = F.col(col_name)
+
+        def _key_list() -> list[str]:
+            ks = [comp.compile(a) for a in ed.args[1:]]
+            if len(ks) == 1 and isinstance(ks[0], list):
+                ks = ks[0]
+            return [_lit_arg(k, "key") for k in ks]
+
+        def _keeps(names: list[str]) -> list[str]:
+            if name == "delete_key":
+                key = _lit_arg(comp.compile(ed.args[1]), "key")
+                return [n for n in names if n != key]
+            if name == "keep_keys":
+                ks = set(_key_list())
+                return [n for n in names if n in ks]
+            pat = _lit_arg(comp.compile(ed.args[1]), "pattern")
+            rx = _re.compile(pat)
+            if name == "delete_matching_keys":
+                return [n for n in names if not rx.search(n)]
+            return [n for n in names if rx.search(n)]
+
+        # struct-typed target (promoted heterogeneous map) — plan-time
+        # field projection
+        if col_name in df.columns and isinstance(df.schema[col_name].dataType, StructType):
+            base = _pcol(col_name)
+            keep = _keeps([f.name for f in df.schema[col_name].dataType.fields])
+            new = F.struct(*[base.getField(f).alias(f) for f in keep])
+            return df.withColumn(col_name, gated(new, base))
+        m = _pcol(col_name)
         if name == "delete_key":
             key = _lit_arg(comp.compile(ed.args[1]), "key")
             new = F.map_filter(m, lambda k, v: k != F.lit(key))
         elif name == "keep_keys":
-            keys = [_lit_arg(comp.compile(a), "key") for a in ed.args[1:]]
-            arr = F.array(*[F.lit(k) for k in keys])
+            arr = F.array(*[F.lit(k) for k in _key_list()])
             new = F.map_filter(m, lambda k, v: F.array_contains(arr, k))
         elif name == "delete_matching_keys":
             pat = _lit_arg(comp.compile(ed.args[1]), "pattern")
@@ -1623,7 +1861,16 @@ def apply_statement(df: DataFrame, src: str) -> DataFrame:
         else:
             pat = _lit_arg(comp.compile(ed.args[1]), "pattern")
             new = F.map_filter(m, lambda k, v: k.rlike(pat))
-        return df.withColumn(col_name, gated(new, m))
+        out = df.withColumn(col_name, gated(new, m))
+        # union semantics: bare-`attributes` key edits also apply to the
+        # promoted columns (plan-time drop — key args are literals)
+        if target.parts == ["attributes"] and attrs_cols:
+            if cond is not None:
+                raise NotImplementedError("gated promoted-column drops")
+            for c in attrs_cols:
+                if c not in _keeps(attrs_cols):
+                    out = out.drop(c)
+        return out
     if name in ("replace_pattern", "replace_all_patterns"):
         target = ed.args[0]
         col_name = comp.path_target_name(target)
@@ -1665,47 +1912,241 @@ def apply_statement(df: DataFrame, src: str) -> DataFrame:
             )
         return df.withColumn(col_name, gated(new, old))
     if name == "truncate_all":
+        from pyspark.sql.types import StringType
+
         col_name = comp.path_target_name(ed.args[0])
         n = _lit_arg(comp.compile(ed.args[1]), "limit")
-        old = F.col(col_name)
+        old = _pcol(col_name)
         new = F.transform_values(old, lambda k, v: F.substring(v, 1, n))
-        return df.withColumn(col_name, gated(new, old))
+        out = df.withColumn(col_name, gated(new, old))
+        if ed.args[0].parts == ["attributes"] and attrs_cols:
+            # only STRING values truncate (func_truncate_all.go ignores
+            # non-string); promoted string columns are part of the set
+            for c in attrs_cols:
+                if isinstance(df.schema[c].dataType, StringType):
+                    out = out.withColumn(c, gated(F.substring(_pcol(c), 1, n), _pcol(c)))
+        return out
     if name == "limit":
         col_name = comp.path_target_name(ed.args[0])
         n = _lit_arg(comp.compile(ed.args[1]), "limit")
-        old = F.col(col_name)
-        # deterministic variant: keep the first n keys in sorted order
-        new = F.map_from_entries(F.slice(F.array_sort(F.map_entries(old)), 1, n))
-        return df.withColumn(col_name, gated(new, old))
+        prio = comp.compile(ed.args[2]) if len(ed.args) > 2 else []
+        prio = [_lit_arg(p, "priority") for p in (prio if isinstance(prio, list) else [prio])]
+        old = _pcol(col_name)
+        out = df
+        # deterministic union variant (documented divergence from the
+        # reference's map-order limit): priority keys always kept;
+        # promoted columns consume the remaining budget first (attrs_cols
+        # order), then map keys fill the rest lexicographically
+        budget = n - len(prio)
+        kept_promoted = 0
+        if ed.args[0].parts == ["attributes"] and attrs_cols:
+            if cond is not None:
+                raise NotImplementedError("gated promoted-column drops")
+            for c in attrs_cols:
+                if c in prio or kept_promoted < budget:
+                    kept_promoted += 1
+                else:
+                    out = out.drop(c)
+        prio_arr = F.array(*[F.lit(p) for p in prio]) if prio else F.array().cast("array<string>")
+        ranked = F.array_sort(
+            F.map_entries(F.map_filter(old, lambda k, v: ~F.array_contains(prio_arr, k)))
+        )
+        new = F.map_from_entries(
+            F.concat(
+                F.filter(F.map_entries(old), lambda e: F.array_contains(prio_arr, e.getField("key"))),
+                F.slice(ranked, 1, max(0, budget - kept_promoted)),
+            )
+        )
+        return out.withColumn(col_name, gated(new, old))
     if name == "flatten":
-        # flatten(target[, prefix][, depth]) — plan-time recursive
-        # expansion driven by the column's Spark schema
-        # (func_flatten.go: nested maps/slices → dotted / indexed keys)
+        # flatten(target[, prefix][, depth][, resolveConflicts]) —
+        # plan-time recursive expansion driven by the Spark schema,
+        # mirroring func_flatten.go's exact key/depth/conflict rules
         col_name = comp.path_target_name(ed.args[0])
-        prefix = _lit_arg(comp.compile(ed.args[1]), "prefix") if len(ed.args) > 1 else ""
-        depth = _lit_arg(comp.compile(ed.args[2]), "depth") if len(ed.args) > 2 else 100
-        old = F.col(col_name)
+        kw = {k: comp.compile(v) for k, v in ed.kwargs.items()}
+        prefix = _lit_arg(comp.compile(ed.args[1]), "prefix") if len(ed.args) > 1 else kw.get("prefix", "")
+        depth = _lit_arg(comp.compile(ed.args[2]), "depth") if len(ed.args) > 2 else int(kw.get("depth", 2 ** 31))
+        resolve = bool(kw.get("resolveConflicts", False))
+        old = _pcol(col_name)
+        if ed.args[0].parts == ["attributes"] and attrs_cols:
+            # union flatten: the flat map's entries are depth-1 leaves;
+            # promoted columns flatten per their schema.  pcommon maps
+            # iterate in insertion order — map entries first, then
+            # attrs_cols order.
+            pre = F.lit(prefix + ".") if prefix else F.lit("")
+            ents = [
+                F.transform(
+                    F.map_entries(F.col("attributes")),
+                    lambda e: F.struct(
+                        F.concat(pre, e.getField("key")).alias("key"),
+                        e.getField("value").alias("value"),
+                    ),
+                )
+            ]
+            for c in attrs_cols:
+                ents.append(
+                    _ref_flatten_entries(
+                        _pcol(c), df.schema[c].dataType,
+                        F.concat(pre, F.lit(c)), 0, depth, resolve,
+                    )
+                )
+            entries = F.concat(*ents)
+            entries = _suffix_conflicts(entries) if resolve else _dedup_last_wins(entries)
+            out = df.withColumn("attributes", gated(F.map_from_entries(entries), old))
+            if cond is not None and any(True for _ in attrs_cols):
+                raise NotImplementedError("gated promoted-column drops")
+            for c in attrs_cols:
+                out = out.drop(c)
+            return out
         new = flatten_column(df, col_name, prefix, depth)
         return df.withColumn(col_name, gated(new, old))
     if name == "stringify_all":
-        # StringifyAll: every leaf value → its string form
-        # (func_stringify_all.go); typed columns make this a per-value
-        # cast on the map
+        # StringifyAll: every value → its string form
+        # (func_stringify_all.go); complex promoted columns take their
+        # pcommon-JSON encoding
         col_name = comp.path_target_name(ed.args[0])
-        old = F.col(col_name)
+        old = _pcol(col_name)
         new = F.transform_values(old, lambda k, v: v.cast("string"))
-        return df.withColumn(col_name, gated(new, old))
+        out = df.withColumn(col_name, gated(new, old))
+        if ed.args[0].parts == ["attributes"] and attrs_cols:
+            for c in attrs_cols:
+                out = out.withColumn(
+                    c, gated(_canon_leaf(_pcol(c), df.schema[c].dataType), _pcol(c))
+                )
+        return out
     if name == "merge_maps":
+        from pyspark.sql.types import StructType
+
         col_name = comp.path_target_name(ed.args[0])
-        src_col = _c(comp.compile(ed.args[1]))
+        src_raw = comp.compile(ed.args[1])
         mode = _lit_arg(comp.compile(ed.args[2]), "mode")
-        old = F.col(col_name)
+        old = _pcol(col_name)
+        # union path: source is a promoted struct column or a map
+        # literal, whose members land as promoted columns / map updates
+        src_fields = None
+        src_node = ed.args[1]
+        if (
+            isinstance(src_node, Path)
+            and src_node.parts[0] == "attributes"
+            and len(src_node.parts) == 2
+            and isinstance(src_node.parts[1], tuple)
+            and src_node.parts[1][1] in df.columns
+            and isinstance(df.schema[src_node.parts[1][1]].dataType, StructType)
+        ):
+            src_name = src_node.parts[1][1]
+            src_fields = [
+                (f.name, _pcol(src_name).getField(f.name), f.dataType)
+                for f in df.schema[src_name].dataType.fields
+            ]
+        elif isinstance(src_raw, dict):
+            src_fields = [(k, _c(v), None) for k, v in src_raw.items()]
+        if src_fields is not None and ed.args[0].parts == ["attributes"]:
+            from pyspark.sql.types import StringType
+
+            out = df
+            existing = set(attrs_cols)
+            m = old
+            for k, colv, dt in src_fields:
+                in_promoted = k in existing
+                in_map = None  # row-wise
+                is_string = dt is None or isinstance(dt, StringType)
+                if mode in ("update", "upsert"):
+                    # update existing map key (row-wise) / promoted col
+                    if is_string:
+                        m = F.map_zip_with(
+                            m,
+                            F.create_map(F.lit(k), colv.cast("string")),
+                            lambda _k, v1, v2: F.when(v1.isNotNull(), F.coalesce(v2, v1)).otherwise(
+                                v1
+                            ),
+                        ) if False else F.transform_values(
+                            m, lambda mk, mv, _k=k, _v=colv: F.when(mk == _k, _v.cast("string")).otherwise(mv)
+                        )
+                    if in_promoted:
+                        out = out.withColumn(k, gated(colv, _pcol(k)))
+                if mode in ("insert", "upsert") and not in_promoted:
+                    # new key: promote as a typed column, unless the map
+                    # already has it (insert skips row-wise… map keys are
+                    # checked row-wise below for insert)
+                    present_in_map = F.array_contains(F.map_keys(old), k)
+                    if mode == "insert":
+                        newcol = F.when(~present_in_map, colv)
+                    else:
+                        newcol = colv
+                        m = F.map_filter(m, lambda mk, mv, _k=k: mk != _k)
+                    out = out.withColumn(k, gated(newcol, F.lit(None)))
+            out = out.withColumn(col_name, gated(m, old))
+            return out
+        src_col = _c(src_raw)
         if mode == "upsert":
             new = F.map_concat(F.map_filter(old, lambda k, v: ~F.array_contains(F.map_keys(src_col), k)), src_col)
         elif mode == "insert":
             new = F.map_concat(old, F.map_filter(src_col, lambda k, v: ~F.array_contains(F.map_keys(old), k)))
         else:  # update
             new = F.map_zip_with(old, src_col, lambda k, v1, v2: F.when(v1.isNotNull(), F.coalesce(v2, v1)))
+        return df.withColumn(col_name, gated(new, old))
+    if name == "append":
+        # append(target, value | values=[..]) — func_append.go: missing
+        # target → new slice; scalar target → [old, new…]; slice target
+        # → extended
+        target = ed.args[0]
+        vals = [comp.compile(a) for a in ed.args[1:]]
+        if "values" in ed.kwargs:
+            more = comp.compile(ed.kwargs["values"])
+            vals.extend(more if isinstance(more, list) else [more])
+        parts = target.parts
+        if (
+            parts[0] == "attributes"
+            and len(parts) == 3
+            and isinstance(parts[1], tuple)
+            and parts[1][1] in df.columns
+        ):
+            from pyspark.sql.types import ArrayType, StructType
+
+            struct_name = parts[1][1]
+            dt = df.schema[struct_name].dataType
+            if isinstance(dt, StructType):
+                fld = parts[2][1]
+                fdt = next((f.dataType for f in dt.fields if f.name == fld), None)
+                base = _pcol(struct_name)
+                if fdt is None:
+                    new_f = F.array(*[_c(v) for v in vals])
+                elif isinstance(fdt, ArrayType):
+                    et = fdt.elementType.simpleString()
+                    new_f = F.concat(
+                        base.getField(fld), F.array(*[_c(v).cast(et) for v in vals])
+                    )
+                else:  # scalar → slice [old, new…] (canonicalized to the
+                    # scalar's type, documented: pcommon slices are
+                    # heterogeneous, Spark arrays are not)
+                    st = fdt.simpleString()
+                    new_f = F.concat(
+                        F.array(base.getField(fld)),
+                        F.array(*[_c(v).cast(st) for v in vals]),
+                    )
+                return df.withColumn(
+                    struct_name, gated(base.withField(fld, new_f), base)
+                )
+        col_name = comp.path_target_name(target)
+        old = _pcol(col_name) if col_name in df.columns else None
+        if old is None:
+            new = F.array(*[_c(v) for v in vals])
+            return df.withColumn(col_name, gated(new, F.lit(None)))
+        new = F.concat(old, F.array(*[_c(v) for v in vals]))
+        return df.withColumn(col_name, gated(new, old))
+    if name == "delete_index":
+        # delete_index(slice, i [, endIndex=j]) — removes [i, j) (j
+        # defaults to i+1); index may be dynamic (Len(..)-1, Index(..))
+        col_name = comp.path_target_name(ed.args[0])
+        start = _c(comp.compile(ed.args[1])).cast("int")
+        if len(ed.args) > 2:
+            end = _c(comp.compile(ed.args[2])).cast("int")
+        elif "endIndex" in ed.kwargs:
+            end = _c(comp.compile(ed.kwargs["endIndex"])).cast("int")
+        else:
+            end = start + F.lit(1)
+        old = _pcol(col_name)
+        new = F.filter(old, lambda x, i: (i < start) | (i >= end))
         return df.withColumn(col_name, gated(new, old))
     raise NameError(f"OTTL editor not implemented: {name}")
 
