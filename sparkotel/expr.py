@@ -224,8 +224,10 @@ class Parser:
         return node
 
     def _is_lambda_ahead(self) -> bool:
-        """lookahead for ``(ident[, ident]*) =>`` from a ``(`` token."""
+        """lookahead for ``([ident[, ident]*]) =>`` from a ``(`` token."""
         j = self.i + 1
+        if self.toks[j].text == ")":  # zero-parameter lambda: () =>
+            return self.toks[j + 1].text == "=>"
         if self.toks[j].kind != "ident":
             return False
         j += 1
@@ -302,12 +304,22 @@ class Parser:
 
     def lambda_(self) -> Lambda:
         self.expect("(")
-        params = [self.next().text]
-        while self.peek().text == ",":
-            self.next()
+        params = []
+        if self.peek().text != ")":
             params.append(self.next().text)
+            while self.peek().text == ",":
+                self.next()
+                params.append(self.next().text)
         self.expect(")")
         self.expect("=>")
+        # the reference's lambda validation (ottl lambda feature gate)
+        seen = set()
+        for p in params:
+            if p != "_" and p in seen:
+                raise SyntaxError(f'duplicate local identifier "{p}"')
+            seen.add(p)
+        if self.peek().text == "(" and self._is_lambda_ahead():
+            raise SyntaxError("lambda body cannot result into another lambda expression")
         return Lambda(params, self.expr())
 
     def call(self) -> Call:
@@ -359,6 +371,8 @@ class Parser:
                     # ("expecting 'int64' but got 'float64'")
                     parts.append(("badidx", key.value))
                 else:
+                    if isinstance(key, Lambda):
+                        raise SyntaxError("expression has invalid syntax: lambda as index key")
                     parts.append(("expr", key))
             else:
                 return Path(parts)
@@ -487,6 +501,10 @@ class Compiler:
                 "dynamic keys into struct-typed attributes are not supported "
                 "(documented divergence: promoted heterogeneous trees are structs)"
             )
+        if dt is not None:
+            # known SCALAR type: indexing into it is a runtime nil in the
+            # reference ("complex indexing not found", e2e features table)
+            return F.lit(None), None
         # unknown type: best effort (pre-schema compile)
         if kind == "key":
             return base.getItem(val), None
@@ -534,9 +552,10 @@ class Compiler:
                 if self.columns is None or key in self.columns:
                     base, dt = F.col(key), self._col_dtype(key)
                 else:
+                    mdt = self._col_dtype("attributes")
                     base, dt = (
                         F.col("attributes").getItem(key),
-                        None,
+                        mdt.valueType if mdt is not None else None,
                     )
             else:
                 base, dt = self._apply_seg(
@@ -595,6 +614,14 @@ class Compiler:
         if isinstance(node, Index):
             target = _c(self.compile(node.target))
             key = self.compile(node.key)
+            if self.df is not None:
+                from pyspark.sql.types import ArrayType, MapType, StructType
+
+                tdt = self.df.select(target).schema[0].dataType
+                if not isinstance(tdt, (ArrayType, MapType, StructType)):
+                    # indexing into a scalar value: runtime nil in the
+                    # reference ("complex indexing not found")
+                    return None
             if isinstance(key, int):
                 return target.getItem(key)  # 0-based slice access
             if isinstance(key, str):
@@ -650,7 +677,13 @@ class Compiler:
         ):
             # compile-time constant evaluation, like the reference's
             # Go-side literal arguments (exprs resolved at parse time)
-            return fold(*args)
+            if node.name in _PYFOLD_SOFT:
+                try:
+                    return fold(*args)
+                except (ValueError, TypeError):
+                    pass  # → column path (try_cast null-on-error)
+            else:
+                return fold(*args)
         fn = FUNCS.get(node.name)
         if fn is None:
             raise NameError(f"OTTL converter not implemented: {node.name}")
@@ -668,7 +701,10 @@ class Compiler:
         vals = node.args[1]
         vals = vals.items if isinstance(vals, ListLit) else [vals]
         if len(lam.params) != len(vals):
-            raise SyntaxError("Eval: arity mismatch")
+            raise SyntaxError(
+                f"lambda should be defined with exactly {len(vals)} formal(s), "
+                f"but has {len(lam.params)}"
+            )
         saved = dict(self.bindings)
         try:
             for p, v in zip(lam.params, vals):
@@ -753,6 +789,20 @@ def _py_slice_to_map(lst: list, key_path=None, value_path=None):
     return out
 
 
+def _py_bool(v):
+    """strconv.ParseBool semantics (func_boolean.go)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    s = str(v)
+    if s in ("1", "t", "T", "true", "TRUE", "True"):
+        return True
+    if s in ("0", "f", "F", "false", "FALSE", "False"):
+        return False
+    raise ValueError(f"invalid bool syntax: {s!r}")
+
+
 def _py_parse_json(s: str):
     """pcommon JSON parsing: numbers land as f64 (PutDouble)."""
     import json
@@ -791,28 +841,40 @@ _PYFOLD = {
     "ParseJSON": _py_parse_json,
     "Split": lambda s, d: s.split(d),
     "Index": lambda t, v: (t.find(v) if isinstance(t, str) else (t.index(v) if v in t else -1)),
+    "Int": lambda v: int(v) if not isinstance(v, str) else int(v, 10),
+    "Double": lambda v: float(v),
+    "Bool": _py_bool,
 }
+
+# folds whose failure falls through to the column path (try_cast null
+# semantics) instead of erroring at plan time
+_PYFOLD_SOFT = {"Int", "Double", "Bool"}
 
 
 def _ast_len(comp: "Compiler", node: Call):
     """Len needs the logical attribute set: Len(attributes) counts map
     keys + promoted columns; Len of a promoted struct column is its
     field count (plan-time schema fact)."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
     if len(node.args) != 1 or not isinstance(node.args[0], Path):
         return NotImplemented
     p = node.args[0]
-    if p.parts == ["attributes"] and comp.attrs_cols:
-        return F.size(F.col("attributes")) + F.lit(len(comp.attrs_cols))
+    if p.parts == ["attributes"]:
+        if comp.attrs_cols:
+            return F.size(F.col("attributes")) + F.lit(len(comp.attrs_cols))
+        return F.size(F.col("attributes"))
     col = comp.resolve_path(p)
-    # struct-typed targets: Len = number of fields
+    # typed targets: struct → field count (plan-time schema fact);
+    # array/map → size
     if comp.df is not None and len(p.parts) == 2 and p.parts[0] == "attributes":
         seg = p.parts[1]
         if isinstance(seg, tuple) and seg[0] == "key" and seg[1] in comp.df.columns:
             dt = comp.df.schema[seg[1]].dataType
             if isinstance(dt, StructType):
                 return len(dt.fields)
+            if isinstance(dt, (ArrayType, MapType)):
+                return F.size(col)
     return NotImplemented
 
 
@@ -833,18 +895,129 @@ def _ast_substring(comp: "Compiler", node: Call):
     return raw[start : start + length].decode("utf-8", errors="ignore")
 
 
+def _ast_index(comp: "Compiler", node: Call):
+    """Index(target, value) — position of value in a slice / substring
+    offset in a string, -1 when absent (func_index.go).  Resolves the
+    target's Spark type via a plan-time schema probe."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    if len(node.args) != 2:
+        return NotImplemented
+    t = comp.compile(node.args[0])
+    v = comp.compile(node.args[1])
+    if not isinstance(t, Column):
+        return NotImplemented  # python literal → _PYFOLD
+    if comp.df is None:
+        return NotImplemented
+    dt = comp.df.select(_c(t)).schema[0].dataType
+    if isinstance(dt, ArrayType):
+        return (
+            F.array_position(t, _c(v).cast(dt.elementType.simpleString())) - 1
+        ).cast("bigint")
+    if isinstance(dt, StringType):
+        return (F.instr(t, _c(v).cast("string")) - 1).cast("bigint")
+    return NotImplemented
+
+
 # converters that need the raw AST (schema facts, plan-time byte math);
 # NotImplemented falls through to the normal compile path
+def _bytes_as_string(col: Column) -> Column:
+    """pcommon String() of a byte id: "[1,2,3,...]" (Go []byte fmt)."""
+    pairs = F.regexp_extract_all(F.hex(col), F.lit("(..)"), F.lit(1))
+    return F.concat(
+        F.lit("["),
+        F.array_join(F.transform(pairs, lambda p: F.conv(p, 16, 10)), ","),
+        F.lit("]"),
+    )
+
+
+def _ast_string(comp: "Compiler", node: Call):
+    """String() of binary ids renders the Go byte-slice form; the
+    hex-string id columns (trace_id/span_id paths) take the same form
+    (pkg/ottl String() via pcommon.Value AsString)."""
+    from pyspark.sql.types import BinaryType
+
+    if len(node.args) != 1:
+        return NotImplemented
+    arg = node.args[0]
+    if isinstance(arg, Path) and arg.parts[0] in ("trace_id", "span_id"):
+        return _bytes_as_string(F.unhex(comp.resolve_path(arg)))
+    if isinstance(arg, Call) and arg.name in ("SpanID", "TraceID", "ProfileID"):
+        return _bytes_as_string(F.unhex(_c(comp.compile(arg))))
+    v = comp.compile(arg)
+    if isinstance(v, Column) and comp.df is not None:
+        if isinstance(comp.df.select(v).schema[0].dataType, BinaryType):
+            return _bytes_as_string(v)
+    return NotImplemented
+
+
+def _ast_truncate_time(comp: "Compiler", node: Call):
+    """TruncateTime(ts, Duration(lit)) — fold the duration literal into
+    a date_trunc unit at plan time (func_truncate_time.go)."""
+    if len(node.args) != 2:
+        return NotImplemented
+    d = node.args[1]
+    if (
+        isinstance(d, Call)
+        and d.name == "Duration"
+        and len(d.args) == 1
+        and isinstance(d.args[0], Lit)
+    ):
+        return F.date_trunc(_duration_unit(d.args[0].value), _c(comp.compile(node.args[0])))
+    return NotImplemented
+
+
+def _ast_hex(comp: "Compiler", node: Call):
+    """Hex() of an id value: the reference hex-encodes the raw id bytes
+    (func_hex.go []byte branch); the engine already models ids as
+    lowercase hex strings, so the id form passes through unchanged."""
+    if len(node.args) != 1:
+        return NotImplemented
+    arg = node.args[0]
+    if isinstance(arg, Path) and arg.parts[0] in ("trace_id", "span_id"):
+        return F.lower(comp.resolve_path(arg))
+    if isinstance(arg, Call) and arg.name in ("SpanID", "TraceID", "ProfileID"):
+        return _c(comp.compile(arg))
+    return NotImplemented
+
+
 _AST_FUNCS = {
+    "Hex": _ast_hex,
     "Len": _ast_len,
     "Substring": _ast_substring,
+    "Index": _ast_index,
+    "TruncateTime": _ast_truncate_time,
+    "String": _ast_string,
 }
+
+
+def _het_class(x) -> str:
+    """type class for slice-homogeneity: numeric int/float unify, bool
+    does not (it would silently become 0/1)."""
+    if isinstance(x, bool):
+        return "bool"
+    if isinstance(x, (int, float)):
+        return "num"
+    if isinstance(x, dict):
+        import json
+
+        return "map:" + json.dumps(
+            sorted((k, _het_class(val)) for k, val in x.items())
+        )
+    if isinstance(x, list):
+        return "slice"
+    return type(x).__name__
 
 
 def _c(v) -> Column:
     if isinstance(v, Column):
         return v
     if isinstance(v, list):
+        # heterogeneous literal slices can't exist in Spark — their
+        # elements take the pcommon AsString form (documented divergence;
+        # typed pcommon slices keep per-element types in the reference)
+        if len({_het_class(x) for x in v if x is not None}) > 1:
+            return F.array(*[F.lit(_go_str(x)) for x in v])
         return F.array(*[_c(x) for x in v])
     if isinstance(v, dict):
         vals = list(v.values())
@@ -917,7 +1090,15 @@ def _concat(c, a):
 _reg("Concat")(_concat)
 _reg("Len")(lambda c, a: F.length(_c(a[0])))
 _reg("Substring")(lambda c, a: F.substring(_c(a[0]), _lit_arg(a[1], "start") + 1, _lit_arg(a[2], "length")))
-_reg("Split")(lambda c, a: F.split(_c(a[0]), re.escape(_lit_arg(a[1], "delimiter"))))
+def _split(c, a):
+    # dynamic delimiter: regex-quote with \Q..\E so the JVM regex treats
+    # the runtime value literally (func_split.go splits on a plain string)
+    if isinstance(a[1], Column):
+        return F.split(_c(a[0]), F.concat(F.lit("\\Q"), a[1], F.lit("\\E")))
+    return F.split(_c(a[0]), re.escape(_lit_arg(a[1], "delimiter")))
+
+
+_reg("Split")(_split)
 _reg("Trim")(lambda c, a: F.btrim(_c(a[0]), _c(a[1]) if len(a) > 1 else F.lit(" ")))
 _reg("ToUpperCase")(lambda c, a: F.upper(_c(a[0])))
 _reg("ToLowerCase")(lambda c, a: F.lower(_c(a[0])))
@@ -966,6 +1147,13 @@ def _hex(c, a):
         if isinstance(v, int):
             return F.lit(v.to_bytes(8, "big", signed=True).hex())
         return F.lit(str(v).encode("utf-8").hex())
+    if c is not None and getattr(c, "df", None) is not None:
+        from pyspark.sql.types import IntegerType, LongType
+
+        dt = c.df.select(v).schema[0].dataType
+        if isinstance(dt, (IntegerType, LongType)):
+            # Go encodes int64 as 8 BE bytes — zero-pad to 16 hex chars
+            return F.lpad(F.lower(F.hex(v.cast("bigint"))), 16, "0")
     return F.lower(F.hex(v))
 
 
@@ -1018,13 +1206,29 @@ _reg("Sort")(
     )
 )
 _reg("ParseJSON")(lambda c, a: F.from_json(_c(a[0]), "map<string,string>"))
-_reg("ParseKeyValue")(
-    lambda c, a: F.str_to_map(
-        _c(a[0]),
-        F.lit(_lit_arg(a[2], "pair delim") if len(a) > 2 else " "),
-        F.lit(_lit_arg(a[1], "kv delim") if len(a) > 1 else "="),
-    )
-)
+def _parse_key_value(c, a):
+    """ParseKeyValue(target[, kvDelim][, pairDelim]) — quote-aware pair
+    split (func_parse_key_value.go → parseutils.ParseKeyValuePairs:
+    double-quoted values may contain both delimiters; quotes strip)."""
+    kv = re.escape(_lit_arg(a[1], "delimiter") if len(a) > 1 else "=")
+    pd_ = re.escape(_lit_arg(a[2], "pair delimiter") if len(a) > 2 else " ")
+    col = _c(a[0])
+    pairs = F.regexp_extract_all(col, F.lit(f'(?:"[^"]*"|[^{pd_}])+'), F.lit(0))
+
+    def unq(s):
+        return F.when(s.rlike('^".*"$'), F.regexp_replace(s, '^"|"$', "")).otherwise(s)
+
+    def ent(p):
+        key = F.regexp_extract(p, f'^((?:"[^"]*"|[^{kv}])*?){kv}', 1)
+        val = F.regexp_replace(p, f'^(?:"[^"]*"|[^{kv}])*?{kv}', "")
+        return F.struct(
+            unq(F.btrim(key)).alias("key"), unq(F.btrim(val)).alias("value")
+        )
+
+    return F.map_from_entries(F.transform(pairs, ent))
+
+
+_reg("ParseKeyValue")(_parse_key_value)
 
 
 def _trim_prefix(c, a):
@@ -1070,23 +1274,60 @@ _reg("XXH128")(lambda c, a: _U().xxh128_hash(_c(a[0]).cast("string")))
 _reg("Now")(lambda c, a: F.current_timestamp())  # nondeterministic — keep out of golden paths
 _reg("UUID")(lambda c, a: F.expr("uuid()"))  # nondeterministic
 _reg("Append")(lambda c, a: F.array_append(_c(a[0]), _c(a[1])))
-_reg("Index")(lambda c, a: F.element_at(_c(a[0]), _lit_arg(a[1], "index") + 1))
+_reg("Index")(lambda c, a: (F.array_position(_c(a[0]), _c(a[1])) - 1).cast("bigint"))
 _reg("DeleteIndex")(
     lambda c, a: F.filter(
         _c(a[0]), lambda x, i: i != F.lit(_lit_arg(a[1], "index"))
     )
 )
-_reg("SliceToMap")(
-    lambda c, a: F.map_from_entries(
+def _slice_to_map(c, a):
+    """SliceToMap(target[, keyPath][, valuePath]) — func_slice_to_map.go:
+    no keyPath → index keys "0","1",…; keyPath/valuePath walk struct
+    fields of the elements (missing field → the reference's error)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    col = _c(a[0])
+    key_path = a[1] if len(a) > 1 and a[1] else None
+    val_path = a[2] if len(a) > 2 and a[2] else None
+    elem_dt = None
+    if c is not None and getattr(c, "df", None) is not None:
+        dt = c.df.select(col).schema[0].dataType
+        if isinstance(dt, ArrayType):
+            elem_dt = dt.elementType
+
+    def _walk(path, err):
+        path = path if isinstance(path, list) else [path]
+        et = elem_dt
+        for seg in path:
+            fld = None
+            if isinstance(et, StructType):
+                fld = next((f for f in et.fields if f.name == seg), None)
+            if fld is None:
+                raise ValueError(err)
+            et = fld.dataType
+
+        def getter(x):
+            out = x
+            for seg in path:
+                out = out.getField(seg)
+            return out
+
+        return getter
+
+    keyf = _walk(key_path, "could not extract key from element") if key_path else None
+    valf = _walk(val_path, "provided object does not contain the path") if val_path else None
+    return F.map_from_entries(
         F.transform(
-            _c(a[0]),
-            lambda e: F.struct(
-                F.split_part(e, F.lit(_lit_arg(a[1], "sep") if len(a) > 1 else "="), F.lit(1)).alias("key"),
-                F.split_part(e, F.lit(_lit_arg(a[1], "sep") if len(a) > 1 else "="), F.lit(2)).alias("value"),
+            col,
+            lambda x, i: F.struct(
+                (keyf(x).cast("string") if keyf else i.cast("string")).alias("key"),
+                (valf(x) if valf else x).alias("value"),
             ),
         )
     )
-)
+
+
+_reg("SliceToMap")(_slice_to_map)
 
 
 def _ip2int(ip: Column) -> Column:
@@ -1099,14 +1340,21 @@ def _ip2int(ip: Column) -> Column:
 
 
 def _is_in_cidr(c, a):
-    cidr = _lit_arg(a[1], "cidr")
-    net, bits = cidr.split("/")
-    bits = int(bits)
-    mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
-    net_int = 0
-    for part in net.split("."):
-        net_int = net_int * 256 + int(part)
-    return _ip2int(_c(a[0])).bitwiseAND(F.lit(mask)) == F.lit(net_int & mask)
+    """IsInCIDR(ip, cidr | [cidrs]) — true if the address falls in ANY
+    of the given IPv4 ranges (func_is_in_cidr.go)."""
+    cidrs = _lit_arg(a[1], "cidr")
+    cidrs = cidrs if isinstance(cidrs, list) else [cidrs]
+    ip = _ip2int(_c(a[0]))
+    out = F.lit(False)
+    for cidr in cidrs:
+        net, bits = cidr.split("/")
+        bits = int(bits)
+        mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+        net_int = 0
+        for part in net.split("."):
+            net_int = net_int * 256 + int(part)
+        out = out | (ip.bitwiseAND(F.lit(mask)) == F.lit(net_int & mask))
+    return out
 
 
 _reg("IsInCIDR")(_is_in_cidr)
@@ -1195,7 +1443,13 @@ def _to_key_value_string(c, a):
 
 
 _reg("ToKeyValueString")(_to_key_value_string)
-_reg("Decode")(lambda c, a: _U().decode_udf(_c(a[0]), _lit_arg(a[1], "encoding")))
+def _decode_conv(c, a):
+    if isinstance(a[1], Column):
+        return _U().decode_dyn_udf(_c(a[0]).cast("string"), a[1].cast("string"))
+    return _U().decode_udf(_c(a[0]), _lit_arg(a[1], "encoding"))
+
+
+_reg("Decode")(_decode_conv)
 
 
 # -- UserAgent (func_useragent.go) -------------------------------------------
@@ -1260,7 +1514,9 @@ def _user_agent(c, a):
             else F.lit("")
         )
         os_ver = (F.when(cond, v) if os_ver is None else os_ver.when(cond, v))
-    os_name = os_name.otherwise(F.lit(""))
+    # uap-go returns family "Other" for an unmatched OS (the reference's
+    # e2e pins os.name="Other" for curl)
+    os_name = os_name.otherwise(F.lit("Other"))
     os_ver = os_ver.otherwise(F.lit(""))
     return F.map_filter(
         F.create_map(
@@ -1318,11 +1574,18 @@ _reg("UUIDv7")(_uuid_v7)
 # -- ids (func_span_id.go, func_trace_id.go, func_profile_id.go) -------------
 
 def _hex_id(n_hex: int):
+    """SpanID/TraceID/ProfileID: the engine models ids as lowercase hex
+    strings (the trace_parser convention); 0x… literals arrive as ints
+    and zero-pad to the id width."""
+
     def f(c, a):
-        col = _c(a[0])
-        return F.when(
-            col.rlike(f"^[0-9a-fA-F]{{{n_hex}}}$"), F.unhex(col)
-        )
+        v = a[0]
+        if isinstance(v, (bytes, bytearray)):  # 0x… literal
+            return F.lit(v.hex().rjust(n_hex, "0"))
+        if isinstance(v, int) and not isinstance(v, bool):
+            return F.lit(format(v, f"0{n_hex}x"))
+        col = _c(v)
+        return F.when(col.rlike(f"^[0-9a-fA-F]{{{n_hex}}}$"), F.lower(col))
 
     return f
 
@@ -1334,11 +1597,15 @@ _reg("ProfileID")(_hex_id(32))
 
 # -- ParseCSV / ParseSeverity / pattern extractors ---------------------------
 
-def _parse_csv(c, a):
-    """ParseCSV(target, header, delimiter?) → map (func_parse_csv.go)."""
+def _parse_csv(c, a, **kw):
+    """ParseCSV(target, header[, delimiter][, headerDelimiter][, mode])
+    → map (func_parse_csv.go; header delimiter defaults to the field
+    delimiter, either may arrive as a named argument)."""
     header = _lit_arg(a[1], "header")
-    sep = _lit_arg(a[2], "delimiter") if len(a) > 2 else ","
-    cols = header.split(sep)
+    sep = _lit_arg(a[2], "delimiter") if len(a) > 2 else kw.get("delimiter", ",")
+    hsep = _lit_arg(a[3], "headerDelimiter") if len(a) > 3 else kw.get("headerDelimiter", sep)
+    _ = _lit_arg(a[4], "mode") if len(a) > 4 else kw.get("mode", "strict")
+    cols = header.split(hsep)
     schema = ", ".join(f"`c{i}` STRING" for i in range(len(cols)))
     parsed = F.from_csv(_c(a[0]), schema, {"sep": sep})
     return F.map_from_arrays(
@@ -1363,6 +1630,25 @@ _SEV_ALIASES = {
 
 
 def _parse_severity(c, a):
+    # custom mapping argument (func_parse_severity.go): an ordered
+    # {level: [criteria]} map where criteria are {"equals": [...]} /
+    # {"range": {"min": m, "max": M}}
+    if len(a) > 1 and isinstance(a[1], dict):
+        val = _c(a[0])
+        sval = F.lower(F.btrim(val.cast("string")))
+        nval = val.try_cast("bigint")
+        out = None
+        for level, criteria in a[1].items():
+            cond = F.lit(False)
+            for crit in criteria:
+                if "equals" in crit:
+                    for eq in crit["equals"]:
+                        cond = cond | (sval == _go_str(eq).lower())
+                if "range" in crit:
+                    r = crit["range"]
+                    cond = cond | nval.between(int(r["min"]), int(r["max"]))
+            out = F.when(cond, level) if out is None else out.when(cond, level)
+        return out
     col = F.lower(F.btrim(_c(a[0]).cast("string")))
     out = None
     for alias, level in _SEV_ALIASES.items():
@@ -1474,7 +1760,9 @@ _reg("InsertXML")(
 )
 _reg("ConvertTextToElementsXML")(
     lambda c, a: _U().convert_text_xml_udf(
-        _c(a[0]), _lit_arg(a[1], "elementName") if len(a) > 1 else "value"
+        _c(a[0]),
+        _lit_arg(a[1], "xpath") if len(a) > 1 else "/",
+        _lit_arg(a[2], "elementName") if len(a) > 2 else "value",
     )
 )
 _reg("ConvertAttributesToElementsXML")(
@@ -1800,7 +2088,31 @@ def apply_statement(
 
             dt = df.schema[parts[1][1]].dataType
             if isinstance(dt, ArrayType):
-                raise TypeError("unable to resolve an integer index in slice")
+                # slice element write: only an int64 index resolves
+                # (ottl/parser.go key resolution; float/string error)
+                seg = parts[2]
+                idx = None
+                if seg[0] == "idx" and isinstance(seg[1], int) and not isinstance(seg[1], bool):
+                    idx = F.lit(seg[1])
+                elif seg[0] == "expr":
+                    kcol = comp.compile(seg[1])
+                    if isinstance(kcol, Column):
+                        from pyspark.sql.types import IntegerType, LongType
+
+                        kdt = df.select(kcol).schema[0].dataType
+                        if isinstance(kdt, (IntegerType, LongType)):
+                            idx = kcol.cast("int")
+                    elif isinstance(kcol, int) and not isinstance(kcol, bool):
+                        idx = F.lit(kcol)
+                if idx is None:
+                    raise TypeError("unable to resolve an integer index in slice")
+                arr_name = parts[1][1]
+                base = _pcol(arr_name)
+                et = dt.elementType.simpleString()
+                new_arr = F.transform(
+                    base, lambda x, i: F.when(i == idx, value.cast(et)).otherwise(x)
+                )
+                return df.withColumn(arr_name, gated(new_arr, base))
             if isinstance(dt, StructType):
                 return _struct_set(parts[1][1], parts[2:], value)
         # whole-attribute-set replacement: set(attributes, {...})
@@ -1810,7 +2122,27 @@ def apply_statement(
                 out = out.drop(c)
             return out
         col_name = comp.path_target_name(target)
-        old = _pcol(col_name) if col_name in df.columns else F.lit(None)
+        exists = col_name in df.columns
+        old = _pcol(col_name) if exists else F.lit(None)
+        if exists:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            old_dt = df.schema[col_name].dataType
+            new_dt = df.select(value).schema[0].dataType
+            if old_dt != new_dt and (
+                isinstance(old_dt, (ArrayType, MapType, StructType))
+                or isinstance(new_dt, (ArrayType, MapType, StructType))
+            ):
+                # type-changing set: Spark columns are monomorphic, so the
+                # untaken branch takes the canonical string form of a
+                # complex old value / null for a simple one (documented
+                # divergence; the reference's pcommon values re-type freely)
+                if isinstance(old_dt, (ArrayType, MapType, StructType)):
+                    old = _canon_leaf(_pcol(col_name), old_dt)
+                    if isinstance(new_dt, (ArrayType, MapType, StructType)):
+                        old = F.lit(None).cast(new_dt.simpleString())
+                else:
+                    old = F.lit(None).cast(new_dt.simpleString())
         if keep_old_on_null:
             value = F.when(value.isNull(), old).otherwise(value)
         return df.withColumn(col_name, gated(value, old))
@@ -1871,42 +2203,93 @@ def apply_statement(
                 if c not in _keeps(attrs_cols):
                     out = out.drop(c)
         return out
+    def _map_entry(target: Path):
+        """attributes["k"] / resource.attributes["k"] where k is a plain
+        map key (not a promoted column) → (map column, key)."""
+        parts = target.parts
+        if (
+            parts[0] == "attributes"
+            and len(parts) == 2
+            and isinstance(parts[1], tuple)
+            and parts[1][0] == "key"
+            and parts[1][1] not in df.columns
+        ):
+            return "attributes", parts[1][1]
+        if (
+            parts[0] == "resource"
+            and len(parts) == 3
+            and isinstance(parts[2], tuple)
+            and parts[2][0] == "key"
+        ):
+            return "resource", parts[2][1]
+        return None
+
+    def _entry_update(map_name: str, key: str, tx) -> DataFrame:
+        m = F.col(map_name)
+        new = F.transform_values(
+            m, lambda k, v: F.when(k == key, tx(v)).otherwise(v)
+        )
+        return df.withColumn(map_name, gated(new, m))
+
     if name in ("replace_pattern", "replace_all_patterns"):
         target = ed.args[0]
-        col_name = comp.path_target_name(target)
-        old = F.col(col_name)
         if name == "replace_pattern":
             pat = _lit_arg(comp.compile(ed.args[1]), "pattern")
             rep = _lit_arg(comp.compile(ed.args[2]), "replacement")
-            new = F.regexp_replace(old, pat, rep)
-        else:  # map-valued: mode arg ("value"|"key") then pattern, replacement
-            mode = _lit_arg(comp.compile(ed.args[1]), "mode")
-            pat = _lit_arg(comp.compile(ed.args[2]), "pattern")
-            rep = _lit_arg(comp.compile(ed.args[3]), "replacement")
-            if mode == "value":
-                new = F.transform_values(old, lambda k, v: F.regexp_replace(v, pat, rep))
-            else:
-                new = F.map_from_entries(
-                    F.transform(
-                        F.map_entries(old),
-                        lambda e: F.struct(
-                            F.regexp_replace(e.getField("key"), pat, rep).alias("key"),
-                            e.getField("value").alias("value"),
-                        ),
-                    )
+            if len(ed.args) > 3:
+                # optional function arg (func_replace_pattern.go fn):
+                # each match is replaced by fn(replacement)
+                fname = ed.args[3].parts[0] if isinstance(ed.args[3], Path) else ed.args[3].name
+                import hashlib as _hl
+
+                _hashers = {"SHA256": "sha256", "SHA1": "sha1", "MD5": "md5", "SHA512": "sha512"}
+                if fname not in _hashers:
+                    raise NameError(f"replace_pattern: unsupported function {fname}")
+                rep = _hl.new(_hashers[fname], rep.encode()).hexdigest()
+            me = _map_entry(target)
+            if me is not None:
+                return _entry_update(*me, lambda v: F.regexp_replace(v, pat, rep))
+            old = F.col(comp.path_target_name(target))
+            return df.withColumn(
+                comp.path_target_name(target), gated(F.regexp_replace(old, pat, rep), old)
+            )
+        # map-valued: mode arg ("value"|"key") then pattern, replacement
+        col_name = comp.path_target_name(target)
+        old = F.col(col_name)
+        mode = _lit_arg(comp.compile(ed.args[1]), "mode")
+        pat = _lit_arg(comp.compile(ed.args[2]), "pattern")
+        rep = _lit_arg(comp.compile(ed.args[3]), "replacement")
+        if mode == "value":
+            new = F.transform_values(old, lambda k, v: F.regexp_replace(v, pat, rep))
+        else:
+            new = F.map_from_entries(
+                F.transform(
+                    F.map_entries(old),
+                    lambda e: F.struct(
+                        F.regexp_replace(e.getField("key"), pat, rep).alias("key"),
+                        e.getField("value").alias("value"),
+                    ),
                 )
+            )
         return df.withColumn(col_name, gated(new, old))
     if name in ("replace_match", "replace_all_matches"):
         # glob (full-value) match → whole-value replacement
         # (func_replace_match.go / func_replace_all_matches.go; the Go
         # side compiles gobwas/glob — `*` and `?` wildcards)
-        col_name = comp.path_target_name(ed.args[0])
-        old = F.col(col_name)
         pat = _glob_to_regex(_lit_arg(comp.compile(ed.args[1]), "pattern"))
         rep = _lit_arg(comp.compile(ed.args[2]), "replacement")
         if name == "replace_match":
+            me = _map_entry(ed.args[0])
+            if me is not None:
+                return _entry_update(
+                    *me, lambda v: F.when(v.rlike(pat), F.lit(rep)).otherwise(v)
+                )
+            col_name = comp.path_target_name(ed.args[0])
+            old = F.col(col_name)
             new = F.when(old.rlike(pat), F.lit(rep)).otherwise(old)
-        else:  # map-valued: every string value matching the glob
+        else:
+            col_name = comp.path_target_name(ed.args[0])
+            old = F.col(col_name)  # map-valued: every string value matching the glob
             new = F.transform_values(
                 old, lambda k, v: F.when(v.rlike(pat), F.lit(rep)).otherwise(v)
             )
@@ -2053,15 +2436,10 @@ def apply_statement(
                 if mode in ("update", "upsert"):
                     # update existing map key (row-wise) / promoted col
                     if is_string:
-                        m = F.map_zip_with(
-                            m,
-                            F.create_map(F.lit(k), colv.cast("string")),
-                            lambda _k, v1, v2: F.when(v1.isNotNull(), F.coalesce(v2, v1)).otherwise(
-                                v1
-                            ),
-                        ) if False else F.transform_values(
-                            m, lambda mk, mv, _k=k, _v=colv: F.when(mk == _k, _v.cast("string")).otherwise(mv)
-                        )
+                        def _upd(_k, _v):
+                            return lambda mk, mv: F.when(mk == _k, _v.cast("string")).otherwise(mv)
+
+                        m = F.transform_values(m, _upd(k, colv))
                     if in_promoted:
                         out = out.withColumn(k, gated(colv, _pcol(k)))
                 if mode in ("insert", "upsert") and not in_promoted:
@@ -2073,7 +2451,11 @@ def apply_statement(
                         newcol = F.when(~present_in_map, colv)
                     else:
                         newcol = colv
-                        m = F.map_filter(m, lambda mk, mv, _k=k: mk != _k)
+
+                        def _drop(_k):
+                            return lambda mk, mv: mk != _k
+
+                        m = F.map_filter(m, _drop(k))
                     out = out.withColumn(k, gated(newcol, F.lit(None)))
             out = out.withColumn(col_name, gated(m, old))
             return out

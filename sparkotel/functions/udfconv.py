@@ -79,6 +79,15 @@ def decode_udf(col: Column, encoding: str) -> Column:
     return _series_udf(lambda v: _decode(v, encoding), StringType())(col)
 
 
+@F.pandas_udf(StringType())
+def decode_dyn_udf(col: pd.Series, encoding: pd.Series) -> pd.Series:
+    """Decode with a runtime encoding argument (func_decode.go: the
+    encoding getter is evaluated per row)."""
+    return pd.Series(
+        [None if v is None else _decode(v, e) for v, e in zip(col, encoding)]
+    )
+
+
 # -- Duration (Go time.ParseDuration grammar) --------------------------------
 
 _DUR_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
@@ -263,16 +272,50 @@ def convert_attributes_to_elements_xml(s: str) -> str:
     return _tostr(root)
 
 
-def convert_text_to_elements_xml(s: str, element_name: str = "value") -> str:
-    root = ET.fromstring(s)
-    for el in root.iter():
-        text = (el.text or "").strip()
-        if text and len(el) > 0:
-            child = ET.Element(element_name)
-            child.text = text
-            el.insert(0, child)
+def convert_text_to_elements_xml(
+    s: str, xpath: str = "/", element_name: str = "value"
+) -> str:
+    """func_convert_text_to_elements_xml.go: within each xpath-selected
+    subtree, wrap extraneous text nodes in <element_name> children — a
+    node's text wraps only when it has >0 text chunks AND (elements +
+    texts) > 1.  Accepts multi-root fragments like the reference's
+    parseNodesXML."""
+    wrapper = ET.fromstring(f"<__sparkotel__>{s}</__sparkotel__>")
+
+    def process(el: ET.Element) -> None:
+        for ch in list(el):
+            process(ch)
+        texts = (1 if (el.text or "").strip() else 0) + sum(
+            1 for ch in el if (ch.tail or "").strip()
+        )
+        if texts == 0 or len(el) + texts <= 1:
+            return
+        if (el.text or "").strip():
+            node = ET.Element(element_name)
+            node.text = el.text
+            el.insert(0, node)
             el.text = None
-    return _tostr(root)
+        for ch in list(el):
+            if (ch.tail or "").strip():
+                node = ET.Element(element_name)
+                node.text = ch.tail
+                ch.tail = None
+                el.insert(list(el).index(ch) + 1, node)
+
+    if xpath in ("/", ""):
+        process(wrapper)
+    else:
+        # absolute paths resolve against the synthetic fragment wrapper
+        if xpath.startswith("//"):
+            nodes = wrapper.findall("." + xpath)
+        elif xpath.startswith("/"):
+            nodes = wrapper.findall(xpath[1:])
+        else:
+            nodes = wrapper.findall(xpath)
+        for n in nodes:
+            process(n)
+    out = _tostr(wrapper)
+    return out[len("<__sparkotel__>"):-len("</__sparkotel__>")]
 
 
 parse_xml_udf = _series_udf(parse_xml_json, StringType())
@@ -294,7 +337,9 @@ def insert_xml_udf(col: Column, xpath: str, sub: str) -> Column:
     return _series_udf(lambda v: insert_xml(v, xpath, sub), StringType())(col)
 
 
-def convert_text_xml_udf(col: Column, element_name: str = "value") -> Column:
+def convert_text_xml_udf(
+    col: Column, xpath: str = "/", element_name: str = "value"
+) -> Column:
     return _series_udf(
-        lambda v: convert_text_to_elements_xml(v, element_name), StringType()
+        lambda v: convert_text_to_elements_xml(v, xpath, element_name), StringType()
     )(col)

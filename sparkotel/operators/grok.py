@@ -74,6 +74,17 @@ GROK_PATTERNS: dict[str, str] = {
     "SYSLOGPROG": r"[\w._/%-]+(?:\[[0-9]+\])?",
     "HTTPDUSER": r"[a-zA-Z0-9._-]+|-",
 }
+# AWS ELB URI family (elastic/go-grok patterns, ECS field names — the
+# library func_extract_grok_patterns.go resolves %{ELB_URI} against)
+GROK_PATTERNS.update({
+    "ELB_URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "ELB_URIPATH": r"(?:/[A-Za-z0-9$.+!*'|(){},~:;=@#%&_\-]*)+",
+    "ELB_URIHOST": "%{IPORHOST:url.domain}(?::%{POSINT:url.port:int})?",
+    "ELB_URIPATHQUERY": r"%{ELB_URIPATH:url.path}(?:\?%{ELB_URIQUERY:url.query})?",
+    "ELB_URI": "%{URIPROTO:url.scheme}://(?:%{USER:url.username}(?::[^@]*)?@)?"
+               "(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHQUERY})?",
+})
+GROK_PATTERNS["IPORHOST"] = "(?:%{IP}|%{HOSTNAME})"
 GROK_PATTERNS["COMMONAPACHELOG"] = (
     '%{IP:clientip} - %{NOTSPACE:auth} \\[%{HTTPDATE:timestamp}\\] '
     '"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" '
@@ -98,11 +109,12 @@ def expand_grok(
             raise KeyError(f"grok: unknown pattern %{{{name}}}")
         inner, inner_caps = expand_grok(patterns[name], custom, _depth + 1)
         if field:
-            safe = re.sub(r"\W", "_", field)
             # plain (positional) capture group: named-group syntax differs
             # between Java ((?<n>)) and python ((?P<n>)) regex; extraction
-            # is by index, names ride along in `captures` order
-            captures.append((safe, typ))
+            # is by index, names ride along in `captures` order.  The raw
+            # field name is preserved (go-grok ECS names like url.scheme
+            # keep their dots); column-producing callers sanitize.
+            captures.append((field.replace("[", ".").replace("]", "").lstrip("."), typ))
             captures.extend(inner_caps)
             return f"({inner})"
         captures.extend(inner_caps)
@@ -128,6 +140,8 @@ def grok_parser(
     top-level pattern groups are not emitted either way here, since
     expansion wraps them non-capturing)."""
     regex, captures = expand_grok(expr, custom)
+    # column names can't carry dots — sanitize at the DataFrame layer only
+    captures = [(re.sub(r"\W", "_", n), t) for n, t in captures]
     groups = [c[0] for c in captures]
     df = regex_parser(df, regex, groups, parse_from, on_error, engine, line1)
     for name, typ in captures:

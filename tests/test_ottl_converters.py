@@ -46,11 +46,14 @@ def test_type_predicates(spark, df):
 
 def test_array_converters(spark, df):
     assert _one(df, 'set(out, ContainsValue(arr, "k1=v1"))') is True
-    assert _one(df, 'set(out, Index(arr, 1))') == "k2=v2"
+    # Index = position of value (func_index.go), -1 when absent
+    assert _one(df, 'set(out, Index(arr, "k2=v2"))') == 1
+    assert _one(df, 'set(out, Index(arr, "missing"))') == -1
     assert _one(df, 'set(out, DeleteIndex(arr, 0))') == ["k2=v2"]
     assert _one(df, 'set(out, Append(arr, "k3=v3"))') == ["k1=v1", "k2=v2", "k3=v3"]
+    # func_slice_to_map.go: no keyPath → index keys
     m = _one(df, "set(out, SliceToMap(arr))")
-    assert m == {"k1": "v1", "k2": "v2"}
+    assert m == {"0": "k1=v1", "1": "k2=v2"}
 
 
 def test_cidr(spark, df):
@@ -93,7 +96,7 @@ def test_convert_case_and_kv_string(spark, df):
     assert _one(df, 'set(out, ConvertCase("fooBar", "snake"))') == "foo_bar"
     assert _one(df, 'set(out, ConvertCase("foo_bar", "camel"))') == "FooBar"
     assert (
-        _one(df, 'set(out, ToKeyValueString(SliceToMap(arr), "=", " "))')
+        _one(df, 'set(out, ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "=", " "))')
         == "k1=v1 k2=v2"
     )
 
@@ -134,8 +137,13 @@ def test_unix_and_nanosecond(spark, df):
 
 
 def test_ids(spark, df):
-    assert _one(df, 'set(out, SpanID("0102030405060708"))') == bytes(range(1, 9))
-    assert _one(df, 'set(out, TraceID("000102030405060708090a0b0c0d0e0f"))') == bytes(range(16))
+    # ids model as lowercase hex strings (the trace_parser convention);
+    # String(<id>) renders the reference's byte-slice form (e2e mirror)
+    assert _one(df, 'set(out, SpanID("0102030405060708"))') == "0102030405060708"
+    assert (
+        _one(df, 'set(out, TraceID("000102030405060708090A0B0C0D0E0F"))')
+        == "000102030405060708090a0b0c0d0e0f"
+    )
     assert _one(df, 'set(out, SpanID("zz"))') is None  # invalid hex -> NULL
 
 
