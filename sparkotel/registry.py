@@ -237,6 +237,7 @@ FROM res""",
     # correctness window; the long-tail operator queries (multi-round green)
     # occupy the tail.  (VERDICT r2 item #1.)
     _add_trainingdata_queries(q)
+    _add_tailsampling_queries(q)
     _add_operator_queries(q)
     # The driver's correctness pass records at most 50 queries, in dict
     # order.  Keep the window on (a) the flagship pipeline + training-data
@@ -254,6 +255,145 @@ FROM res""",
     anchor = names.index("agg_sum_connector")
     order = names[:anchor] + early + names[anchor:] + tail
     return {n: q[n] for n in order}
+
+
+# ---------------------------------------------------------------------------
+# tail-sampling queries (processor/tailsamplingprocessor)
+# ---------------------------------------------------------------------------
+
+# Span fixture derived deterministically from the events table: one trace per
+# (user, day), span duration = `value` milliseconds, status from event_type
+# (2=ERROR, 1=OK, 0=UNSET like ptrace.StatusCode).  Mirrored verbatim in the
+# DuckDB oracle below.
+_SPANS_SQL = (
+    "spans AS ("
+    " SELECT md5('trace-' || CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d')) AS trace_id,"
+    "  event_id AS span_id, ts AS start_ts,"
+    "  ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)) AS end_ts,"
+    "  CASE event_type WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 0 END AS status_code,"
+    "  event_type,"
+    "  CAST(json_extract(props, '$.k') AS BIGINT) AS k"
+    " FROM events)"
+)
+
+# FNV-1a-64 state after hashing the default salt "default-hash-seed"
+# (probabilistic.go:19-21); FNV has no finalization so folding the trace-id
+# bytes from this state equals hashing salt‖bytes from the offset basis.
+_FNV64_POST_SALT = 4177246886410171645
+_FNV64_TRACE_SQL = (
+    "list_reduce([{state}::HUGEINT] || list_transform(range(0, 16), i ->"
+    " ((strpos('0123456789abcdef', substr(trace_id, 2*i+1, 1))-1)*16"
+    "  + strpos('0123456789abcdef', substr(trace_id, 2*i+2, 1))-1)::HUGEINT),"
+    " (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT)"
+    " % 18446744073709551616::HUGEINT)"
+).format(state=_FNV64_POST_SALT)
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.md5(
+            F.concat(
+                F.lit("trace-"),
+                F.col("user_id").cast("string"),
+                F.lit("-"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            )
+        ).alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + F.round(F.col("value") * 1000, 0).cast("long")
+        )
+        .cast("timestamp_ntz")
+        .alias("end_ts"),
+        F.when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("status_code"),
+        F.col("event_type"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def _add_tailsampling_queries(q: dict[str, Query]) -> None:
+    from sparkotel.operators.tailsample import TailPolicy, sampled_spans, tail_sample
+
+    policies = [
+        TailPolicy(
+            "drop-tiny",
+            "drop",
+            sub=(TailPolicy("tiny", "numeric_attribute", key="k", min_value=0, max_value=4),),
+        ),
+        TailPolicy("errors", "status_code", status_codes=(2,)),
+        TailPolicy(
+            "buyers",
+            "and",
+            sub=(
+                TailPolicy("bought", "string_attribute", key="event_type", values=("purchase",)),
+                TailPolicy("multi", "span_count", min_spans=2),
+            ),
+        ),
+        TailPolicy("slow", "latency", threshold_ms=36_000_000),
+        TailPolicy(
+            "no-signup",
+            "string_attribute",
+            key="event_type",
+            values=("signup",),
+            invert_match=True,
+        ),
+        TailPolicy("big-traces", "span_count", min_spans=5),
+    ]
+
+    def decisions(spark, sf):
+        return tail_sample(_spans(spark, sf), policies)
+
+    q["tailsampling_policies"] = Query(
+        decisions,
+        f"""WITH {_SPANS_SQL},
+t AS (
+  SELECT trace_id, count(*) AS span_count,
+    round((epoch_us(max(end_ts)) - epoch_us(min(start_ts))) / 1000.0, 6) AS duration_ms,
+    coalesce(bool_or(k BETWEEN 0 AND 4), FALSE) AS any_tiny,
+    coalesce(bool_or(status_code = 2), FALSE) AS any_error,
+    coalesce(bool_or(event_type = 'purchase'), FALSE) AS any_purchase,
+    coalesce(bool_or(event_type = 'signup'), FALSE) AS any_signup
+  FROM spans GROUP BY 1),
+d AS (
+  SELECT *, any_tiny AS d_drop, any_error AS d_err,
+    (any_purchase AND span_count >= 2) AS d_buy,
+    duration_ms >= 36000000 AS d_slow,
+    NOT any_signup AS d_nosig, span_count >= 5 AS d_big
+  FROM t)
+SELECT trace_id,
+  CASE WHEN d_drop THEN 'dropped'
+       WHEN d_err OR d_buy OR d_slow OR d_nosig OR d_big THEN 'sampled'
+       ELSE 'not_sampled' END AS final_decision,
+  CASE WHEN d_drop THEN 'drop-tiny'
+       WHEN d_err THEN 'errors' WHEN d_buy THEN 'buyers' WHEN d_slow THEN 'slow'
+       WHEN d_nosig THEN 'no-signup' WHEN d_big THEN 'big-traces' END AS policy,
+  span_count, duration_ms
+FROM d""",
+    )
+
+    def prob_spans(spark, sf):
+        spans = _spans(spark, sf)
+        dec = tail_sample(
+            spans, [TailPolicy("prob", "probabilistic", sampling_percentage=25.0)]
+        )
+        return sampled_spans(spans, dec).select(
+            "trace_id", "span_id", "event_type", "status_code"
+        )
+
+    q["tailsampling_prob_spans"] = Query(
+        prob_spans,
+        f"""WITH {_SPANS_SQL},
+tids AS (SELECT DISTINCT trace_id FROM spans),
+h AS (SELECT trace_id, {_FNV64_TRACE_SQL} AS h FROM tids)
+SELECT s.trace_id, s.span_id, s.event_type, s.status_code
+FROM spans s JOIN h USING (trace_id) WHERE h.h <= 4611686018427387903""",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -582,6 +722,8 @@ FROM documents
     # tests/test_operators.py::test_hash_seed_sampler) -----------------------
     from sparkotel.operators.filter import hash_seed_sampler
 
+    # FNV-1a-32(le32(seed=22) ‖ key bytes) & 0x3FFF < 4096, unrolled in
+    # DuckDB via list_reduce over the byte sequence (was rows-only in r1/r2).
     q["sampler_hash_seed"] = Query(
         lambda spark, sf: hash_seed_sampler(
             _docs(spark, sf).select(F.col("doc_id").cast("string").alias("key")),
@@ -589,7 +731,15 @@ FROM documents
             key="key",
             hash_seed=22,
         ),
-        None,
+        """WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key,
+    list_reduce(
+      [2166136261::HUGEINT, 22, 0, 0, 0] ||
+      list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                     i -> ascii(substr(CAST(doc_id AS VARCHAR), i, 1))::HUGEINT),
+      (acc, x) -> (xor(acc, x) * 16777619::HUGEINT) % 4294967296::HUGEINT) AS h
+  FROM documents)
+SELECT key FROM b WHERE (h % 16384) < 4096""",
     )
 
     # --- probabilisticsampler (25%, arithmetic mode = oracle-replayable) ---
