@@ -1,0 +1,255 @@
+"""OTLP/JSON file source and sink.
+
+Reference semantics:
+
+- ``receiver/otlpjsonfilereceiver/file.go:74-107`` — each line of a
+  watched file is one OTLP/JSON ``ExportLogsServiceRequest`` decoded by
+  ``plog.JSONUnmarshaler``; every contained log record (across all
+  ``resourceLogs[].scopeLogs[].logRecords[]``) is emitted downstream.
+- ``exporter/fileexporter/file_exporter.go`` (JSON-lines mode) — the
+  inverse: marshal one request per line via ``plog.JSONMarshaler``.
+
+Spark-first shape: the proto3-JSON layout is a *static* nested schema,
+so the whole parse is ``from_json`` + three ``explode`` generators —
+pure Catalyst, whole-stage-codegen, no Python.  The marshal side is one
+``groupBy`` on the resource identity (the batchperresourceattr split,
+``pkg/batchperresourceattr``) + ``to_json`` of the rebuilt tree — one
+shuffle, map-side combinable, and the shuffle key is the same resource
+partitioning the downstream sink write wants, so at 100 TB the exchange
+is shared with the sink's ``partitionBy``.
+
+Proto3-JSON conventions honoured (public OTLP spec, opentelemetry-proto
+``logs.proto`` / ``common.proto``):
+
+- int64 fields (``timeUnixNano``, ``observedTimeUnixNano``,
+  ``intValue``) are JSON **strings**;
+- enums (``severityNumber``) and uint32 (``flags``, dropped counts) are
+  JSON numbers;
+- absent fields are omitted (``to_json`` drops nulls — the Spark
+  default matches proto3 emit-defaults=false);
+- ``traceId`` / ``spanId`` are lowercase hex strings (the engine's id
+  representation throughout, see the OTTL e2e mirror notes);
+- ``AnyValue`` variants: stringValue / intValue / doubleValue /
+  boolValue / bytesValue (base64).  Nested kvlistValue/arrayValue
+  attribute *values* are out of the static schema; flat attribute maps
+  take their pcommon ``AsString`` form like the rest of the engine.
+
+Divergence (documented): ``AsString`` of a double uses Spark's
+``cast(string)`` (``1.5`` → ``"1.5"``, ``2.0`` → ``"2.0"``) where Go's
+strconv prints ``"2"``; integer-valued doubles differ in the trailing
+``.0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# schema (DDL form) — ExportLogsServiceRequest per opentelemetry-proto
+# ---------------------------------------------------------------------------
+
+_ANYVALUE = (
+    "struct<stringValue:string,intValue:string,doubleValue:double,"
+    "boolValue:boolean,bytesValue:string>"
+)
+_KVLIST = f"array<struct<key:string,value:{_ANYVALUE}>>"
+_LOG_RECORD = (
+    "struct<"
+    "timeUnixNano:string,observedTimeUnixNano:string,"
+    "severityNumber:int,severityText:string,"
+    f"body:{_ANYVALUE},attributes:{_KVLIST},"
+    "droppedAttributesCount:int,flags:int,"
+    "traceId:string,spanId:string,eventName:string>"
+)
+OTLP_LOGS_DDL = (
+    "struct<resourceLogs:array<struct<"
+    f"resource:struct<attributes:{_KVLIST},droppedAttributesCount:int>,"
+    "scopeLogs:array<struct<"
+    f"scope:struct<name:string,version:string,attributes:{_KVLIST}>,"
+    f"logRecords:array<{_LOG_RECORD}>,"
+    "schemaUrl:string>>,"
+    "schemaUrl:string>>>"
+)
+
+
+def _any_as_string(v: Column) -> Column:
+    """pcommon Value.AsString over the AnyValue variant struct."""
+    return F.coalesce(
+        v.getField("stringValue"),
+        v.getField("intValue"),
+        F.when(v.getField("boolValue").isNotNull(),
+               F.when(v.getField("boolValue"), F.lit("true")).otherwise(F.lit("false"))),
+        v.getField("doubleValue").cast("string"),
+        v.getField("bytesValue"),
+    )
+
+
+def _kv_to_map(kvs: Column) -> Column:
+    """KeyValue list → map<string,string> (AsString values, '' for a
+    fully-absent AnyValue), empty map when the list itself is absent."""
+    entries = F.transform(
+        kvs,
+        lambda kv: F.struct(
+            kv.getField("key").alias("key"),
+            F.coalesce(_any_as_string(kv.getField("value")), F.lit("")).alias("value"),
+        ),
+    )
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return F.coalesce(F.map_from_entries(entries), empty)
+
+
+# ---------------------------------------------------------------------------
+# source: otlpjsonfilereceiver analogue
+# ---------------------------------------------------------------------------
+
+RECORD_COLS = [
+    "ts", "observed_ts", "severity_number", "severity_text", "body",
+    "attributes", "resource", "scope_name", "scope_version",
+    "trace_id", "span_id", "flags", "dropped_attributes_count",
+]
+
+
+def parse_otlp_logs(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """One OTLP/JSON request per input line → one row per log record.
+
+    Mirrors ``plog.JSONUnmarshaler`` + the adapter fan-out in
+    ``receiver/otlpjsonfilereceiver/file.go:86-101``.  Unparseable lines
+    and empty requests yield no rows (the receiver's obsreport counts
+    them as refused; use an ``on_error`` wrapper upstream to keep them).
+    Pure generator pipeline: scan → from_json → 3× explode, no shuffle.
+    """
+    req = df.select(F.from_json(F.col(line_col), OTLP_LOGS_DDL).alias("req"))
+    rl = req.select(F.explode("req.resourceLogs").alias("rl"))
+    sl = rl.select(F.col("rl.resource").alias("res"), F.explode("rl.scopeLogs").alias("sl"))
+    rec = sl.select("res", F.col("sl.scope").alias("scope"), F.explode("sl.logRecords").alias("lr"))
+    lr = F.col("lr")
+    # ns → µs MUST be integral division: float `/` loses the low bits of
+    # an epoch-nano long (53-bit mantissa) and lands a µs off.
+    rec = rec.withColumns({
+        "_tus": F.expr("lr.timeUnixNano::long div 1000"),
+        "_ous": F.expr("lr.observedTimeUnixNano::long div 1000"),
+    })
+    return rec.select(
+        F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
+        F.timestamp_micros(F.col("_ous")).cast("timestamp_ntz").alias("observed_ts"),
+        F.coalesce(lr.getField("severityNumber"), F.lit(0)).alias("severity_number"),
+        F.coalesce(lr.getField("severityText"), F.lit("")).alias("severity_text"),
+        F.coalesce(_any_as_string(lr.getField("body")), F.lit("")).alias("body"),
+        _kv_to_map(lr.getField("attributes")).alias("attributes"),
+        _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+        F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("scope").getField("version"), F.lit("")).alias("scope_version"),
+        F.coalesce(lr.getField("traceId"), F.lit("")).alias("trace_id"),
+        F.coalesce(lr.getField("spanId"), F.lit("")).alias("span_id"),
+        F.coalesce(lr.getField("flags"), F.lit(0)).alias("flags"),
+        F.coalesce(lr.getField("droppedAttributesCount"), F.lit(0)).alias("dropped_attributes_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink: fileexporter JSON-lines analogue
+# ---------------------------------------------------------------------------
+
+def _str_kvs(m: Column) -> Column:
+    """map<string,string> → sorted KeyValue list with stringValue values."""
+    return F.transform(
+        F.array_sort(F.map_entries(m)),
+        lambda e: F.struct(
+            e.getField("key").alias("key"),
+            F.struct(e.getField("value").alias("stringValue")).alias("value"),
+        ),
+    )
+
+
+def to_otlp_logs_json(df: DataFrame) -> DataFrame:
+    """Flat record rows (parse_otlp_logs shape) → one ``line`` per
+    resource identity, each a full ExportLogsServiceRequest JSON.
+
+    The grouping is the batchperresourceattr contract — every emitted
+    request is single-valued on the resource — realised as a hash
+    exchange on the (sorted resource entries, scope) key and a second
+    metadata-sized exchange folding scopes under their resource.
+    Records within a scope are ordered by (ts, span_id), scopes by
+    (name, version), for deterministic output; a single degenerate
+    resource at 100 TB should be pre-split upstream (route or
+    time-bucket) before this grouping, same as any sink partition.
+
+    String-valued attributes only (the engine's flat AsString maps);
+    absent JSON fields are dropped by ``to_json`` like proto3.
+    """
+    rec = F.struct(
+        F.when(F.col("ts").isNotNull(),
+               (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string"))
+        .alias("timeUnixNano"),
+        F.when(F.col("observed_ts").isNotNull(),
+               (F.unix_micros(F.col("observed_ts").cast("timestamp")) * 1000).cast("string"))
+        .alias("observedTimeUnixNano"),
+        F.when(F.col("severity_number") != 0, F.col("severity_number")).alias("severityNumber"),
+        F.when(F.col("severity_text") != "", F.col("severity_text")).alias("severityText"),
+        F.struct(F.col("body").alias("stringValue")).alias("body"),
+        F.when(F.size(F.map_entries("attributes")) > 0, _str_kvs(F.col("attributes")))
+        .alias("attributes"),
+        F.when(F.col("trace_id") != "", F.col("trace_id")).alias("traceId"),
+        F.when(F.col("span_id") != "", F.col("span_id")).alias("spanId"),
+        F.when(F.col("flags") != 0, F.col("flags")).alias("flags"),
+        F.when(F.col("dropped_attributes_count") != 0, F.col("dropped_attributes_count"))
+        .alias("droppedAttributesCount"),
+    )
+    sort_key = F.struct(
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(0)).alias("t"),
+        F.col("span_id").alias("s"),
+        rec.alias("rec"),
+    )
+    per_scope = (
+        df.groupBy(
+            F.array_sort(F.map_entries("resource")).alias("_res"),
+            F.col("scope_name").alias("_sn"),
+            F.col("scope_version").alias("_sv"),
+        )
+        .agg(F.array_sort(F.collect_list(sort_key)).alias("_keyed"))
+    )
+    scope_entry = F.struct(
+        F.col("_sn").alias("n"),
+        F.col("_sv").alias("v"),
+        F.transform(F.col("_keyed"), lambda k: k.getField("rec")).alias("recs"),
+    )
+    per_res = (
+        per_scope.groupBy("_res")
+        .agg(F.array_sort(F.collect_list(scope_entry)).alias("_scopes"))
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.when(
+                        F.size("_res") > 0,
+                        F.transform(
+                            F.col("_res"),
+                            lambda e: F.struct(
+                                e.getField("key").alias("key"),
+                                F.struct(e.getField("value").alias("stringValue")).alias("value"),
+                            ),
+                        ),
+                    ).alias("attributes")
+                ).alias("resource"),
+                F.transform(
+                    F.col("_scopes"),
+                    lambda s: F.struct(
+                        F.struct(
+                            F.when(s.getField("n") != "", s.getField("n")).alias("name"),
+                            F.when(s.getField("v") != "", s.getField("v")).alias("version"),
+                        ).alias("scope"),
+                        s.getField("recs").alias("logRecords"),
+                    ),
+                ).alias("scopeLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    return per_res.select(F.to_json(req).alias("line"))
+
+
+def write_otlp_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """fileexporter JSON-lines mode: marshal then write text lines."""
+    to_otlp_logs_json(df).write.mode(mode).text(path)

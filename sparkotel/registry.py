@@ -238,6 +238,7 @@ FROM res""",
     # occupy the tail.  (VERDICT r2 item #1.)
     _add_trainingdata_queries(q)
     _add_tailsampling_queries(q)
+    _add_otlpjson_queries(q)
     _add_operator_queries(q)
     # The driver's correctness pass records at most 50 queries, in dict
     # order.  Keep the window on (a) the flagship pipeline + training-data
@@ -250,7 +251,15 @@ FROM res""",
         "ottl_editors_2",
         "drain_tree_templates",
     ]
-    tail = ["csv_parser", "key_value_parser", "uri_parser", "trace_parser", "json_parser"]
+    tail = [
+        "delta_to_cumulative",
+        "cumulative_to_delta",
+        "csv_parser",
+        "key_value_parser",
+        "uri_parser",
+        "trace_parser",
+        "json_parser",
+    ]
     names = [n for n in q if n not in early and n not in tail]
     anchor = names.index("agg_sum_connector")
     order = names[:anchor] + early + names[anchor:] + tail
@@ -394,6 +403,133 @@ h AS (SELECT trace_id, {_FNV64_TRACE_SQL} AS h FROM tids)
 SELECT s.trace_id, s.span_id, s.event_type, s.status_code
 FROM spans s JOIN h USING (trace_id) WHERE h.h <= 4611686018427387903""",
     )
+
+
+# ---------------------------------------------------------------------------
+# OTLP/JSON file source + sink (receiver/otlpjsonfilereceiver,
+# fileexporter JSON-lines mode) — sparkotel/otlpjson.py
+# ---------------------------------------------------------------------------
+
+# Record fixture derived deterministically from the events table; the
+# oracle computes the SAME fields straight from events, so the Spark
+# side must survive its OTLP/JSON detour (build line → parse, or
+# marshal → unmarshal) without losing or mangling anything.
+_OTLP_ORACLE_SQL = """SELECT ts,
+  CASE event_type WHEN 'error' THEN 17 WHEN 'purchase' THEN 9 ELSE 5 END AS severity_number,
+  CASE event_type WHEN 'error' THEN 'ERROR' WHEN 'purchase' THEN 'INFO' ELSE 'DEBUG' END AS severity_text,
+  'evt ' || event_type || ' ' || CAST(event_id AS VARCHAR) AS body,
+  event_type AS attr_event_type,
+  json_extract_string(props, '$.k') AS attr_k,
+  'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name,
+  'gen' AS scope_name, '1' AS scope_version,
+  md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
+  printf('%016x', event_id) AS span_id,
+  CAST(event_id % 3 AS INT) AS flags
+FROM events"""
+
+
+def _otlp_flat_select(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "ts",
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["event.type"].alias("attr_event_type"),
+        F.col("attributes")["k"].alias("attr_k"),
+        F.col("resource")["service.name"].alias("service_name"),
+        F.col("resource")["host.name"].alias("host_name"),
+        "scope_name",
+        "scope_version",
+        "trace_id",
+        "span_id",
+        "flags",
+    )
+
+
+def _add_otlpjson_queries(q: dict[str, Query]) -> None:
+    from sparkotel.otlpjson import parse_otlp_logs, to_otlp_logs_json
+
+    # --- source: parse textual OTLP/JSON lines (built with format_string,
+    # a path independent of the from_json parser under test) --------------
+    _LINE_FMT = (
+        '{"resourceLogs":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"svc-%d"}},'
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeLogs":[{"scope":{"name":"gen","version":"1"},"logRecords":['
+        '{"timeUnixNano":"%d","severityNumber":%d,"severityText":"%s",'
+        '"body":{"stringValue":"evt %s %d"},"attributes":['
+        '{"key":"event.type","value":{"stringValue":"%s"}},'
+        '{"key":"k","value":{"intValue":"%s"}}],'
+        '"traceId":"%s","spanId":"%016x","flags":%d}]}]}]}'
+    )
+
+    def _sev_num():
+        return (
+            F.when(F.col("event_type") == "error", 17)
+            .when(F.col("event_type") == "purchase", 9)
+            .otherwise(5)
+        )
+
+    def _sev_text():
+        return (
+            F.when(F.col("event_type") == "error", "ERROR")
+            .when(F.col("event_type") == "purchase", "INFO")
+            .otherwise("DEBUG")
+        )
+
+    def parse_q(spark, sf):
+        lines = _events(spark, sf).select(
+            F.format_string(
+                _LINE_FMT,
+                F.col("user_id") % 5,
+                F.col("user_id") % 7,
+                F.unix_micros(F.col("ts").cast("timestamp")) * 1000,
+                _sev_num(),
+                _sev_text(),
+                F.col("event_type"),
+                F.col("event_id"),
+                F.col("event_type"),
+                F.get_json_object("props", "$.k"),
+                F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))),
+                F.col("event_id"),
+                F.col("event_id") % 3,
+            ).alias("line")
+        )
+        return _otlp_flat_select(parse_otlp_logs(lines))
+
+    q["otlpjson_parse"] = Query(parse_q, _OTLP_ORACLE_SQL)
+
+    # --- sink→source roundtrip: marshal per-resource requests, read back --
+    def roundtrip_q(spark, sf):
+        ev = _events(spark, sf)
+        flat = ev.select(
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.col("ts").cast("timestamp_ntz").alias("observed_ts"),
+            _sev_num().alias("severity_number"),
+            _sev_text().alias("severity_text"),
+            F.format_string("evt %s %d", "event_type", "event_id").alias("body"),
+            F.map_from_arrays(
+                F.array(F.lit("event.type"), F.lit("k")),
+                F.array(F.col("event_type"), F.get_json_object("props", "$.k")),
+            ).alias("attributes"),
+            F.map_from_arrays(
+                F.array(F.lit("service.name"), F.lit("host.name")),
+                F.array(
+                    F.format_string("svc-%d", F.col("user_id") % 5),
+                    F.format_string("host-%d", F.col("user_id") % 7),
+                ),
+            ).alias("resource"),
+            F.lit("gen").alias("scope_name"),
+            F.lit("1").alias("scope_version"),
+            F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))).alias("trace_id"),
+            F.format_string("%016x", "event_id").alias("span_id"),
+            (F.col("event_id") % 3).cast("int").alias("flags"),
+            F.lit(0).alias("dropped_attributes_count"),
+        )
+        return _otlp_flat_select(parse_otlp_logs(to_otlp_logs_json(flat)))
+
+    q["otlpjson_roundtrip"] = Query(roundtrip_q, _OTLP_ORACLE_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,175 @@
+"""OTLP/JSON file source/sink (receiver/otlpjsonfilereceiver +
+fileexporter JSON-lines mode).
+
+Golden line = the JSON form of the reference's
+processor/logdedupprocessor/testdata/input/basicLogs.yaml plog fixture
+(same tree the plog JSONUnmarshaler consumes in
+receiver/otlpjsonfilereceiver/file.go:86-101).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sparkotel.otlpjson import (
+    parse_otlp_logs,
+    to_otlp_logs_json,
+    write_otlp_json_sink,
+)
+
+GOLDEN = (
+    '{"resourceLogs":[{"resource":{"attributes":[{"key":"one","value":{"intValue":"1"}}]},'
+    '"scopeLogs":[{"logRecords":['
+    '{"attributes":[{"key":"bool","value":{"boolValue":true}},'
+    '{"key":"str","value":{"stringValue":"attr str"}}],'
+    '"body":{"stringValue":"Body of the log"},"severityText":"info","spanId":"",'
+    '"timeUnixNano":"1728069266547395000","traceId":""},'
+    '{"attributes":[{"key":"bool","value":{"boolValue":true}},'
+    '{"key":"remove_me","value":{"boolValue":false}}],'
+    '"body":{"stringValue":"Body of the log"},"severityText":"info","spanId":"",'
+    '"timeUnixNano":"1728069206547395000","traceId":""}'
+    '],"scope":{}}]}]}'
+)
+
+
+def test_parse_golden_fixture(spark):
+    out = parse_otlp_logs(spark.createDataFrame([(GOLDEN,)], "line string"))
+    rows = sorted(out.collect(), key=lambda r: str(r["ts"]))
+    assert len(rows) == 2
+    r0, r1 = rows
+    assert str(r0["ts"]) == "2024-10-04 19:13:26.547395"  # ns → µs truncation
+    assert r0["body"] == "Body of the log"
+    assert r0["severity_text"] == "info"
+    assert r0["severity_number"] == 0  # absent enum → UNSPECIFIED
+    assert r0["observed_ts"] is None
+    assert r0["attributes"] == {"bool": "true", "remove_me": "false"}  # AsString
+    assert r1["attributes"] == {"bool": "true", "str": "attr str"}
+    assert r0["resource"] == {"one": "1"}  # intValue AsString
+    assert (r0["scope_name"], r0["scope_version"]) == ("", "")  # scope: {}
+    assert (r0["trace_id"], r0["span_id"], r0["flags"]) == ("", "", 0)
+
+
+def test_parse_multi_resource_and_bad_lines(spark):
+    multi = json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {"attributes": [{"key": "r", "value": {"stringValue": "a"}}]},
+                    "scopeLogs": [
+                        {
+                            "scope": {"name": "s1", "version": "2"},
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": "1728069266547395000",
+                                    "observedTimeUnixNano": "1728069266547395001",
+                                    "severityNumber": 9,
+                                    "body": {"doubleValue": 1.5},
+                                    "flags": 1,
+                                    "traceId": "0102030405060708090a0b0c0d0e0f10",
+                                    "spanId": "0102030405060708",
+                                    "droppedAttributesCount": 3,
+                                }
+                            ],
+                        },
+                        {"scope": {"name": "s2"}, "logRecords": [{"body": {"boolValue": True}}]},
+                    ],
+                },
+                {"resource": {}, "scopeLogs": [{"logRecords": [{"body": {"stringValue": "x"}}]}]},
+            ]
+        }
+    )
+    df = spark.createDataFrame([(multi,), ("not json at all",), ("{}",)], "line string")
+    out = parse_otlp_logs(df).collect()
+    # bad line and empty request produce no rows (receiver refuses them)
+    assert len(out) == 3
+    by_body = {r["body"]: r for r in out}
+    r = by_body["1.5"]  # doubleValue AsString (engine cast form)
+    assert r["severity_number"] == 9
+    assert r["scope_name"] == "s1" and r["scope_version"] == "2"
+    assert r["trace_id"] == "0102030405060708090a0b0c0d0e0f10"
+    assert r["span_id"] == "0102030405060708"
+    assert r["flags"] == 1 and r["dropped_attributes_count"] == 3
+    assert str(r["observed_ts"]) == "2024-10-04 19:14:26.547395"
+    assert by_body["true"]["scope_name"] == "s2"
+    assert by_body["x"]["resource"] == {}
+
+
+def _records(spark, n=12):
+    rows = [
+        (
+            f"2024-01-0{1 + i % 3} 00:00:{10 + i}",
+            5 + (i % 3) * 4,
+            f"body {i}",
+            {"k": str(i % 2)},
+            {"service.name": f"svc{i % 2}", "host.name": f"h{i % 3}"},
+            f"scope{i % 2}",
+            "1.0",
+            f"{i:016x}",
+            i % 4,
+        )
+        for i in range(n)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "ts string, severity_number int, body string, attributes map<string,string>, "
+        "resource map<string,string>, scope_name string, scope_version string, "
+        "span_id string, flags int",
+    )
+    return (
+        src.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .withColumn("observed_ts", F.col("ts"))
+        .withColumn("severity_text", F.lit("INFO"))
+        .withColumn("trace_id", F.md5("body"))
+        .withColumn("dropped_attributes_count", F.lit(0))
+    )
+
+
+def _row_key(r, cols):
+    return tuple(
+        str(sorted(r[c].items())) if isinstance(r[c], dict) else str(r[c]) for c in cols
+    )
+
+
+def test_marshal_structure_and_roundtrip(spark):
+    src = _records(spark)
+    lines = to_otlp_logs_json(src)
+    # one line per resource identity (2 services × 3 hosts)
+    raw = [r["line"] for r in lines.collect()]
+    assert len(raw) == 6
+    for line in raw:
+        req = json.loads(line)
+        assert list(req) == ["resourceLogs"] and len(req["resourceLogs"]) == 1
+        rl = req["resourceLogs"][0]
+        # single-valued on the resource (batchperresourceattr contract)
+        keys = {kv["key"]: kv["value"]["stringValue"] for kv in rl["resource"]["attributes"]}
+        assert set(keys) == {"service.name", "host.name"}
+        for sl in rl["scopeLogs"]:
+            assert sl["scope"]["name"].startswith("scope")
+            for rec in sl["logRecords"]:
+                assert rec["timeUnixNano"].isdigit()
+                assert "flags" not in rec or rec["flags"] != 0  # proto3 omits defaults
+    # unmarshal(marshal(x)) == x
+    back = parse_otlp_logs(lines)
+    cols = sorted(back.columns)
+    a = sorted(_row_key(r, cols) for r in src.select(*cols).collect())
+    b = sorted(_row_key(r, cols) for r in back.collect())
+    assert a == b
+
+
+def test_sink_writes_lines(spark, tmp_path):
+    src = _records(spark, n=6)
+    path = str(tmp_path / "otlp")
+    write_otlp_json_sink(src, path)
+    back = parse_otlp_logs(spark.read.text(path).withColumnRenamed("value", "line"))
+    assert back.count() == 6
+
+
+def test_marshal_no_wide_shuffle_before_group(spark):
+    """Plan gate: the marshal is exactly two hash exchanges (scope-level
+    group, then the metadata-sized resource fold) — no extra sort or
+    repartition stages sneak in."""
+    src = _records(spark)
+    plan = to_otlp_logs_json(src)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
