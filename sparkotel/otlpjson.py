@@ -253,3 +253,178 @@ def to_otlp_logs_json(df: DataFrame) -> DataFrame:
 def write_otlp_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """fileexporter JSON-lines mode: marshal then write text lines."""
     to_otlp_logs_json(df).write.mode(mode).text(path)
+
+
+# ---------------------------------------------------------------------------
+# traces signal (ExportTraceServiceRequest) — feeds servicegraph /
+# spanmetrics / tailsampling, whose operators take exactly this flat shape
+# ---------------------------------------------------------------------------
+
+_SPAN = (
+    "struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
+    "kind:int,startTimeUnixNano:string,endTimeUnixNano:string,"
+    f"attributes:{_KVLIST},droppedAttributesCount:int,"
+    "status:struct<code:int,message:string>>"
+)
+OTLP_TRACES_DDL = (
+    "struct<resourceSpans:array<struct<"
+    f"resource:struct<attributes:{_KVLIST},droppedAttributesCount:int>,"
+    "scopeSpans:array<struct<"
+    f"scope:struct<name:string,version:string,attributes:{_KVLIST}>,"
+    f"spans:array<{_SPAN}>,"
+    "schemaUrl:string>>,"
+    "schemaUrl:string>>>"
+)
+
+
+def parse_otlp_traces(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """One OTLP/JSON trace request per line → one row per span.
+
+    Same generator pipeline as the logs signal
+    (``receiver/otlpjsonfilereceiver/file.go:109-130``, traces branch).
+    Span events/links are outside the static schema (none of the ported
+    connectors read them); ``kind``/``status.code`` stay numeric enums.
+    """
+    req = df.select(F.from_json(F.col(line_col), OTLP_TRACES_DDL).alias("req"))
+    rl = req.select(F.explode("req.resourceSpans").alias("rs"))
+    sl = rl.select(F.col("rs.resource").alias("res"), F.explode("rs.scopeSpans").alias("ss"))
+    rec = sl.select("res", F.col("ss.scope").alias("scope"), F.explode("ss.spans").alias("sp"))
+    sp = F.col("sp")
+    rec = rec.withColumns({
+        "_sus": F.expr("sp.startTimeUnixNano::long div 1000"),
+        "_eus": F.expr("sp.endTimeUnixNano::long div 1000"),
+    })
+    return rec.select(
+        F.coalesce(sp.getField("traceId"), F.lit("")).alias("trace_id"),
+        F.coalesce(sp.getField("spanId"), F.lit("")).alias("span_id"),
+        F.coalesce(sp.getField("parentSpanId"), F.lit("")).alias("parent_span_id"),
+        F.coalesce(sp.getField("name"), F.lit("")).alias("name"),
+        F.coalesce(sp.getField("kind"), F.lit(0)).alias("kind"),
+        F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(F.col("_eus")).cast("timestamp_ntz").alias("end_ts"),
+        F.coalesce(sp.getField("status").getField("code"), F.lit(0)).alias("status_code"),
+        F.coalesce(sp.getField("status").getField("message"), F.lit("")).alias("status_message"),
+        _kv_to_map(sp.getField("attributes")).alias("attributes"),
+        _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+        F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# metrics signal (ExportMetricsServiceRequest) — number + histogram points;
+# feeds deltatocumulative / deltatorate / metricstransform
+# ---------------------------------------------------------------------------
+
+_NUM_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,"
+    f"asDouble:double,asInt:string,attributes:{_KVLIST},flags:int>"
+)
+_HIST_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,"
+    "count:string,sum:double,min:double,max:double,"
+    "bucketCounts:array<string>,explicitBounds:array<double>,"
+    f"attributes:{_KVLIST},flags:int>"
+)
+OTLP_METRICS_DDL = (
+    "struct<resourceMetrics:array<struct<"
+    f"resource:struct<attributes:{_KVLIST},droppedAttributesCount:int>,"
+    "scopeMetrics:array<struct<"
+    f"scope:struct<name:string,version:string,attributes:{_KVLIST}>,"
+    "metrics:array<struct<name:string,description:string,unit:string,"
+    f"gauge:struct<dataPoints:array<{_NUM_DP}>>,"
+    f"sum:struct<dataPoints:array<{_NUM_DP}>,aggregationTemporality:int,isMonotonic:boolean>,"
+    f"histogram:struct<dataPoints:array<{_HIST_DP}>,aggregationTemporality:int>>>,"
+    "schemaUrl:string>>,"
+    "schemaUrl:string>>>"
+)
+
+
+def parse_otlp_metrics(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """One OTLP/JSON metrics request per line → one row per NUMBER data
+    point (gauge or sum); histogram points via ``parse_otlp_histograms``.
+
+    The proto oneof (gauge | sum | histogram | …) becomes three nullable
+    struct fields in the static schema; a number row carries which arm
+    it came from (``metric_type``), the sum arm's temporality and
+    monotonicity, and the point value as double (``asInt`` int64-string
+    cast per proto3-JSON).  Exponential histogram / summary arms are
+    outside the schema (unused by the ported connectors' inputs).
+    """
+    rec = (
+        _metric_base(df, line_col)
+        .withColumn(
+            "_dps",
+            F.when(
+                F.col("m").getField("gauge").isNotNull(),
+                F.col("m").getField("gauge").getField("dataPoints"),
+            ).otherwise(F.col("m").getField("sum").getField("dataPoints")),
+        )
+        .withColumn(
+            "_type",
+            F.when(F.col("m").getField("gauge").isNotNull(), F.lit("gauge"))
+            .when(F.col("m").getField("sum").isNotNull(), F.lit("sum")),
+        )
+        .where(F.col("_type").isNotNull())
+        .select("*", F.explode("_dps").alias("dp"))
+    )
+    dp = F.col("dp")
+    rec = rec.withColumns({
+        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
+        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+    })
+    msum = F.col("m").getField("sum")
+    return rec.select(
+        F.col("m").getField("name").alias("metric_name"),
+        F.coalesce(F.col("m").getField("unit"), F.lit("")).alias("unit"),
+        F.col("_type").alias("metric_type"),
+        F.when(F.col("_type") == "sum",
+               F.coalesce(msum.getField("aggregationTemporality"), F.lit(0)))
+        .otherwise(F.lit(0)).alias("aggregation_temporality"),
+        F.when(F.col("_type") == "sum",
+               F.coalesce(msum.getField("isMonotonic"), F.lit(False)))
+        .otherwise(F.lit(False)).alias("is_monotonic"),
+        F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
+        F.coalesce(dp.getField("asDouble"), dp.getField("asInt").cast("double")).alias("value"),
+        _kv_to_map(dp.getField("attributes")).alias("attributes"),
+        _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+        F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),
+    )
+
+
+def parse_otlp_histograms(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Histogram data points from OTLP/JSON metrics lines: one row per
+    point, bucketCounts cast string→long per proto3-JSON uint64."""
+    rec = (
+        _metric_base(df, line_col)
+        .where(F.col("m").getField("histogram").isNotNull())
+        .select("*", F.explode(F.col("m").getField("histogram").getField("dataPoints")).alias("dp"))
+    )
+    dp = F.col("dp")
+    rec = rec.withColumns({
+        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
+        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+    })
+    return rec.select(
+        F.col("m").getField("name").alias("metric_name"),
+        F.coalesce(
+            F.col("m").getField("histogram").getField("aggregationTemporality"), F.lit(0)
+        ).alias("aggregation_temporality"),
+        F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
+        dp.getField("count").cast("long").alias("count"),
+        dp.getField("sum").alias("sum"),
+        dp.getField("min").alias("min"),
+        dp.getField("max").alias("max"),
+        F.transform(dp.getField("bucketCounts"), lambda c: c.cast("long")).alias("bucket_counts"),
+        dp.getField("explicitBounds").alias("explicit_bounds"),
+        _kv_to_map(dp.getField("attributes")).alias("attributes"),
+        _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+    )
+
+
+def _metric_base(df: DataFrame, line_col: str) -> DataFrame:
+    req = df.select(F.from_json(F.col(line_col), OTLP_METRICS_DDL).alias("req"))
+    rm = req.select(F.explode("req.resourceMetrics").alias("rm"))
+    sm = rm.select(F.col("rm.resource").alias("res"), F.explode("rm.scopeMetrics").alias("sm"))
+    return sm.select("res", F.col("sm.scope").alias("scope"), F.explode("sm.metrics").alias("m"))

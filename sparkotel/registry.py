@@ -254,6 +254,8 @@ FROM res""",
     tail = [
         "delta_to_cumulative",
         "cumulative_to_delta",
+        "delta_to_rate",
+        "metrics_transform",
         "csv_parser",
         "key_value_parser",
         "uri_parser",
@@ -530,6 +532,143 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
         return _otlp_flat_select(parse_otlp_logs(to_otlp_logs_json(flat)))
 
     q["otlpjson_roundtrip"] = Query(roundtrip_q, _OTLP_ORACLE_SQL)
+
+    # --- traces signal: span rows in exactly the shape servicegraph /
+    # spanmetrics / tailsampling consume -----------------------------------
+    from sparkotel.otlpjson import parse_otlp_metrics, parse_otlp_traces
+
+    _TRACE_FMT = (
+        '{"resourceSpans":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"svc-%d"}}]},'
+        '"scopeSpans":[{"scope":{"name":"tracer"},"spans":['
+        '{"traceId":"%s","spanId":"%016x","parentSpanId":"%016x",'
+        '"name":"op-%s","kind":%d,'
+        '"startTimeUnixNano":"%d","endTimeUnixNano":"%d",'
+        '"attributes":[{"key":"user.id","value":{"intValue":"%d"}}],'
+        '"status":{"code":%d%s}}]}]}]}'
+    )
+
+    def traces_q(spark, sf):
+        ev = _events(spark, sf)
+        start_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
+        status = (
+            F.when(F.col("event_type") == "error", 2)
+            .when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+        )
+        lines = ev.select(
+            F.format_string(
+                _TRACE_FMT,
+                F.col("user_id") % 5,
+                F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))),
+                F.col("event_id"),
+                F.expr("event_id div 7"),
+                F.col("event_type"),
+                F.col("event_id") % 6,
+                start_us * 1000,
+                end_us * 1000,
+                F.col("user_id"),
+                status,
+                F.when(status == 2, ',"message":"boom"').otherwise(""),
+            ).alias("line")
+        )
+        t = parse_otlp_traces(lines)
+        return t.select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "name",
+            "kind",
+            "start_ts",
+            "end_ts",
+            "status_code",
+            "status_message",
+            F.col("attributes")["user.id"].alias("attr_user"),
+            F.col("resource")["service.name"].alias("service_name"),
+            "scope_name",
+        )
+
+    q["otlpjson_traces"] = Query(
+        traces_q,
+        """SELECT md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
+  printf('%016x', event_id) AS span_id,
+  printf('%016x', event_id // 7) AS parent_span_id,
+  'op-' || event_type AS name,
+  CAST(event_id % 6 AS INT) AS kind,
+  ts AS start_ts,
+  ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)) AS end_ts,
+  CASE event_type WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 0 END AS status_code,
+  CASE event_type WHEN 'error' THEN 'boom' ELSE '' END AS status_message,
+  CAST(user_id AS VARCHAR) AS attr_user,
+  'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+  'tracer' AS scope_name
+FROM events""",
+    )
+
+    # --- metrics signal: number data points (gauge + monotonic sum arms) --
+    _GAUGE_FMT = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"m.%s","unit":"ms","gauge":{"dataPoints":['
+        '{"timeUnixNano":"%d","asDouble":%s,'
+        '"attributes":[{"key":"k","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+    _SUM_FMT = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"m.%s","unit":"ms","sum":{"aggregationTemporality":2,"isMonotonic":true,'
+        '"dataPoints":[{"startTimeUnixNano":"%d","timeUnixNano":"%d","asInt":"%s",'
+        '"attributes":[{"key":"k","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+
+    def metrics_q(spark, sf):
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        k = F.get_json_object("props", "$.k")
+        gauge = F.format_string(
+            _GAUGE_FMT, F.col("user_id") % 7, F.col("event_type"), tus * 1000,
+            F.col("value").cast("string"), k,
+        )
+        asum = F.format_string(
+            _SUM_FMT, F.col("user_id") % 7, F.col("event_type"), (tus - 1_000_000) * 1000,
+            tus * 1000, k, k,
+        )
+        lines = ev.select(
+            F.when(F.col("event_type") == "purchase", asum).otherwise(gauge).alias("line")
+        )
+        m = parse_otlp_metrics(lines)
+        return m.select(
+            "metric_name",
+            "unit",
+            "metric_type",
+            "aggregation_temporality",
+            "is_monotonic",
+            "start_ts",
+            "ts",
+            "value",
+            F.col("attributes")["k"].alias("attr_k"),
+            F.col("resource")["host.name"].alias("host_name"),
+            "scope_name",
+        )
+
+    q["otlpjson_metrics"] = Query(
+        metrics_q,
+        """SELECT 'm.' || event_type AS metric_name, 'ms' AS unit,
+  CASE WHEN event_type = 'purchase' THEN 'sum' ELSE 'gauge' END AS metric_type,
+  CASE WHEN event_type = 'purchase' THEN 2 ELSE 0 END AS aggregation_temporality,
+  event_type = 'purchase' AS is_monotonic,
+  CASE WHEN event_type = 'purchase' THEN ts - INTERVAL 1 SECOND END AS start_ts,
+  ts,
+  CASE WHEN event_type = 'purchase'
+       THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) ELSE value END AS value,
+  json_extract_string(props, '$.k') AS attr_k,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name,
+  'meter' AS scope_name
+FROM events""",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -166,6 +166,191 @@ def test_sink_writes_lines(spark, tmp_path):
     assert back.count() == 6
 
 
+TRACE_LINE = json.dumps(
+    {
+        "resourceSpans": [
+            {
+                "resource": {"attributes": [{"key": "service.name", "value": {"stringValue": "svcA"}}]},
+                "scopeSpans": [
+                    {
+                        "scope": {"name": "s"},
+                        "spans": [
+                            {
+                                "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                "spanId": "b7ad6b7169203331",
+                                "parentSpanId": "",
+                                "name": "GET /",
+                                "kind": 2,
+                                "startTimeUnixNano": "1728069266547395000",
+                                "endTimeUnixNano": "1728069266557395000",
+                                "attributes": [{"key": "http.status_code", "value": {"intValue": "200"}}],
+                                "status": {"code": 1},
+                            },
+                            {
+                                "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                "spanId": "00f067aa0ba902b7",
+                                "parentSpanId": "b7ad6b7169203331",
+                                "name": "SELECT",
+                                "kind": 3,
+                                "startTimeUnixNano": "1728069266548395000",
+                                "endTimeUnixNano": "1728069266549395000",
+                                "status": {"code": 2, "message": "boom"},
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+)
+
+METRIC_LINE = json.dumps(
+    {
+        "resourceMetrics": [
+            {
+                "resource": {"attributes": [{"key": "host", "value": {"stringValue": "h1"}}]},
+                "scopeMetrics": [
+                    {
+                        "scope": {"name": "sm"},
+                        "metrics": [
+                            {
+                                "name": "cpu.util",
+                                "unit": "1",
+                                "gauge": {
+                                    "dataPoints": [
+                                        {
+                                            "timeUnixNano": "1728069266547395000",
+                                            "asDouble": 0.5,
+                                            "attributes": [{"key": "core", "value": {"intValue": "0"}}],
+                                        }
+                                    ]
+                                },
+                            },
+                            {
+                                "name": "requests",
+                                "sum": {
+                                    "aggregationTemporality": 2,
+                                    "isMonotonic": True,
+                                    "dataPoints": [
+                                        {
+                                            "startTimeUnixNano": "1728069266547395000",
+                                            "timeUnixNano": "1728069266557395000",
+                                            "asInt": "42",
+                                        }
+                                    ],
+                                },
+                            },
+                            {
+                                "name": "latency",
+                                "histogram": {
+                                    "aggregationTemporality": 1,
+                                    "dataPoints": [
+                                        {
+                                            "timeUnixNano": "1728069266547395000",
+                                            "count": "7",
+                                            "sum": 3.5,
+                                            "bucketCounts": ["1", "2", "4"],
+                                            "explicitBounds": [0.1, 1.0],
+                                        }
+                                    ],
+                                },
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+)
+
+
+def test_parse_traces_golden(spark):
+    from sparkotel.otlpjson import parse_otlp_traces
+
+    out = {r["span_id"]: r for r in parse_otlp_traces(
+        spark.createDataFrame([(TRACE_LINE,)], "line string")).collect()}
+    assert len(out) == 2
+    root = out["b7ad6b7169203331"]
+    assert root["trace_id"] == "0af7651916cd43dd8448eb211c80319c"
+    assert root["parent_span_id"] == "" and root["kind"] == 2
+    assert str(root["start_ts"]) == "2024-10-04 19:14:26.547395"
+    assert str(root["end_ts"]) == "2024-10-04 19:14:26.557395"
+    assert root["status_code"] == 1 and root["status_message"] == ""
+    assert root["attributes"] == {"http.status_code": "200"}
+    assert root["resource"] == {"service.name": "svcA"}
+    child = out["00f067aa0ba902b7"]
+    assert child["parent_span_id"] == "b7ad6b7169203331"
+    assert child["status_code"] == 2 and child["status_message"] == "boom"
+    assert child["attributes"] == {}
+
+
+def test_parse_metrics_golden(spark):
+    from sparkotel.otlpjson import parse_otlp_histograms, parse_otlp_metrics
+
+    df = spark.createDataFrame([(METRIC_LINE,)], "line string")
+    nums = {r["metric_name"]: r for r in parse_otlp_metrics(df).collect()}
+    assert set(nums) == {"cpu.util", "requests"}
+    g = nums["cpu.util"]
+    assert g["metric_type"] == "gauge" and g["value"] == 0.5
+    assert g["start_ts"] is None and g["attributes"] == {"core": "0"}
+    s = nums["requests"]
+    assert s["metric_type"] == "sum" and s["value"] == 42.0
+    assert s["aggregation_temporality"] == 2 and s["is_monotonic"]
+    assert str(s["start_ts"]) == "2024-10-04 19:14:26.547395"
+    (h,) = parse_otlp_histograms(df).collect()
+    assert h["metric_name"] == "latency"
+    assert h["count"] == 7 and h["sum"] == 3.5
+    assert h["bucket_counts"] == [1, 2, 4]  # uint64-strings → longs
+    assert h["explicit_bounds"] == [0.1, 1.0]
+    assert h["resource"] == {"host": "h1"}
+
+
+def test_parsed_spans_feed_servicegraph(spark):
+    """Signal interop: OTLP/JSON spans drive the servicegraph pairing
+    with no adaptation beyond column selection."""
+    from sparkotel.operators.aggregate import service_graph_edges
+    from sparkotel.otlpjson import parse_otlp_traces
+
+    spans = parse_otlp_traces(spark.createDataFrame([(TRACE_LINE,)], "line string"))
+    typed = spans.withColumn(
+        "span_type", F.when(F.col("kind") == 2, "client").otherwise("server")
+    )
+    edges = service_graph_edges(
+        typed,
+        key_cols=["trace_id"],
+        order_cols=["start_ts", "span_id"],
+        type_col="span_type",
+        client_type="client",
+        server_type="server",
+        ts_col="start_ts",
+    ).collect()
+    assert len(edges) == 1
+    assert edges[0]["latency_seconds"] == 0.001  # 548395 − 547395 µs
+
+
+def test_parsed_points_feed_delta_to_cumulative(spark):
+    from sparkotel.operators.aggregate import delta_to_cumulative
+    from sparkotel.otlpjson import parse_otlp_metrics
+
+    lines = []
+    for i in range(3):
+        lines.append(json.dumps({
+            "resourceMetrics": [{
+                "resource": {"attributes": [{"key": "host", "value": {"stringValue": "h1"}}]},
+                "scopeMetrics": [{"scope": {"name": "sm"}, "metrics": [{
+                    "name": "requests",
+                    "sum": {"aggregationTemporality": 1, "isMonotonic": True,
+                            "dataPoints": [{"timeUnixNano": str(1728069266547395000 + i * 10**9),
+                                            "asInt": str(10 * (i + 1))}]},
+                }]}],
+            }]
+        }))
+    pts = parse_otlp_metrics(spark.createDataFrame([(l,) for l in lines], "line string"))
+    out = delta_to_cumulative(pts, ["metric_name"], "ts", "value")
+    vals = [r["cumulative"] for r in out.orderBy("ts").collect()]
+    assert vals == [10.0, 30.0, 60.0]
+
+
 def test_marshal_no_wide_shuffle_before_group(spark):
     """Plan gate: the marshal is exactly two hash exchanges (scope-level
     group, then the metadata-sized resource fold) — no extra sort or
