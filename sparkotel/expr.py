@@ -442,6 +442,53 @@ _CTX_ALIASES = {
     "observed_time_unix_nano": "warc_ts",
 }
 
+# span-context paths (pkg/ottl/contexts/ottlspan/span.go): the engine's
+# canonical span frame is parse_otlp_traces' output, so single-segment
+# paths alias to its columns and the reference's struct-valued paths
+# (status.code / status.message, instrumentation_scope.name) resolve as
+# two-segment flattened columns.  time paths alias the timestamp columns
+# (the *_unix_nano and friendly forms name the same value, as in the
+# log context above).
+_SPAN_ALIASES = {
+    "start_time": "start_ts",
+    "end_time": "end_ts",
+    "start_time_unix_nano": "start_ts",
+    "end_time_unix_nano": "end_ts",
+}
+_SPAN_TWO_PART = {
+    ("status", "code"): "status_code",
+    ("status", "message"): "status_message",
+    ("instrumentation_scope", "name"): "scope_name",
+}
+
+# datapoint-context paths (pkg/ottl/contexts/ottldatapoint/datapoint.go):
+# over parse_otlp_metrics' number-point frame.  value_int and
+# value_double both read the canonical double `value` column (proto
+# NumberDataPoint oneof collapsed at parse time); metric.* paths are
+# the enclosing-metric header columns.
+_DP_ALIASES = {
+    "time": "ts",
+    "start_time": "start_ts",
+    "time_unix_nano": "ts",
+    "start_time_unix_nano": "start_ts",
+    "value_double": "value",
+    "value_int": "value",
+}
+_DP_TWO_PART = {
+    ("metric", "name"): "metric_name",
+    ("metric", "unit"): "unit",
+    ("metric", "type"): "metric_type",
+    ("metric", "aggregation_temporality"): "aggregation_temporality",
+    ("metric", "is_monotonic"): "is_monotonic",
+    ("instrumentation_scope", "name"): "scope_name",
+}
+
+_CTX_TABLES = {
+    "log": (_CTX_ALIASES, {}),
+    "span": (_SPAN_ALIASES, _SPAN_TWO_PART),
+    "datapoint": (_DP_ALIASES, _DP_TWO_PART),
+}
+
 
 class Compiler:
     def __init__(
@@ -449,14 +496,26 @@ class Compiler:
         df: DataFrame | None = None,
         error_mode: str = "propagate",
         attrs_cols: list[str] | None = None,
+        ctx: str = "log",
     ):
         self.df = df
         self.columns = set(df.columns) if df is not None else None
         self.error_mode = error_mode
+        self.ctx = ctx
+        self.ctx_aliases, self.ctx_two_part = _CTX_TABLES[ctx]
         # promoted attribute columns: logical members of `attributes`
         # beyond the flat map (heterogeneous values live here)
         self.attrs_cols = list(attrs_cols or [])
         self.bindings: dict[str, object] = {}  # lambda params
+
+    def _strip_ctx(self, parts: list) -> list:
+        """Drop an explicit context-name prefix: since collector 0.120 the
+        grammar requires `span.name` / `datapoint.value_double` / `log.body`
+        (pkg/ottl/LANGUAGE.md "Context" section); both the prefixed and the
+        historical bare form resolve to the same column."""
+        if len(parts) >= 2 and parts[0] == self.ctx:
+            return parts[1:]
+        return parts
 
     def _col_dtype(self, name: str):
         if self.df is not None and name in self.df.columns:
@@ -514,7 +573,7 @@ class Compiler:
 
     # path → Column
     def resolve_path(self, p: Path) -> Column:
-        parts = p.parts
+        parts = self._strip_ctx(p.parts)
         head = parts[0]
         if head == "_":
             raise SyntaxError("expression has invalid syntax: blank identifier in body")
@@ -564,7 +623,20 @@ class Compiler:
             for s in parts[2:]:
                 base, dt = self._apply_seg(base, dt, s)
             return base
-        name = _CTX_ALIASES.get(head, head)
+        if (
+            len(parts) >= 2
+            and isinstance(parts[1], str)
+            and (head, parts[1]) in self.ctx_two_part
+        ):
+            name = self.ctx_two_part[(head, parts[1])]
+            base, dt = F.col(name), self._col_dtype(name)
+            for s in parts[2:]:
+                if isinstance(s, tuple):
+                    base, dt = self._apply_seg(base, dt, s)
+                else:
+                    base, dt = self._apply_seg(base, dt, ("key", s))
+            return base
+        name = self.ctx_aliases.get(head, head)
         if len(parts) == 2 and parts[1] == "string":  # body.string / trace_id.string
             return F.col(name).cast("string")
         base, dt = F.col(name), self._col_dtype(name)
@@ -577,14 +649,21 @@ class Compiler:
 
     def path_target_name(self, p: Path) -> str:
         """Column a `set()` writes to (promoted-column model)."""
-        head = p.parts[0]
-        if head == "attributes" and len(p.parts) == 2:
-            return p.parts[1][1]
-        if head == "resource" and len(p.parts) > 2:
-            return f"resource_{p.parts[2][1]}"
-        if head == "cache" and len(p.parts) == 2:
-            return f"_cache_{p.parts[1][1]}"
-        return _CTX_ALIASES.get(head, head)
+        parts = self._strip_ctx(p.parts)
+        head = parts[0]
+        if head == "attributes" and len(parts) == 2:
+            return parts[1][1]
+        if head == "resource" and len(parts) > 2:
+            return f"resource_{parts[2][1]}"
+        if head == "cache" and len(parts) == 2:
+            return f"_cache_{parts[1][1]}"
+        if (
+            len(parts) == 2
+            and isinstance(parts[1], str)
+            and (head, parts[1]) in self.ctx_two_part
+        ):
+            return self.ctx_two_part[(head, parts[1])]
+        return self.ctx_aliases.get(head, head)
 
     def compile(self, node) -> Column | object:
         """Returns a Column, or a python literal for Lit nodes."""
@@ -2007,7 +2086,7 @@ def _suffix_conflicts(entries: Column) -> Column:
 
 
 def apply_statement(
-    df: DataFrame, src: str, attrs_cols: list[str] | None = None
+    df: DataFrame, src: str, attrs_cols: list[str] | None = None, ctx: str = "log"
 ) -> DataFrame:
     """Execute one `editor(args) where cond` statement (parser.go:33-51):
     rows failing the condition keep their original values.
@@ -2018,7 +2097,7 @@ def apply_statement(
     OTel attribute values).  Editors whose target is bare ``attributes``
     then operate on the UNION of the map and those columns."""
     stmt = parse_statement(src)
-    comp = Compiler(df, attrs_cols=attrs_cols)
+    comp = Compiler(df, attrs_cols=attrs_cols, ctx=ctx)
     cond = comp.compile_bool(stmt.where) if stmt.where is not None else None
     ed = stmt.editor
     attrs_cols = [c for c in (attrs_cols or []) if c in df.columns]
@@ -2051,7 +2130,7 @@ def apply_statement(
             return df
         value = _c(value_raw)
         keep_old_on_null = isinstance(ed.args[1], (Path, Index))
-        parts = target.parts
+        parts = comp._strip_ctx(target.parts)
         # dynamic-key writes: set(attributes[<expr>], v) → map update
         if parts[0] in ("attributes",) and len(parts) == 2 and isinstance(parts[1], tuple) and parts[1][0] in ("expr", "idx"):
             if parts[1][0] == "idx":
@@ -2206,7 +2285,7 @@ def apply_statement(
     def _map_entry(target: Path):
         """attributes["k"] / resource.attributes["k"] where k is a plain
         map key (not a promoted column) → (map column, key)."""
-        parts = target.parts
+        parts = comp._strip_ctx(target.parts)
         if (
             parts[0] == "attributes"
             and len(parts) == 2
@@ -2476,7 +2555,7 @@ def apply_statement(
         if "values" in ed.kwargs:
             more = comp.compile(ed.kwargs["values"])
             vals.extend(more if isinstance(more, list) else [more])
-        parts = target.parts
+        parts = comp._strip_ctx(target.parts)
         if (
             parts[0] == "attributes"
             and len(parts) == 3
@@ -2533,9 +2612,15 @@ def apply_statement(
     raise NameError(f"OTTL editor not implemented: {name}")
 
 
-def apply_statements(df: DataFrame, statements: list[str]) -> DataFrame:
+def apply_statements(
+    df: DataFrame, statements: list[str], ctx: str = "log"
+) -> DataFrame:
     """transformprocessor: ordered statement sequence
-    (processor/transformprocessor/internal/logs/processor.go:53-67)."""
+    (processor/transformprocessor/internal/logs/processor.go:53-67).
+    ``ctx`` picks the path→column table: ``log`` (default),
+    ``span`` (trace pipelines, ottlspan paths over parse_otlp_traces'
+    frame), or ``datapoint`` (metric pipelines, ottldatapoint paths
+    over parse_otlp_metrics' frame)."""
     for s in statements:
-        df = apply_statement(df, s)
+        df = apply_statement(df, s, ctx=ctx)
     return df

@@ -548,7 +548,7 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
         '"status":{"code":%d%s}}]}]}]}'
     )
 
-    def traces_q(spark, sf):
+    def _span_frame(spark, sf):
         ev = _events(spark, sf)
         start_us = F.unix_micros(F.col("ts").cast("timestamp"))
         end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
@@ -573,7 +573,10 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
                 F.when(status == 2, ',"message":"boom"').otherwise(""),
             ).alias("line")
         )
-        t = parse_otlp_traces(lines)
+        return parse_otlp_traces(lines)
+
+    def traces_q(spark, sf):
+        t = _span_frame(spark, sf)
         return t.select(
             "trace_id",
             "span_id",
@@ -624,7 +627,7 @@ FROM events""",
         '"attributes":[{"key":"k","value":{"stringValue":"%s"}}]}]}}]}]}]}'
     )
 
-    def metrics_q(spark, sf):
+    def _point_frame(spark, sf):
         ev = _events(spark, sf)
         tus = F.unix_micros(F.col("ts").cast("timestamp"))
         k = F.get_json_object("props", "$.k")
@@ -639,7 +642,10 @@ FROM events""",
         lines = ev.select(
             F.when(F.col("event_type") == "purchase", asum).otherwise(gauge).alias("line")
         )
-        m = parse_otlp_metrics(lines)
+        return parse_otlp_metrics(lines)
+
+    def metrics_q(spark, sf):
+        m = _point_frame(spark, sf)
         return m.select(
             "metric_name",
             "unit",
@@ -667,6 +673,91 @@ FROM events""",
   json_extract_string(props, '$.k') AS attr_k,
   'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name,
   'meter' AS scope_name
+FROM events""",
+    )
+
+    # --- transformprocessor over the span context --------------------------
+    # ottlspan paths (pkg/ottl/contexts/ottlspan/span.go: status.code,
+    # status.message, instrumentation_scope.name two-segment paths) via
+    # apply_statements(ctx="span"); statements mirror the shape of
+    # processor/transformprocessor trace_statements configs.
+    from sparkotel.expr import apply_statements
+
+    def span_transform_q(spark, sf):
+        t = _span_frame(spark, sf)
+        out = apply_statements(
+            t,
+            [
+                'set(span.status.message, "exploded") where span.status.code == 2',
+                'set(span.attributes["svc"], resource.attributes["service.name"])',
+                'set(span.name, Concat([instrumentation_scope.name, span.name], "/"))'
+                " where span.kind == 2",
+                "set(span.kind, 3) where span.kind == 5",
+            ],
+            ctx="span",
+        )
+        return out.select(
+            "trace_id",
+            "span_id",
+            "name",
+            F.col("kind").cast("int").alias("kind"),
+            "status_code",
+            "status_message",
+            F.col("svc").alias("svc"),
+            F.col("attributes")["user.id"].alias("attr_user"),
+        )
+
+    q["ottl_span_transform"] = Query(
+        span_transform_q,
+        """SELECT md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
+  printf('%016x', event_id) AS span_id,
+  CASE WHEN event_id % 6 = 2 THEN 'tracer/op-' || event_type
+       ELSE 'op-' || event_type END AS name,
+  CAST(CASE WHEN event_id % 6 = 5 THEN 3 ELSE event_id % 6 END AS INT) AS kind,
+  CASE event_type WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 0 END AS status_code,
+  CASE event_type WHEN 'error' THEN 'exploded' ELSE '' END AS status_message,
+  'svc-' || CAST(user_id % 5 AS VARCHAR) AS svc,
+  CAST(user_id AS VARCHAR) AS attr_user
+FROM events""",
+    )
+
+    # --- transformprocessor over the datapoint context ----------------------
+    # ottldatapoint paths (value_double → canonical value column, metric.*
+    # header columns) via apply_statements(ctx="datapoint").
+    def dp_transform_q(spark, sf):
+        m = _point_frame(spark, sf)
+        out = apply_statements(
+            m,
+            [
+                "set(datapoint.value_double, datapoint.value_double * 1000)"
+                ' where metric.unit == "ms"',
+                'set(metric.unit, "us") where metric.unit == "ms"',
+                'set(datapoint.attributes["mtype"], metric.type)',
+                'set(datapoint.attributes["cumulative_sum"], "true")'
+                " where metric.aggregation_temporality == 2 and metric.is_monotonic",
+            ],
+            ctx="datapoint",
+        )
+        return out.select(
+            "metric_name",
+            "unit",
+            "value",
+            F.col("attributes")["k"].alias("attr_k"),
+            F.col("mtype").alias("mtype"),
+            F.col("cumulative_sum").alias("cumulative_sum"),
+            F.col("resource")["host.name"].alias("host_name"),
+        )
+
+    q["ottl_datapoint_transform"] = Query(
+        dp_transform_q,
+        """SELECT 'm.' || event_type AS metric_name, 'us' AS unit,
+  CASE WHEN event_type = 'purchase'
+       THEN CAST(json_extract_string(props, '$.k') AS DOUBLE)
+       ELSE value END * 1000 AS value,
+  json_extract_string(props, '$.k') AS attr_k,
+  CASE WHEN event_type = 'purchase' THEN 'sum' ELSE 'gauge' END AS mtype,
+  CASE WHEN event_type = 'purchase' THEN 'true' END AS cumulative_sum,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name
 FROM events""",
     )
 

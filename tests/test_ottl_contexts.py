@@ -1,0 +1,163 @@
+"""OTTL span / datapoint context path resolution over the OTLP frames.
+
+The reference binds one path table per signal context
+(pkg/ottl/contexts/ottlspan/span.go, pkg/ottl/contexts/ottldatapoint/
+datapoint.go); since collector 0.120 statements spell paths with an
+explicit context prefix (``span.status.code``) while the historical bare
+form (``status.code``) remains equivalent.  The engine's canonical frames
+are parse_otlp_traces / parse_otlp_metrics output, so these tests build
+rows in exactly those schemas and assert statement semantics for both
+spellings.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from sparkotel import expr as X
+
+_TS = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+_SPAN_DDL = (
+    "trace_id string, span_id string, parent_span_id string, name string,"
+    " kind int, start_ts timestamp_ntz, end_ts timestamp_ntz,"
+    " status_code int, status_message string,"
+    " attributes map<string,string>, resource map<string,string>,"
+    " scope_name string"
+)
+
+_DP_DDL = (
+    "metric_name string, unit string, metric_type string,"
+    " aggregation_temporality int, is_monotonic boolean,"
+    " start_ts timestamp_ntz, ts timestamp_ntz, value double,"
+    " attributes map<string,string>, resource map<string,string>,"
+    " scope_name string"
+)
+
+
+@pytest.fixture(scope="module")
+def spans(spark):
+    return spark.createDataFrame(
+        [
+            ("t1", "s1", "", "op-a", 2, _TS, _TS, 2, "boom",
+             {"user.id": "7"}, {"service.name": "svc-1"}, "tracer"),
+            ("t1", "s2", "s1", "op-b", 3, _TS, _TS, 1, "",
+             {"user.id": "8"}, {"service.name": "svc-1"}, "tracer"),
+            ("t2", "s3", "", "op-c", 1, _TS, _TS, 0, "",
+             {"user.id": "9"}, {"service.name": "svc-2"}, "tracer"),
+        ],
+        _SPAN_DDL,
+    )
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(
+        [
+            ("m.click", "ms", "gauge", 0, False, None, _TS, 1.5,
+             {"k": "a"}, {"host.name": "h1"}, "meter"),
+            ("m.buy", "ms", "sum", 2, True, _TS, _TS, 4.0,
+             {"k": "b"}, {"host.name": "h2"}, "meter"),
+        ],
+        _DP_DDL,
+    )
+
+
+def test_span_status_paths(spark, spans):
+    # span.status.code / span.status.message are two-segment flattened
+    # columns (ottlspan README "span.status.code"); both prefixed and
+    # bare spellings hit the same column.
+    out = X.apply_statements(
+        spans,
+        [
+            'set(span.status.message, "exploded") where span.status.code == 2',
+            'set(status.message, "fine") where status.code == 1',
+        ],
+        ctx="span",
+    )
+    msgs = {r["span_id"]: r["status_message"] for r in out.collect()}
+    assert msgs == {"s1": "exploded", "s2": "fine", "s3": ""}
+
+
+def test_span_scope_and_resource(spark, spans):
+    out = X.apply_statements(
+        spans,
+        [
+            'set(span.attributes["scope"], instrumentation_scope.name)',
+            'set(span.attributes["svc"], resource.attributes["service.name"])',
+            'set(span.name, Concat([instrumentation_scope.name, span.name], "/"))'
+            " where span.kind == 3",
+        ],
+        ctx="span",
+    )
+    rows = {r["span_id"]: r for r in out.collect()}
+    assert rows["s1"]["scope"] == "tracer" and rows["s1"]["svc"] == "svc-1"
+    assert rows["s2"]["name"] == "tracer/op-b"  # kind==3 only
+    assert rows["s1"]["name"] == "op-a"
+
+
+def test_span_time_aliases(spark, spans):
+    # start_time / start_time_unix_nano both alias the start_ts column
+    # (the engine's timestamps carry the value; README start_time rows).
+    out = X.apply_statements(
+        spans,
+        ['set(span.attributes["t"], String(span.start_time))'],
+        ctx="span",
+    )
+    assert all(r["t"].startswith("2024-01-01") for r in out.collect())
+    out2 = X.apply_statements(
+        spans, ["set(end_time, start_time_unix_nano)"], ctx="span"
+    )
+    assert all(r["end_ts"] == r["start_ts"] for r in out2.collect())
+
+
+def test_datapoint_value_and_metric_paths(spark, points):
+    # datapoint.value_double / value_int collapse to the canonical
+    # double `value` column; metric.* paths read the enclosing-metric
+    # header columns (ottldatapoint README).
+    out = X.apply_statements(
+        points,
+        [
+            "set(datapoint.value_double, datapoint.value_double * 1000)"
+            ' where metric.unit == "ms"',
+            'set(datapoint.attributes["mtype"], metric.type)',
+            'set(metric.name, Concat([metric.name, "scaled"], "."))'
+            " where datapoint.value_int >= 4000",
+        ],
+        ctx="datapoint",
+    )
+    rows = {r["attributes"]["k"]: r for r in out.collect()}
+    assert rows["a"]["value"] == 1500.0 and rows["b"]["value"] == 4000.0
+    assert rows["a"]["mtype"] == "gauge" and rows["b"]["mtype"] == "sum"
+    assert rows["b"]["metric_name"] == "m.buy.scaled"
+    assert rows["a"]["metric_name"] == "m.click"
+
+
+def test_datapoint_temporality_filter(spark, points):
+    # metric.aggregation_temporality / metric.is_monotonic as gates —
+    # the shape filterprocessor metric configs use.
+    out = X.apply_statements(
+        points,
+        [
+            'set(datapoint.attributes["delta"], "no")',
+            'set(datapoint.attributes["delta"], "cumulative")'
+            " where metric.aggregation_temporality == 2 and metric.is_monotonic",
+        ],
+        ctx="datapoint",
+    )
+    rows = {r["attributes"]["k"]: r for r in out.collect()}
+    assert rows["b"]["delta"] == "cumulative" and rows["a"]["delta"] == "no"
+
+
+def test_log_ctx_prefix_still_resolves(spark):
+    # the log context accepts the explicit `log.` prefix too; `body`
+    # aliases the engine's canonical `text` column either way
+    df = spark.createDataFrame(
+        [("hello", 5)], "text string, severity_number int"
+    )
+    out = X.apply_statements(
+        df, ['set(log.body, "HI") where log.severity_number == 5']
+    )
+    assert out.collect()[0]["text"] == "HI"
