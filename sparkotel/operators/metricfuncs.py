@@ -1,0 +1,431 @@
+"""transformprocessor metric-context functions (ottlmetric editors).
+
+The reference binds a second function registry at metric context —
+editors that rewrite the *metric* (type / unit / name) or restructure
+its data points, not just individual rows
+(processor/transformprocessor/internal/metrics/functions.go).  The
+engine's canonical frames are ``parse_otlp_metrics``'s number-point
+rows (metric header columns repeated per point) and
+``parse_otlp_histograms``'s histogram-point rows, so each function
+here is a narrow-waist DataFrame→DataFrame transform over those
+frames: a metric-level edit becomes a guarded column rewrite applied
+to every row of the metric, and a point-restructuring function
+becomes a select/union/groupBy.
+
+All paths are pure Catalyst expressions — conversions and scaling are
+`when/otherwise` projections (zero shuffle), `copy_metric` is a
+union of two scans of the same frame (one stage each), and
+`aggregate_on_attributes` is exactly one hash aggregate whose key is
+the metric header + the kept attribute subset.  At 10^12-point scale
+nothing here materializes per-metric state: the reference walks a
+metric tree in memory; this walks columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AGG_TEMPORALITY = {"delta": 1, "cumulative": 2}
+
+# aggregation functions ConvertToAggregationFunction accepts
+# (internal/coreinternal/aggregateutil/type.go:17-37)
+_AGG_FUNCS = ("sum", "mean", "min", "max", "median", "count")
+
+
+def _guard(df: DataFrame, cond: Column, updates: dict[str, Column]) -> DataFrame:
+    """Apply column rewrites only where ``cond`` holds (rows of other
+    metrics keep their values) — the per-metric dispatch the reference
+    does with `metric.Type() != …: return` early-outs."""
+    return df.withColumns(
+        {c: F.when(cond, v).otherwise(F.col(c)) for c, v in updates.items()}
+    )
+
+
+def convert_sum_to_gauge(df: DataFrame) -> DataFrame:
+    """``convert_sum_to_gauge()`` — sum metrics become gauges; points
+    carry over; a gauge has no temporality or monotonicity in pdata so
+    both header fields reset to their zero values
+    (func_convert_sum_to_gauge.go:23-37)."""
+    is_sum = F.col("metric_type") == "sum"
+    return _guard(
+        df,
+        is_sum,
+        {
+            "metric_type": F.lit("gauge"),
+            "aggregation_temporality": F.lit(0),
+            "is_monotonic": F.lit(False),
+        },
+    )
+
+
+def convert_gauge_to_sum(df: DataFrame, temporality: str, monotonic: bool) -> DataFrame:
+    """``convert_gauge_to_sum(aggTemp, monotonic)`` — gauge metrics
+    become sums with the requested temporality/monotonicity; unknown
+    temporality is a plan-time error exactly like the factory's
+    (func_convert_gauge_to_sum.go:37-45)."""
+    if temporality not in _AGG_TEMPORALITY:
+        raise ValueError(f"unknown aggregation temporality: {temporality}")
+    is_gauge = F.col("metric_type") == "gauge"
+    return _guard(
+        df,
+        is_gauge,
+        {
+            "metric_type": F.lit("sum"),
+            "aggregation_temporality": F.lit(_AGG_TEMPORALITY[temporality]),
+            "is_monotonic": F.lit(bool(monotonic)),
+        },
+    )
+
+
+def scale_metric(
+    df: DataFrame,
+    multiplier: float,
+    unit: str | None = None,
+    where: Column | None = None,
+) -> DataFrame:
+    """``scale_metric(multiplier, unit)`` over the number-point frame:
+    gauge/sum values multiply; the optional unit replaces the metric's
+    (func_scale.go:36-69).  ``where`` narrows to a metric subset the
+    way a transformprocessor statement condition does."""
+    cond = where if where is not None else F.lit(True)
+    updates: dict[str, Column] = {"value": F.col("value") * F.lit(float(multiplier))}
+    if unit is not None:
+        updates["unit"] = F.lit(unit)
+    return _guard(df, cond, updates)
+
+
+def scale_histogram(
+    df: DataFrame, multiplier: float, where: Column | None = None
+) -> DataFrame:
+    """``scale_metric`` on the histogram-point frame: sum/min/max and
+    every explicit bound multiply; counts do not (func_scale.go:93-117)."""
+    m = F.lit(float(multiplier))
+    cond = where if where is not None else F.lit(True)
+    return _guard(
+        df,
+        cond,
+        {
+            "sum": F.col("sum") * m,
+            "min": F.col("min") * m,
+            "max": F.col("max") * m,
+            "explicit_bounds": F.transform("explicit_bounds", lambda b: b * m),
+        },
+    )
+
+
+def copy_metric(
+    df: DataFrame,
+    name: str | None = None,
+    unit: str | None = None,
+    where: Column | None = None,
+) -> DataFrame:
+    """``copy_metric(name=…, unit=…)`` — append a full copy of the
+    matching metrics with optional new name/unit
+    (func_copy_metric.go:34-62).  Two scans of the same frame unioned;
+    Spark reuses the exchange-free subplan, no shuffle."""
+    cond = where if where is not None else F.lit(True)
+    copy = df.where(cond)
+    if name is not None:
+        copy = copy.withColumn("metric_name", F.lit(name))
+    if unit is not None:
+        copy = copy.withColumn("unit", F.lit(unit))
+    return df.unionByName(copy)
+
+
+_POINT_HEADER = [
+    "metric_name",
+    "unit",
+    "metric_type",
+    "aggregation_temporality",
+    "is_monotonic",
+    "resource",
+    "scope_name",
+]
+
+
+def _merge_points(
+    d: DataFrame,
+    agg: str,
+    rebuilt_attrs: Column,
+    key_cols: list[str],
+    rebuild_is_agg: bool = False,
+) -> DataFrame:
+    """Shared merge for the aggregate_on_* functions: one hash aggregate
+    keyed on the metric header + attribute identity + timestamp; delta
+    sums additionally key on start time (aggregateutil/aggregate.go:
+    dataPointHashKey + groupByStartTime for delta temporality).
+
+    ``resource`` is a map and can't be a group key either; its canonical
+    sorted-entries string substitutes, with ``first(resource)`` carrying
+    the value through.
+    """
+    if agg not in _AGG_FUNCS:
+        raise ValueError(
+            f"invalid aggregation function: '{agg}', valid options: "
+            + ", ".join(_AGG_FUNCS)
+        )
+    start_key = F.when(
+        (F.col("metric_type") == "sum") & (F.col("aggregation_temporality") == 1),
+        F.col("start_ts"),
+    )
+    res_canon = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("resource"),
+                lambda e: F.concat_ws("\x01", e.getField("key"), e.getField("value")),
+            )
+        ),
+        "\x02",
+    )
+    vals = {
+        "sum": F.sum("value"),
+        "mean": F.avg("value"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "median": F.median("value"),
+        "count": F.count("value").cast("double"),
+    }
+    header_keys = [c for c in _POINT_HEADER if c != "resource"]
+    aggs = [
+        vals[agg].alias("value"),
+        F.min("start_ts").alias("start_ts"),
+        F.first("resource").alias("resource"),
+    ]
+    if rebuild_is_agg:
+        aggs.append(rebuilt_attrs.alias("attributes"))
+        out = (
+            d.groupBy(
+                *header_keys,
+                res_canon.alias("_res_canon"),
+                *key_cols,
+                "ts",
+                start_key.alias("_start_key"),
+            )
+            .agg(*aggs)
+        )
+    else:
+        out = (
+            d.groupBy(
+                *header_keys,
+                res_canon.alias("_res_canon"),
+                *key_cols,
+                "ts",
+                start_key.alias("_start_key"),
+            )
+            .agg(*aggs)
+            .withColumn("attributes", rebuilt_attrs)
+        )
+    return out.select(*_POINT_HEADER, "start_ts", "ts", "value", "attributes")
+
+
+def aggregate_on_attributes(
+    df: DataFrame, agg: str, attributes: list[str] | None = None
+) -> DataFrame:
+    """``aggregate_on_attributes(fn, [attrs])`` — keep only the named
+    datapoint attributes (all dropped when the list is empty) and merge
+    points that collide on (metric, kept attrs, timestamp); delta sums
+    additionally key on start time (aggregateutil/aggregate.go:36-101,
+    func_aggregate_on_attributes_metrics.go).  One hash aggregate.
+    """
+    kept = attributes or []
+    # FilterAttrs: attributes not in the keep-list are removed before
+    # grouping (aggregate.go:36-58).  Maps can't be Spark group keys, so
+    # the kept subset is extracted to scalar key columns and the output
+    # map rebuilt from them — same identity, hashable key.
+    kept_vals = [F.col("attributes")[a].alias(f"_attr_{i}") for i, a in enumerate(kept)]
+    rebuilt = (
+        F.map_from_entries(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(a).alias("key"),
+                            F.col(f"_attr_{i}").alias("value"),
+                        )
+                        for i, a in enumerate(kept)
+                    ]
+                ),
+                lambda e: e.getField("value").isNotNull(),
+            )
+        )
+        if kept
+        else F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
+    )
+    return _merge_points(df.select("*", *kept_vals), agg, rebuilt,
+                         [f"_attr_{i}" for i in range(len(kept))])
+
+
+def aggregate_on_attribute_value(
+    df: DataFrame, agg: str, attribute: str, values: list[str], new_value: str
+) -> DataFrame:
+    """``aggregate_on_attribute_value(fn, attr, values, newValue)`` —
+    rewrite the named attribute to ``new_value`` wherever its value is
+    in ``values``, then merge points that now collide
+    (func_agregate_on_attribute_value_metrics.go).  Points whose
+    attribute is untouched still pass through the same groupBy with
+    their original key, so the output is one aggregate either way."""
+    hit = F.array_contains(
+        F.array(*[F.lit(v) for v in values]), F.col("attributes")[attribute]
+    )
+    rewritten = F.map_from_entries(
+        F.transform(
+            F.map_entries("attributes"),
+            lambda e: F.struct(
+                e.getField("key").alias("key"),
+                F.when(e.getField("key") == attribute, F.lit(new_value))
+                .otherwise(e.getField("value"))
+                .alias("value"),
+            ),
+        )
+    )
+    d = df.withColumn(
+        "attributes", F.when(hit, rewritten).otherwise(F.col("attributes"))
+    )
+    # arbitrary attribute sets → canonical sorted-entries string as the
+    # hashable stand-in for the map key (same trick as the count
+    # connector's canonical dims string)
+    canon = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("attributes"),
+                lambda e: F.concat_ws("\x01", e.getField("key"), e.getField("value")),
+            )
+        ),
+        "\x02",
+    )
+    return _merge_points(
+        d.select("*", canon.alias("_attr_canon")),
+        agg,
+        F.first("attributes"),
+        ["_attr_canon"],
+        rebuild_is_agg=True,
+    )
+
+
+def extract_sum_metric(
+    hist: DataFrame, monotonic: bool, suffix: str = "_sum"
+) -> DataFrame:
+    """``extract_sum_metric(monotonic, suffix)`` — histogram points
+    with a sum become number points of a new ``<name><suffix>`` sum
+    metric carrying the histogram's temporality
+    (func_extract_sum_metric.go:34-86).  Output is in the number-point
+    frame so it unions straight into ``parse_otlp_metrics`` output."""
+    return (
+        hist.where(F.col("sum").isNotNull())
+        .select(
+            F.concat(F.col("metric_name"), F.lit(suffix)).alias("metric_name"),
+            F.lit("").alias("unit"),
+            F.lit("sum").alias("metric_type"),
+            F.col("aggregation_temporality"),
+            F.lit(bool(monotonic)).alias("is_monotonic"),
+            "start_ts",
+            "ts",
+            F.col("sum").alias("value"),
+            "attributes",
+            "resource",
+            F.lit("").alias("scope_name"),
+        )
+    )
+
+
+def extract_count_metric(
+    hist: DataFrame, monotonic: bool, suffix: str = "_count"
+) -> DataFrame:
+    """``extract_count_metric(monotonic, suffix)`` — histogram point
+    counts as a new ``<name><suffix>`` sum metric
+    (func_extract_count_metric.go, same shape as extract_sum)."""
+    return (
+        hist.where(F.col("count").isNotNull())
+        .select(
+            F.concat(F.col("metric_name"), F.lit(suffix)).alias("metric_name"),
+            F.lit("").alias("unit"),
+            F.lit("sum").alias("metric_type"),
+            F.col("aggregation_temporality"),
+            F.lit(bool(monotonic)).alias("is_monotonic"),
+            "start_ts",
+            "ts",
+            F.col("count").cast("double").alias("value"),
+            "attributes",
+            "resource",
+            F.lit("").alias("scope_name"),
+        )
+    )
+
+
+def merge_histogram_buckets(
+    hist: DataFrame, target_value: float, method: str = "remove_explicit_bound"
+) -> DataFrame:
+    """``merge_histogram_buckets(target_value, method)`` over the
+    histogram-point frame (func_merge_histogram_buckets.go:42-199).
+
+    ``remove_explicit_bound``: the bucket whose upper bound equals
+    ``target_value`` folds into its right neighbour and the bound
+    disappears (lines 117-144).  ``limit_buckets``: when a point has
+    more than ``target_value`` buckets and strictly increasing bounds,
+    counts compact in chunks of ``ceil(n/max)`` (sum per chunk) and
+    every ``divisor``-th bound survives (lines 153-198).  Malformed
+    points (len(bounds)+1 != len(counts), single bucket) pass through
+    untouched, as in the reference.  Per-row array math — zero shuffle.
+    """
+    counts, bounds = F.col("bucket_counts"), F.col("explicit_bounds")
+    well_formed = (F.size(bounds) + 1 == F.size(counts)) & (F.size(counts) > 1)
+
+    if method == "remove_explicit_bound":
+        # findBoundIndex: first bound exactly equal to the target
+        t = F.array_position(bounds, F.lit(float(target_value))) - 1  # 0-based; -1 if absent
+        apply = well_formed & (t >= 0)
+        bumped = F.transform(
+            counts, lambda c, i: F.when(i == t + 1, c + F.get(counts, t)).otherwise(c)
+        )
+        new_counts = F.filter(bumped, lambda _, i: i != t)
+        new_bounds = F.filter(bounds, lambda _, i: i != t)
+    elif method == "limit_buckets":
+        max_b = int(target_value)
+        if max_b < 1 or float(max_b) != float(target_value):
+            raise ValueError(
+                "target_value must be a positive integer when method is "
+                f"'limit_buckets', got {target_value}"
+            )
+        # zip_with pads the shorter (shifted) side with null — the last
+        # pair has no successor, which vacuously satisfies "increasing"
+        increasing = F.forall(
+            F.zip_with(
+                bounds,
+                F.slice(bounds, 2, 2147483646),
+                lambda a, b: b.isNull() | (b > a),
+            ),
+            lambda x: x,
+        )
+        n = F.size(counts)
+        apply = well_formed & (n > F.lit(max_b)) & increasing
+        divisor = (F.floor((n - 1) / F.lit(max_b)) + 1).cast("int")  # ceilDiv
+        chunks = F.sequence(F.lit(0), F.floor((n - 1) / divisor).cast("int"))
+        new_counts = F.transform(
+            chunks,
+            lambda i: F.aggregate(
+                F.slice(counts, i * divisor + 1, divisor),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        new_bounds = F.filter(bounds, lambda _, i: (i + 1) % divisor == 0)
+    else:
+        raise ValueError(
+            f"unsupported method {method!r}, expected 'remove_explicit_bound' "
+            "or 'limit_buckets'"
+        )
+
+    # both outputs derive from the same pre-merge arrays: compute them in
+    # one struct so neither sees the other's update
+    merged = F.when(
+        apply, F.struct(new_counts.alias("c"), new_bounds.alias("b"))
+    ).otherwise(F.struct(counts.alias("c"), bounds.alias("b")))
+    return (
+        hist.withColumn("_merged", merged)
+        .withColumn("bucket_counts", F.col("_merged.c"))
+        .withColumn("explicit_bounds", F.col("_merged.b"))
+        .drop("_merged")
+    )

@@ -761,6 +761,167 @@ FROM events""",
 FROM events""",
     )
 
+    # --- transformprocessor metric-context functions ------------------------
+    # (processor/transformprocessor/internal/metrics/func_*.go) over the
+    # number-point and histogram-point frames.
+    from sparkotel.operators import metricfuncs as MF
+    from sparkotel.otlpjson import parse_otlp_histograms
+
+    def metric_chain_q(spark, sf):
+        m = _point_frame(spark, sf)
+        out = MF.convert_gauge_to_sum(m, "delta", True)
+        out = MF.scale_metric(out, 2.0, unit="2x")
+        out = MF.copy_metric(out, name="m.extra", where=F.col("metric_name") == "m.error")
+        return out.select(
+            "metric_name",
+            "unit",
+            "metric_type",
+            F.col("aggregation_temporality").cast("int").alias("aggregation_temporality"),
+            "is_monotonic",
+            "ts",
+            "value",
+            F.col("attributes")["k"].alias("attr_k"),
+        )
+
+    q["metric_funcs_chain"] = Query(
+        metric_chain_q,
+        """WITH base AS (
+  SELECT 'm.' || event_type AS metric_name, '2x' AS unit, 'sum' AS metric_type,
+    CAST(CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END AS INT) AS aggregation_temporality,
+    TRUE AS is_monotonic, ts,
+    (CASE WHEN event_type = 'purchase'
+          THEN CAST(json_extract_string(props, '$.k') AS DOUBLE)
+          ELSE value END) * 2 AS value,
+    json_extract_string(props, '$.k') AS attr_k
+  FROM events)
+SELECT * FROM base
+UNION ALL
+SELECT 'm.extra', unit, metric_type, aggregation_temporality, is_monotonic, ts, value, attr_k
+FROM base WHERE metric_name = 'm.error'""",
+    )
+
+    def metric_agg_q(spark, sf):
+        m = _point_frame(spark, sf)
+        out = MF.aggregate_on_attributes(m, "mean", ["k"])
+        return out.select(
+            "metric_name",
+            "unit",
+            "metric_type",
+            "aggregation_temporality",
+            "is_monotonic",
+            "ts",
+            "value",
+            F.col("attributes")["k"].alias("attr_k"),
+            F.col("resource")["host.name"].alias("host_name"),
+        )
+
+    q["metric_aggregate_on_attrs"] = Query(
+        metric_agg_q,
+        """SELECT 'm.' || event_type AS metric_name, 'ms' AS unit,
+  CASE WHEN event_type = 'purchase' THEN 'sum' ELSE 'gauge' END AS metric_type,
+  CASE WHEN event_type = 'purchase' THEN 2 ELSE 0 END AS aggregation_temporality,
+  event_type = 'purchase' AS is_monotonic,
+  ts,
+  avg(CASE WHEN event_type = 'purchase'
+      THEN CAST(json_extract_string(props, '$.k') AS DOUBLE)
+      ELSE value END) AS value,
+  json_extract_string(props, '$.k') AS attr_k,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name
+FROM events GROUP BY 1, 2, 3, 4, 5, 6, 8, 9""",
+    )
+
+    # histogram-point frame derived deterministically from events: five
+    # buckets with bounds [1,2,5,10], counts from event/user id residues
+    _HISTO_FMT = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"h.latency","unit":"ms","histogram":{"aggregationTemporality":1,'
+        '"dataPoints":[{"startTimeUnixNano":"%d","timeUnixNano":"%d",'
+        '"count":"%d","sum":%d,'
+        '"bucketCounts":["%d","%d","%d","%d","%d"],'
+        '"explicitBounds":[1.0,2.0,5.0,10.0],'
+        '"attributes":[{"key":"et","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+
+    def _hist_frame(spark, sf):
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        cs = [
+            F.col("event_id") % 3,
+            F.col("user_id") % 4,
+            F.col("event_id") % 5,
+            F.col("user_id") % 6,
+            F.col("event_id") % 7,
+        ]
+        total = cs[0] + cs[1] + cs[2] + cs[3] + cs[4]
+        lines = ev.select(
+            F.format_string(
+                _HISTO_FMT,
+                F.col("user_id") % 7,
+                (tus - 1_000_000) * 1000,
+                tus * 1000,
+                total,
+                F.col("event_id") % 100,
+                *cs,
+                F.col("event_type"),
+            ).alias("line")
+        )
+        return parse_otlp_histograms(lines)
+
+    def metric_extract_q(spark, sf):
+        h = _hist_frame(spark, sf)
+        out = MF.extract_sum_metric(h, False).unionByName(
+            MF.extract_count_metric(h, True)
+        )
+        return out.select(
+            "metric_name",
+            "metric_type",
+            "aggregation_temporality",
+            "is_monotonic",
+            "ts",
+            "value",
+            F.col("attributes")["et"].alias("et"),
+        )
+
+    q["metric_extract_hist"] = Query(
+        metric_extract_q,
+        """WITH h AS (
+  SELECT ts, event_type AS et,
+    CAST(event_id % 100 AS DOUBLE) AS hsum,
+    CAST(event_id % 3 + user_id % 4 + event_id % 5 + user_id % 6 + event_id % 7
+         AS DOUBLE) AS hcount
+  FROM events)
+SELECT 'h.latency_sum' AS metric_name, 'sum' AS metric_type,
+  1 AS aggregation_temporality, FALSE AS is_monotonic, ts, hsum AS value, et FROM h
+UNION ALL
+SELECT 'h.latency_count', 'sum', 1, TRUE, ts, hcount, et FROM h""",
+    )
+
+    def metric_merge_q(spark, sf):
+        h = _hist_frame(spark, sf)
+        out = MF.merge_histogram_buckets(h, 2.0, "remove_explicit_bound")
+        out = MF.merge_histogram_buckets(out, 2, "limit_buckets")
+        return out.select(
+            "metric_name",
+            "ts",
+            F.array_join(F.col("bucket_counts").cast("array<string>"), ",").alias("buckets"),
+            F.array_join(
+                F.col("explicit_bounds").cast("array<int>").cast("array<string>"), ","
+            ).alias("bounds"),
+            F.col("attributes")["et"].alias("et"),
+        )
+
+    q["metric_merge_buckets"] = Query(
+        metric_merge_q,
+        """SELECT 'h.latency' AS metric_name, ts,
+  CAST(event_id % 3 + user_id % 4 + event_id % 5 AS VARCHAR) || ',' ||
+    CAST(user_id % 6 + event_id % 7 AS VARCHAR) AS buckets,
+  '5' AS bounds,
+  event_type AS et
+FROM events""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # operator-coverage queries (SURVEY §2 long tail)
