@@ -355,6 +355,172 @@ def extract_count_metric(
     )
 
 
+def _summary_to_number(
+    summ: DataFrame, value: Column, temporality: str, monotonic: bool, suffix: str
+) -> DataFrame:
+    if temporality not in _AGG_TEMPORALITY:
+        raise ValueError(f"unknown aggregation temporality: {temporality}")
+    return summ.select(
+        F.concat(F.col("metric_name"), F.lit(suffix)).alias("metric_name"),
+        "unit",
+        F.lit("sum").alias("metric_type"),
+        F.lit(_AGG_TEMPORALITY[temporality]).alias("aggregation_temporality"),
+        F.lit(bool(monotonic)).alias("is_monotonic"),
+        "start_ts",
+        "ts",
+        value.alias("value"),
+        "attributes",
+        "resource",
+        "scope_name",
+    )
+
+
+def convert_summary_count_val_to_sum(
+    summ: DataFrame, temporality: str, monotonic: bool, suffix: str = "_count"
+) -> DataFrame:
+    """``convert_summary_count_val_to_sum(aggTemp, monotonic)`` — every
+    summary point's count becomes a point of a new ``<name>_count`` sum
+    metric (func_convert_summary_count_val_to_sum.go:37-76).  Output is
+    in the number-point frame."""
+    return _summary_to_number(
+        summ, F.col("count").cast("double"), temporality, monotonic, suffix
+    )
+
+
+def convert_summary_sum_val_to_sum(
+    summ: DataFrame, temporality: str, monotonic: bool, suffix: str = "_sum"
+) -> DataFrame:
+    """``convert_summary_sum_val_to_sum(aggTemp, monotonic)`` — summary
+    sums as a new ``<name>_sum`` sum metric
+    (func_convert_summary_sum_val_to_sum.go, same shape as the count
+    variant)."""
+    return _summary_to_number(summ, F.col("sum"), temporality, monotonic, suffix)
+
+
+def convert_summary_quantile_val_to_gauge(
+    summ: DataFrame, attr_key: str = "quantile", suffix: str = ".quantiles"
+) -> DataFrame:
+    """``convert_summary_quantile_val_to_gauge(attr_key, suffix)`` —
+    one gauge point per summary quantile value, the quantile recorded as
+    a datapoint attribute (func_convert_summary_quantile_val_to_gauge.go:
+    35-66; the reference PutDouble's the quantile — the engine's
+    string-valued attribute map carries its decimal rendering)."""
+    ex = summ.select("*", F.explode("quantiles").alias("_q"))
+    return ex.select(
+        F.concat(F.col("metric_name"), F.lit(suffix)).alias("metric_name"),
+        "unit",
+        F.lit("gauge").alias("metric_type"),
+        F.lit(0).alias("aggregation_temporality"),
+        F.lit(False).alias("is_monotonic"),
+        "start_ts",
+        "ts",
+        F.col("_q").getField("value").alias("value"),
+        F.map_concat(
+            "attributes",
+            F.map_from_arrays(
+                F.array(F.lit(attr_key)),
+                F.array(F.col("_q").getField("quantile").cast("string")),
+            ),
+        ).alias("attributes"),
+        "resource",
+        "scope_name",
+    )
+
+
+def extract_percentile_metric(
+    hist: DataFrame, percentile: float, suffix: str | None = None
+) -> DataFrame:
+    """``extract_percentile_metric(percentile, suffix)`` — estimate a
+    percentile per histogram point by linear interpolation inside the
+    target bucket, emitted as a new ``<name>_p<q>`` gauge
+    (func_extract_percentile_metric.go:46-185).
+
+    Reference walk per point: target = ceil(count·p/100); scan buckets
+    to the first whose cumulative count reaches target; lower bound is
+    the previous explicit bound (or min/0 for the first bucket), upper
+    the bucket's bound (or max for the overflow bucket); value =
+    lower + (upper-lower)·(target-prevCum)/bucketCount.  Points the
+    reference skips (zero count, no buckets, single unbounded bucket
+    without min/max, overflow bucket without usable max → lowerBound,
+    0 > first bound without min → upperBound) get the same treatment.
+    All per-row array math — zero shuffle, no Python.
+    """
+    if not 0 < percentile < 100:
+        raise ValueError(
+            f"percentile must be greater than 0 and less than 100, got {percentile}"
+        )
+    name_suffix = suffix if suffix else f"_p{percentile:g}"
+    counts, bounds = F.col("bucket_counts"), F.col("explicit_bounds")
+    n = F.size(counts)
+    well_formed = (F.size(bounds) + 1 == n) & (F.col("count") > 0) & (n > 0)
+
+    target = F.ceil(F.col("count").cast("double") * F.lit(percentile / 100.0))
+    # cumulative counts per bucket (buckets are few; O(n²) per row is fine)
+    cum = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.aggregate(
+            F.slice(counts, 1, i + 1), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    # first bucket index whose cumulative count >= target (0-based)
+    idx = (
+        F.array_position(F.transform(cum, lambda c: c >= target), F.lit(True)) - 1
+    ).cast("int")
+
+    has_min = F.col("min").isNotNull()
+    has_max = F.col("max").isNotNull()
+
+    # single bucket spanning (-Inf, +Inf): needs min and max
+    single = (n == 1) & (F.size(bounds) == 0)
+    single_ok = single & has_min & has_max
+    single_val = F.col("min") + (
+        target.cast("double") / F.get(counts, 0)
+    ) * (F.col("max") - F.col("min"))
+
+    first_upper = F.get(bounds, 0)
+    lower0 = F.when(has_min & (F.col("min") < first_upper), F.col("min")).otherwise(
+        F.lit(0.0)
+    )
+    # 0 > upperBound and no valid min → return upperBound directly
+    first_degenerate = (idx == 0) & ~(has_min & (F.col("min") < first_upper)) & (
+        F.lit(0.0) > first_upper
+    )
+
+    last = idx == F.size(bounds)  # overflow bucket
+    lower_k = F.get(bounds, idx - 1)
+    # overflow bucket: use max, else return lowerBound
+    last_degenerate = last & (~has_max | (F.col("max") <= lower_k))
+
+    lower = F.when(idx == 0, lower0).otherwise(lower_k)
+    upper = F.when(last, F.col("max")).otherwise(F.get(bounds, idx))
+    prev_cum = F.when(idx == 0, F.lit(0).cast("long")).otherwise(F.get(cum, idx - 1))
+    ratio = (target - prev_cum).cast("double") / F.get(counts, idx)
+    interp = lower + ratio * (upper - lower)
+
+    value = F.when(single, single_val).when(first_degenerate, first_upper).when(
+        last_degenerate, lower_k
+    ).otherwise(interp)
+    keep = F.when(single, single_ok & (F.col("count") > 0)).otherwise(
+        well_formed & (idx >= 0)
+    )
+
+    return (
+        hist.withColumn("_pv", F.when(keep, value))
+        .where(F.col("_pv").isNotNull())
+        .select(
+            F.concat(F.col("metric_name"), F.lit(name_suffix)).alias("metric_name"),
+            F.lit("gauge").alias("metric_type"),
+            F.lit(0).alias("aggregation_temporality"),
+            F.lit(False).alias("is_monotonic"),
+            "start_ts",
+            "ts",
+            F.col("_pv").alias("value"),
+            "attributes",
+            "resource",
+        )
+    )
+
+
 def merge_histogram_buckets(
     hist: DataFrame, target_value: float, method: str = "remove_explicit_bound"
 ) -> DataFrame:

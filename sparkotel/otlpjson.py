@@ -325,6 +325,12 @@ _HIST_DP = (
     "bucketCounts:array<string>,explicitBounds:array<double>,"
     f"attributes:{_KVLIST},flags:int>"
 )
+_SUMM_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,"
+    "count:string,sum:double,"
+    "quantileValues:array<struct<quantile:double,value:double>>,"
+    f"attributes:{_KVLIST},flags:int>"
+)
 OTLP_METRICS_DDL = (
     "struct<resourceMetrics:array<struct<"
     f"resource:struct<attributes:{_KVLIST},droppedAttributesCount:int>,"
@@ -333,7 +339,8 @@ OTLP_METRICS_DDL = (
     "metrics:array<struct<name:string,description:string,unit:string,"
     f"gauge:struct<dataPoints:array<{_NUM_DP}>>,"
     f"sum:struct<dataPoints:array<{_NUM_DP}>,aggregationTemporality:int,isMonotonic:boolean>,"
-    f"histogram:struct<dataPoints:array<{_HIST_DP}>,aggregationTemporality:int>>>,"
+    f"histogram:struct<dataPoints:array<{_HIST_DP}>,aggregationTemporality:int>,"
+    f"summary:struct<dataPoints:array<{_SUMM_DP}>>>>,"
     "schemaUrl:string>>,"
     "schemaUrl:string>>>"
 )
@@ -420,6 +427,40 @@ def parse_otlp_histograms(df: DataFrame, line_col: str = "line") -> DataFrame:
         dp.getField("explicitBounds").alias("explicit_bounds"),
         _kv_to_map(dp.getField("attributes")).alias("attributes"),
         _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+    )
+
+
+def parse_otlp_summaries(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Summary data points from OTLP/JSON metrics lines: one row per
+    point, quantile values kept as an ``array<struct<quantile,value>>``
+    so the convert_summary_* functions can read count/sum scalars or
+    explode the quantiles (proto Summary has no temporality)."""
+    rec = (
+        _metric_base(df, line_col)
+        .where(F.col("m").getField("summary").isNotNull())
+        .select(
+            "*",
+            F.explode(
+                F.col("m").getField("summary").getField("dataPoints")
+            ).alias("dp"),
+        )
+    )
+    dp = F.col("dp")
+    rec = rec.withColumns({
+        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
+        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+    })
+    return rec.select(
+        F.col("m").getField("name").alias("metric_name"),
+        F.coalesce(F.col("m").getField("unit"), F.lit("")).alias("unit"),
+        F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
+        dp.getField("count").cast("long").alias("count"),
+        dp.getField("sum").alias("sum"),
+        dp.getField("quantileValues").alias("quantiles"),
+        _kv_to_map(dp.getField("attributes")).alias("attributes"),
+        _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+        F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),
     )
 
 

@@ -922,6 +922,109 @@ SELECT 'h.latency_count', 'sum', 1, TRUE, ts, hcount, et FROM h""",
 FROM events""",
     )
 
+    def metric_pct_q(spark, sf):
+        h = _hist_frame(spark, sf)
+        out = MF.extract_percentile_metric(h, 90.0)
+        return out.select(
+            "metric_name", "ts", "value", F.col("attributes")["et"].alias("et")
+        )
+
+    # mirror of the reference's bucket scan + linear interpolation
+    # (func_extract_percentile_metric.go:125-185) unrolled over the five
+    # known buckets; rows with zero total are skipped on both sides
+    q["metric_extract_percentile"] = Query(
+        metric_pct_q,
+        """WITH h AS (
+  SELECT ts, event_type AS et,
+    CAST(event_id % 3 AS BIGINT) AS c0, CAST(user_id % 4 AS BIGINT) AS c1,
+    CAST(event_id % 5 AS BIGINT) AS c2, CAST(user_id % 6 AS BIGINT) AS c3,
+    CAST(event_id % 7 AS BIGINT) AS c4
+  FROM events),
+t AS (SELECT *, c0+c1+c2+c3+c4 AS total,
+  CAST(ceil((c0+c1+c2+c3+c4) * 0.9) AS BIGINT) AS tgt FROM h)
+SELECT 'h.latency_p90' AS metric_name, ts,
+  CASE
+    WHEN tgt <= c0 THEN CAST(tgt AS DOUBLE) / c0 * 1.0
+    WHEN tgt <= c0+c1 THEN 1.0 + CAST(tgt-c0 AS DOUBLE) / c1 * 1.0
+    WHEN tgt <= c0+c1+c2 THEN 2.0 + CAST(tgt-c0-c1 AS DOUBLE) / c2 * 3.0
+    WHEN tgt <= c0+c1+c2+c3 THEN 5.0 + CAST(tgt-c0-c1-c2 AS DOUBLE) / c3 * 5.0
+    ELSE 10.0 END AS value,
+  et
+FROM t WHERE total > 0""",
+    )
+
+    # summary-point frame derived deterministically from events
+    _SUMM_FMT = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"s.val","unit":"ms","summary":{"dataPoints":['
+        '{"startTimeUnixNano":"%d","timeUnixNano":"%d",'
+        '"count":"%d","sum":%d,'
+        '"quantileValues":[{"quantile":0.5,"value":%d},'
+        '{"quantile":0.9,"value":%d}],'
+        '"attributes":[{"key":"et","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+
+    def _summ_frame(spark, sf):
+        from sparkotel.otlpjson import parse_otlp_summaries
+
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        lines = ev.select(
+            F.format_string(
+                _SUMM_FMT,
+                F.col("user_id") % 7,
+                (tus - 1_000_000) * 1000,
+                tus * 1000,
+                F.col("user_id") % 10,
+                F.col("event_id") % 50,
+                F.col("event_id") % 7,
+                F.col("event_id") % 9,
+                F.col("event_type"),
+            ).alias("line")
+        )
+        return parse_otlp_summaries(lines)
+
+    def metric_summary_q(spark, sf):
+        s = _summ_frame(spark, sf)
+        out = (
+            MF.convert_summary_count_val_to_sum(s, "delta", True)
+            .unionByName(MF.convert_summary_sum_val_to_sum(s, "cumulative", False))
+            .unionByName(MF.convert_summary_quantile_val_to_gauge(s))
+        )
+        return out.select(
+            "metric_name",
+            "metric_type",
+            F.col("aggregation_temporality").cast("int").alias("aggregation_temporality"),
+            "is_monotonic",
+            "ts",
+            "value",
+            F.col("attributes")["et"].alias("et"),
+            F.col("attributes")["quantile"].alias("quantile"),
+        )
+
+    q["metric_summary_convert"] = Query(
+        metric_summary_q,
+        """SELECT 's.val_count' AS metric_name, 'sum' AS metric_type,
+  CAST(1 AS INT) AS aggregation_temporality, TRUE AS is_monotonic, ts,
+  CAST(user_id % 10 AS DOUBLE) AS value, event_type AS et,
+  CAST(NULL AS VARCHAR) AS quantile
+FROM events
+UNION ALL
+SELECT 's.val_sum', 'sum', CAST(2 AS INT), FALSE, ts,
+  CAST(event_id % 50 AS DOUBLE), event_type, NULL
+FROM events
+UNION ALL
+SELECT 's.val.quantiles', 'gauge', CAST(0 AS INT), FALSE, ts,
+  CAST(event_id % 7 AS DOUBLE), event_type, '0.5'
+FROM events
+UNION ALL
+SELECT 's.val.quantiles', 'gauge', CAST(0 AS INT), FALSE, ts,
+  CAST(event_id % 9 AS DOUBLE), event_type, '0.9'
+FROM events""",
+    )
+
 
 # ---------------------------------------------------------------------------
 # operator-coverage queries (SURVEY §2 long tail)
