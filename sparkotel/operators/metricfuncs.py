@@ -521,6 +521,154 @@ def extract_percentile_metric(
     )
 
 
+def convert_exponential_hist_to_explicit_hist(
+    df: DataFrame, distribution: str, explicit_bounds: list[float]
+) -> DataFrame:
+    """``convert_exponential_hist_to_explicit_hist(distribution,
+    [bounds])`` — rebin base-2 exponential-histogram points onto fixed
+    explicit bounds (func_convert_exponential_hist_to_explicit_hist.go:
+    56-243).
+
+    Input frame: one row per exponential datapoint with ``scale``,
+    ``zero_count``, ``positive_offset``, ``positive_bucket_counts``
+    (the OTLP ExponentialHistogramDataPoint positive half).  Output
+    replaces those with ``bucket_counts`` / ``explicit_bounds`` in the
+    explicit histogram-point shape.
+
+    Per source bucket at index i: idx = offset+i, factor = ln2·2^-scale,
+    bounds (exp(idx·factor), exp((idx+1)·factor)]; a bucket lying past
+    the last boundary overflows, one nested between two adjacent
+    boundaries lands exactly, anything else goes through the chosen
+    distribution — ``upper`` (first boundary ≥ upper), ``midpoint``
+    (boundary bracketing the bucket midpoint, off-by-one per the
+    reference), or ``uniform`` (integer split with remainder to the
+    leading cells).  ZeroCount lands in bucket 0 iff boundaries start
+    at 0.  ``random`` is rejected: it draws from a process-local RNG —
+    not reproducible across a cluster, and the reference itself
+    documents it only as a smoothing variant of uniform.
+
+    Everything is per-row array math over plan-time-constant
+    boundaries — zero shuffle, no Python.
+    """
+    import math as _math
+
+    if not explicit_bounds:
+        raise ValueError(f"explicit bounds cannot be empty: {explicit_bounds}")
+    if distribution == "random":
+        raise ValueError(
+            "random distribution is not reproducible on a cluster; "
+            "use 'uniform' (random is uniform plus RNG jitter)"
+        )
+    if distribution not in ("upper", "midpoint", "uniform"):
+        raise ValueError(
+            f"invalid distribution algorithm: {distribution}, must be one of "
+            "[upper, midpoint, random, uniform]"
+        )
+    bnd = [float(b) for b in explicit_bounds]
+    nb = len(bnd)
+
+    counts = F.col("positive_bucket_counts")
+    off = F.col("positive_offset").cast("double")
+    factor = F.lit(_math.log(2.0)) * F.pow(F.lit(2.0), -F.col("scale").cast("double"))
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(nb)])
+
+    def single(target: Column, c: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda j: F.when(j == target, c).otherwise(F.lit(0).cast("long")),
+        )
+
+    def contrib(i: Column) -> Column:
+        lower = F.exp((off + i.cast("double")) * factor)
+        upper = F.exp((off + i.cast("double") + 1) * factor)
+        c = F.get(counts, i)
+
+        # exact fit: nested between two adjacent boundaries (lines 133-140)
+        fit = F.lit(None).cast("int")
+        for b in range(nb - 1, 0, -1):
+            fit = F.when(
+                (lower > F.lit(bnd[b - 1])) & (upper <= F.lit(bnd[b])), F.lit(b - 1)
+            ).otherwise(fit)
+
+        if distribution == "upper":
+            tgt = F.lit(nb - 1)
+            for j in range(nb - 1, -1, -1):
+                tgt = F.when(upper <= F.lit(bnd[j]), F.lit(j)).otherwise(tgt)
+            dist = single(tgt, c)
+        elif distribution == "midpoint":
+            mid = (upper + lower) / 2
+            tgt = F.lit(nb - 1)
+            for j in range(nb - 1, -1, -1):
+                tgt = F.when(
+                    mid <= F.lit(bnd[j]), F.lit(max(j - 1, 0))
+                ).otherwise(tgt)
+            dist = single(tgt, c)
+        else:  # uniform (lines 200-243)
+            start = F.lit(nb - 1)
+            for j in range(nb - 1, -1, -1):
+                start = F.when(lower <= F.lit(bnd[j]), F.lit(j)).otherwise(start)
+            end = F.lit(nb)
+            for j in range(nb - 1, -1, -1):
+                end = F.when(upper <= F.lit(bnd[j]), F.lit(j)).otherwise(end)
+            end = F.least(end, F.lit(nb - 1))
+            span = (end - start + 1).cast("long")
+            per, rem = c / span, c % span
+            dist = F.transform(
+                F.sequence(F.lit(0), F.lit(nb - 1)),
+                lambda j: F.when(
+                    end > start,
+                    F.when(
+                        (j >= start) & (j <= end),
+                        F.floor(per)
+                        + F.when((j - start) < rem, F.lit(1)).otherwise(F.lit(0)),
+                    ).otherwise(F.lit(0)),
+                )
+                .otherwise(F.when(j == start, c).otherwise(F.lit(0)))
+                .cast("long"),
+            )
+
+        overflow = single(F.lit(nb - 1), c)
+        fitted = single(fit, c)
+        return (
+            F.when(lower > F.lit(bnd[-1]), overflow)
+            .when(fit.isNotNull(), fitted)
+            .otherwise(dist)
+        )
+
+    contribs = F.transform(F.sequence(F.lit(0), F.size(counts) - 1), contrib)
+    summed = F.aggregate(
+        contribs, zeros, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    if bnd[0] == 0.0:
+        zc = F.when(F.col("zero_count") > 0, F.col("zero_count")).otherwise(
+            F.lit(0).cast("long")
+        )
+        summed = F.transform(
+            summed, lambda v, j: F.when(j == 0, v + zc).otherwise(v)
+        )
+    # empty positive half → all-zero buckets (sequence over empty array
+    # yields an empty contribs list and aggregate returns the seed)
+    summed = F.when(F.size(counts) > 0, summed).otherwise(
+        zeros if bnd[0] != 0.0 else F.transform(
+            zeros,
+            lambda v, j: F.when(
+                (j == 0) & (F.col("zero_count") > 0), F.col("zero_count")
+            ).otherwise(v),
+        )
+    )
+    keep = [
+        c
+        for c in df.columns
+        if c not in ("scale", "zero_count", "zero_threshold",
+                     "positive_offset", "positive_bucket_counts")
+    ]
+    return df.select(
+        *keep,
+        summed.alias("bucket_counts"),
+        F.array(*[F.lit(b) for b in bnd]).alias("explicit_bounds"),
+    )
+
+
 def merge_histogram_buckets(
     hist: DataFrame, target_value: float, method: str = "remove_explicit_bound"
 ) -> DataFrame:

@@ -953,6 +953,76 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    def metric_exphist_q(spark, sf):
+        ev = _events(spark, sf)
+        exp_pts = ev.select(
+            F.lit("e.latency").alias("metric_name"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.lit(1).alias("scale"),
+            (F.col("user_id") % 3).cast("long").alias("zero_count"),
+            ((F.col("event_id") % 6) - 1).cast("int").alias("positive_offset"),
+            F.array(
+                (F.col("event_id") % 4).cast("long"),
+                (F.col("user_id") % 5).cast("long"),
+                (F.col("event_id") % 3).cast("long"),
+            ).alias("positive_bucket_counts"),
+            F.col("event_type").alias("et"),
+        )
+        out = MF.convert_exponential_hist_to_explicit_hist(
+            exp_pts, "midpoint", [0.0, 1.5, 3.3, 7.7]
+        )
+        return out.select(
+            "metric_name",
+            "ts",
+            F.array_join(F.col("bucket_counts").cast("array<string>"), ",").alias(
+                "buckets"
+            ),
+            "et",
+        )
+
+    # unrolled mirror of calculateBucketCounts + midpointAlgorithm
+    # (func_convert_exponential_hist_to_explicit_hist.go:109-148,183-199):
+    # per source bucket i, overflow → last cell, exact-fit between adjacent
+    # boundaries, else midpoint placement; zero_count lands in cell 0
+    # because boundaries start at 0.  Bounds sit far from every base-2
+    # bucket edge so 1-ulp exp() differences between engines cannot flip
+    # a comparison.
+    _EXPH_TGT = """CASE
+      WHEN exp((off + {i}) * ln(2) / 2) > 7.7 THEN 3
+      WHEN exp((off + {i}) * ln(2) / 2) > 0.0
+           AND exp((off + {i} + 1) * ln(2) / 2) <= 1.5 THEN 0
+      WHEN exp((off + {i}) * ln(2) / 2) > 1.5
+           AND exp((off + {i} + 1) * ln(2) / 2) <= 3.3 THEN 1
+      WHEN exp((off + {i}) * ln(2) / 2) > 3.3
+           AND exp((off + {i} + 1) * ln(2) / 2) <= 7.7 THEN 2
+      WHEN (exp((off + {i}) * ln(2) / 2) + exp((off + {i} + 1) * ln(2) / 2)) / 2 <= 1.5 THEN 0
+      WHEN (exp((off + {i}) * ln(2) / 2) + exp((off + {i} + 1) * ln(2) / 2)) / 2 <= 3.3 THEN 1
+      WHEN (exp((off + {i}) * ln(2) / 2) + exp((off + {i} + 1) * ln(2) / 2)) / 2 <= 7.7 THEN 2
+      ELSE 3 END"""
+
+    q["metric_exphist_convert"] = Query(
+        metric_exphist_q,
+        f"""WITH e AS (
+  SELECT ts, event_type AS et,
+    CAST(event_id % 6 - 1 AS INT) AS off,
+    CAST(event_id % 4 AS BIGINT) AS b0, CAST(user_id % 5 AS BIGINT) AS b1,
+    CAST(event_id % 3 AS BIGINT) AS b2, CAST(user_id % 3 AS BIGINT) AS zc
+  FROM events),
+t AS (SELECT *, {_EXPH_TGT.format(i=0)} AS t0, {_EXPH_TGT.format(i=1)} AS t1,
+  {_EXPH_TGT.format(i=2)} AS t2 FROM e)
+SELECT 'e.latency' AS metric_name, ts,
+  CAST(zc + CASE WHEN t0=0 THEN b0 ELSE 0 END + CASE WHEN t1=0 THEN b1 ELSE 0 END
+       + CASE WHEN t2=0 THEN b2 ELSE 0 END AS VARCHAR) || ',' ||
+  CAST(CASE WHEN t0=1 THEN b0 ELSE 0 END + CASE WHEN t1=1 THEN b1 ELSE 0 END
+       + CASE WHEN t2=1 THEN b2 ELSE 0 END AS VARCHAR) || ',' ||
+  CAST(CASE WHEN t0=2 THEN b0 ELSE 0 END + CASE WHEN t1=2 THEN b1 ELSE 0 END
+       + CASE WHEN t2=2 THEN b2 ELSE 0 END AS VARCHAR) || ',' ||
+  CAST(CASE WHEN t0=3 THEN b0 ELSE 0 END + CASE WHEN t1=3 THEN b1 ELSE 0 END
+       + CASE WHEN t2=3 THEN b2 ELSE 0 END AS VARCHAR) AS buckets,
+  et
+FROM t""",
+    )
+
     # summary-point frame derived deterministically from events
     _SUMM_FMT = (
         '{"resourceMetrics":[{"resource":{"attributes":['
