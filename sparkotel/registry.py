@@ -953,6 +953,70 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- set_semconv_span_name over a semconv-attributed span frame --------
+    from sparkotel.operators.spanfuncs import set_semconv_span_name
+
+    def semconv_span_q(spark, sf):
+        ev = _events(spark, sf)
+        grp = F.col("event_id") % 4
+        attrs = (
+            F.when(grp == 0, F.map_from_arrays(
+                F.array(F.lit("http.request.method"), F.lit("http.route")),
+                F.array(F.lit("GET"), F.concat(F.lit("/t/"), F.col("event_type"))),
+            ))
+            .when(grp == 1, F.map_from_arrays(
+                F.array(F.lit("rpc.system"), F.lit("rpc.grpc.method"),
+                        F.lit("rpc.grpc.service")),
+                F.array(F.lit("grpc"), F.lit("Do"), F.lit("svc.E")),
+            ))
+            .when(grp == 2, F.map_from_arrays(
+                F.array(F.lit("db.system.name"), F.lit("db.namespace"),
+                        F.lit("db.operation.name"), F.lit("db.collection.name")),
+                F.array(F.lit("postgresql"), F.lit("shop"),
+                        F.lit("INSERT"), F.lit("orders")),
+            ))
+            .otherwise(F.map_from_arrays(
+                F.array(F.lit("messaging.system"), F.lit("messaging.operation"),
+                        F.lit("messaging.destination.name")),
+                F.array(F.lit("kafka"), F.lit("send"),
+                        F.concat(F.lit("m-"), F.col("event_type"))),
+            ))
+        )
+        spans = ev.select(
+            F.col("event_id"),
+            F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+            (F.col("event_id") % 6).cast("int").alias("kind"),
+            attrs.alias("attributes"),
+        )
+        out = set_semconv_span_name(spans, "1.40.0", "orig")
+        return out.select(
+            "event_id",
+            "name",
+            "kind",
+            F.col("attributes")["orig"].alias("orig"),
+        )
+
+    q["semconv_span_name"] = Query(
+        semconv_span_q,
+        """SELECT event_id,
+  CASE
+    WHEN event_id % 4 = 0 AND event_id % 6 IN (2, 3)
+      THEN 'GET /t/' || event_type
+    WHEN event_id % 4 = 1 AND event_id % 6 IN (2, 3) THEN 'svc.E/Do'
+    WHEN event_id % 4 = 2 AND event_id % 6 = 3 THEN 'INSERT shop.orders'
+    WHEN event_id % 4 = 3 AND event_id % 6 IN (2, 3, 4, 5)
+      THEN 'send m-' || event_type
+    ELSE 'op-' || event_type END AS name,
+  CAST(event_id % 6 AS INT) AS kind,
+  CASE
+    WHEN (event_id % 4 = 0 AND event_id % 6 IN (2, 3))
+      OR (event_id % 4 = 1 AND event_id % 6 IN (2, 3))
+      OR (event_id % 4 = 2 AND event_id % 6 = 3)
+      OR (event_id % 4 = 3 AND event_id % 6 IN (2, 3, 4, 5))
+    THEN 'op-' || event_type END AS orig
+FROM events""",
+    )
+
     def metric_exphist_q(spark, sf):
         ev = _events(spark, sf)
         exp_pts = ev.select(
