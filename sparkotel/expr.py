@@ -1150,6 +1150,20 @@ def _reg(name):
     return deco
 
 
+def _is_root_span(c, a):
+    """IsRootSpan() — true when the span's parent id is empty
+    (pkg/ottl/ottlfuncs/func_is_root_span.go: ParentSpanID().IsEmpty()).
+    Over the span frame the empty pdata id is an absent, empty, or
+    all-zero hex string."""
+    if c.ctx != "span":
+        raise NameError("IsRootSpan is only available in the span context")
+    p = F.col("parent_span_id")
+    return p.isNull() | (p == "") | (p == "0000000000000000")
+
+
+_reg("IsRootSpan")(_is_root_span)
+
+
 def _concat(c, a):
     """Concat([values], delimiter) — the reference signature
     (func_concat.go, delimiter may be dynamic) — plus the legacy

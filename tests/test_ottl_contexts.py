@@ -161,3 +161,24 @@ def test_log_ctx_prefix_still_resolves(spark):
         df, ['set(log.body, "HI") where log.severity_number == 5']
     )
     assert out.collect()[0]["text"] == "HI"
+
+
+def test_is_root_span(spark, spans):
+    # IsRootSpan() — ParentSpanID().IsEmpty()
+    # (pkg/ottl/ottlfuncs/func_is_root_span.go); s1/s3 have empty parents
+    out = X.apply_statements(
+        spans,
+        ['set(span.attributes["root"], "yes") where IsRootSpan()'],
+        ctx="span",
+    )
+    # promoted-column write model: the new attribute lands in its own column
+    rows = {r["span_id"]: r["root"] for r in out.collect()}
+    assert rows == {"s1": "yes", "s2": None, "s3": "yes"}
+
+
+def test_is_root_span_log_ctx_rejected(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    import pytest as _pt
+
+    with _pt.raises(NameError, match="only available in the span context"):
+        X.apply_statements(df, ['set(attributes["r"], IsRootSpan())'])

@@ -16,8 +16,9 @@ Statements omitted, each a documented engine divergence:
   reference's `slices` mixes strings and maps in one slice;
 - `delete_key(struct-col, <runtime key>)` — struct schemas can't drop
   fields row-dependently (see SEQ_CASES note);
-- IsRootSpan / event_index — span / spanevent transform contexts (the
-  engine is scoped to the log context per SURVEY §2).
+- event_index — spanevent transform context (not a frame the engine
+  carries; IsRootSpan itself IS implemented over the span context —
+  tests/test_ottl_contexts.py).
 
 Value-representation divergences asserted AS the engine form, each
 marked inline: heterogeneous literal slices stringify their elements,
