@@ -483,10 +483,32 @@ _DP_TWO_PART = {
     ("instrumentation_scope", "name"): "scope_name",
 }
 
+# spanevent-context paths (pkg/ottl/contexts/ottlspanevent/
+# span_events.go): over parse_otlp_spanevents' frame.  Bare paths name
+# the EVENT (name/time/attributes/event_index); the enclosing span's
+# fields resolve through `span.*` two- and three-segment paths.
+_SPANEVENT_ALIASES = {
+    "name": "event_name",
+    "time": "ts",
+    "time_unix_nano": "ts",
+}
+_SPANEVENT_TWO_PART = {
+    ("span", "name"): "span_name",
+    ("span", "kind"): "span_kind",
+    ("span", "trace_id"): "trace_id",
+    ("span", "span_id"): "span_id",
+    ("span", "attributes"): "span_attributes",
+    ("instrumentation_scope", "name"): "scope_name",
+}
+_SPANEVENT_THREE_PART = {
+    ("span", "status", "code"): "status_code",
+}
+
 _CTX_TABLES = {
-    "log": (_CTX_ALIASES, {}),
-    "span": (_SPAN_ALIASES, _SPAN_TWO_PART),
-    "datapoint": (_DP_ALIASES, _DP_TWO_PART),
+    "log": (_CTX_ALIASES, {}, {}),
+    "span": (_SPAN_ALIASES, _SPAN_TWO_PART, {}),
+    "datapoint": (_DP_ALIASES, _DP_TWO_PART, {}),
+    "spanevent": (_SPANEVENT_ALIASES, _SPANEVENT_TWO_PART, _SPANEVENT_THREE_PART),
 }
 
 
@@ -502,7 +524,7 @@ class Compiler:
         self.columns = set(df.columns) if df is not None else None
         self.error_mode = error_mode
         self.ctx = ctx
-        self.ctx_aliases, self.ctx_two_part = _CTX_TABLES[ctx]
+        self.ctx_aliases, self.ctx_two_part, self.ctx_three_part = _CTX_TABLES[ctx]
         # promoted attribute columns: logical members of `attributes`
         # beyond the flat map (heterogeneous values live here)
         self.attrs_cols = list(attrs_cols or [])
@@ -624,6 +646,20 @@ class Compiler:
                 base, dt = self._apply_seg(base, dt, s)
             return base
         if (
+            len(parts) >= 3
+            and isinstance(parts[1], str)
+            and isinstance(parts[2], str)
+            and (head, parts[1], parts[2]) in self.ctx_three_part
+        ):
+            name = self.ctx_three_part[(head, parts[1], parts[2])]
+            base, dt = F.col(name), self._col_dtype(name)
+            for s in parts[3:]:
+                if isinstance(s, tuple):
+                    base, dt = self._apply_seg(base, dt, s)
+                else:
+                    base, dt = self._apply_seg(base, dt, ("key", s))
+            return base
+        if (
             len(parts) >= 2
             and isinstance(parts[1], str)
             and (head, parts[1]) in self.ctx_two_part
@@ -657,6 +693,13 @@ class Compiler:
             return f"resource_{parts[2][1]}"
         if head == "cache" and len(parts) == 2:
             return f"_cache_{parts[1][1]}"
+        if (
+            len(parts) == 3
+            and isinstance(parts[1], str)
+            and isinstance(parts[2], str)
+            and (head, parts[1], parts[2]) in self.ctx_three_part
+        ):
+            return self.ctx_three_part[(head, parts[1], parts[2])]
         if (
             len(parts) == 2
             and isinstance(parts[1], str)
@@ -2633,8 +2676,9 @@ def apply_statements(
     (processor/transformprocessor/internal/logs/processor.go:53-67).
     ``ctx`` picks the path→column table: ``log`` (default),
     ``span`` (trace pipelines, ottlspan paths over parse_otlp_traces'
-    frame), or ``datapoint`` (metric pipelines, ottldatapoint paths
-    over parse_otlp_metrics' frame)."""
+    frame), ``datapoint`` (metric pipelines, ottldatapoint paths over
+    parse_otlp_metrics' frame), or ``spanevent`` (ottlspanevent paths
+    over parse_otlp_spanevents' frame, span.* parent paths included)."""
     for s in statements:
         df = apply_statement(df, s, ctx=ctx)
     return df

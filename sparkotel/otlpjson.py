@@ -260,10 +260,15 @@ def write_otlp_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> N
 # spanmetrics / tailsampling, whose operators take exactly this flat shape
 # ---------------------------------------------------------------------------
 
+_SPAN_EVENT = (
+    f"struct<timeUnixNano:string,name:string,attributes:{_KVLIST},"
+    "droppedAttributesCount:int>"
+)
 _SPAN = (
     "struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
     "kind:int,startTimeUnixNano:string,endTimeUnixNano:string,"
     f"attributes:{_KVLIST},droppedAttributesCount:int,"
+    f"events:array<{_SPAN_EVENT}>,"
     "status:struct<code:int,message:string>>"
 )
 OTLP_TRACES_DDL = (
@@ -282,8 +287,9 @@ def parse_otlp_traces(df: DataFrame, line_col: str = "line") -> DataFrame:
 
     Same generator pipeline as the logs signal
     (``receiver/otlpjsonfilereceiver/file.go:109-130``, traces branch).
-    Span events/links are outside the static schema (none of the ported
-    connectors read them); ``kind``/``status.code`` stay numeric enums.
+    Span events explode separately via ``parse_otlp_spanevents``; links
+    are outside the static schema (none of the ported connectors read
+    them); ``kind``/``status.code`` stay numeric enums.
     """
     req = df.select(F.from_json(F.col(line_col), OTLP_TRACES_DDL).alias("req"))
     rl = req.select(F.explode("req.resourceSpans").alias("rs"))
@@ -305,6 +311,39 @@ def parse_otlp_traces(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.coalesce(sp.getField("status").getField("code"), F.lit(0)).alias("status_code"),
         F.coalesce(sp.getField("status").getField("message"), F.lit("")).alias("status_message"),
         _kv_to_map(sp.getField("attributes")).alias("attributes"),
+        _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+        F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),
+    )
+
+
+def parse_otlp_spanevents(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """One row per span EVENT (the ottlspanevent transform context's
+    frame, pkg/ottl/contexts/ottlspanevent/span_events.go): the event's
+    own name/time/attributes plus ``event_index`` (position within the
+    span, the context's pathGetSetter "event_index") and the enclosing
+    span's identity columns for ``span.*`` paths."""
+    req = df.select(F.from_json(F.col(line_col), OTLP_TRACES_DDL).alias("req"))
+    rl = req.select(F.explode("req.resourceSpans").alias("rs"))
+    sl = rl.select(F.col("rs.resource").alias("res"), F.explode("rs.scopeSpans").alias("ss"))
+    rec = sl.select("res", F.col("ss.scope").alias("scope"), F.explode("ss.spans").alias("sp"))
+    sp = F.col("sp")
+    rec = rec.select(
+        "*", F.posexplode(sp.getField("events")).alias("event_index", "ev")
+    )
+    ev = F.col("ev")
+    return rec.select(
+        F.coalesce(ev.getField("name"), F.lit("")).alias("event_name"),
+        F.timestamp_micros(F.expr("ev.timeUnixNano::long div 1000"))
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.col("event_index"),
+        _kv_to_map(ev.getField("attributes")).alias("attributes"),
+        F.coalesce(sp.getField("traceId"), F.lit("")).alias("trace_id"),
+        F.coalesce(sp.getField("spanId"), F.lit("")).alias("span_id"),
+        F.coalesce(sp.getField("name"), F.lit("")).alias("span_name"),
+        F.coalesce(sp.getField("kind"), F.lit(0)).alias("span_kind"),
+        F.coalesce(sp.getField("status").getField("code"), F.lit(0)).alias("status_code"),
+        _kv_to_map(sp.getField("attributes")).alias("span_attributes"),
         _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
         F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),
     )

@@ -953,6 +953,90 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- transformprocessor over the spanevent context ----------------------
+    # ottlspanevent paths (event_index, span.* parent paths) via
+    # apply_statements(ctx="spanevent") over parse_otlp_spanevents.
+    from sparkotel.otlpjson import parse_otlp_spanevents
+
+    _SE_LINE_FMT = (
+        '{"resourceSpans":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"svc-%d"}}]},'
+        '"scopeSpans":[{"scope":{"name":"tracer"},"spans":['
+        '{"traceId":"%s","spanId":"%016x","name":"op-%s","kind":%d,'
+        '"startTimeUnixNano":"%d","endTimeUnixNano":"%d",'
+        '"status":{"code":%d},'
+        '"events":[{"timeUnixNano":"%d","name":"enqueue",'
+        '"attributes":[{"key":"queue","value":{"stringValue":"q-%d"}}]},'
+        '{"timeUnixNano":"%d","name":"dequeue"}]}]}]}]}'
+    )
+
+    def spanevent_q(spark, sf):
+        ev = _events(spark, sf)
+        start_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
+        status = (
+            F.when(F.col("event_type") == "error", 2)
+            .when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+        )
+        lines = ev.select(
+            F.format_string(
+                _SE_LINE_FMT,
+                F.col("user_id") % 5,
+                F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))),
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("event_id") % 6,
+                start_us * 1000,
+                end_us * 1000,
+                status,
+                start_us * 1000,
+                F.col("user_id") % 3,
+                end_us * 1000,
+            ).alias("line")
+        )
+        se = parse_otlp_spanevents(lines)
+        out = apply_statements(
+            se,
+            [
+                'set(spanevent.attributes["svc"], resource.attributes["service.name"])',
+                'set(spanevent.name, Concat([span.name, spanevent.name], ":"))'
+                " where event_index == 1",
+                'set(spanevent.attributes["err"], "yes") where span.status.code == 2',
+            ],
+            ctx="spanevent",
+        )
+        return out.select(
+            "trace_id",
+            "span_id",
+            "event_index",
+            "event_name",
+            "ts",
+            F.col("svc").alias("svc"),
+            F.col("err").alias("err"),
+            F.col("attributes")["queue"].alias("queue"),
+        )
+
+    q["ottl_spanevent_transform"] = Query(
+        spanevent_q,
+        """SELECT md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
+  printf('%016x', event_id) AS span_id, 0 AS event_index,
+  'enqueue' AS event_name, ts,
+  'svc-' || CAST(user_id % 5 AS VARCHAR) AS svc,
+  CASE WHEN event_type = 'error' THEN 'yes' END AS err,
+  'q-' || CAST(user_id % 3 AS VARCHAR) AS queue
+FROM events
+UNION ALL
+SELECT md5('t' || CAST(event_id AS VARCHAR)),
+  printf('%016x', event_id), 1,
+  'op-' || event_type || ':dequeue',
+  ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)),
+  'svc-' || CAST(user_id % 5 AS VARCHAR),
+  CASE WHEN event_type = 'error' THEN 'yes' END,
+  NULL
+FROM events""",
+    )
+
     # --- set_semconv_span_name over a semconv-attributed span frame --------
     from sparkotel.operators.spanfuncs import set_semconv_span_name
 

@@ -182,3 +182,84 @@ def test_is_root_span_log_ctx_rejected(spark):
 
     with _pt.raises(NameError, match="only available in the span context"):
         X.apply_statements(df, ['set(attributes["r"], IsRootSpan())'])
+
+
+_SE_DDL = (
+    "event_name string, ts timestamp_ntz, event_index int,"
+    " attributes map<string,string>, trace_id string, span_id string,"
+    " span_name string, span_kind int, status_code int,"
+    " span_attributes map<string,string>, resource map<string,string>,"
+    " scope_name string"
+)
+
+
+@pytest.fixture(scope="module")
+def spanevents(spark):
+    return spark.createDataFrame(
+        [
+            ("exception", _TS, 0, {"exception.type": "IOError"},
+             "t1", "s1", "op-a", 2, 2, {"user.id": "7"},
+             {"service.name": "svc-1"}, "tracer"),
+            ("retry", _TS, 1, {"attempt": "2"},
+             "t1", "s1", "op-a", 2, 2, {"user.id": "7"},
+             {"service.name": "svc-1"}, "tracer"),
+            ("enqueue", _TS, 0, {"queue": "q1"},
+             "t2", "s3", "op-c", 1, 0, {"user.id": "9"},
+             {"service.name": "svc-2"}, "tracer"),
+        ],
+        _SE_DDL,
+    )
+
+
+def test_spanevent_paths(spark, spanevents):
+    # ottlspanevent: bare paths name the EVENT, span.* the parent span,
+    # event_index the position (pkg/ottl/contexts/ottlspanevent)
+    out = X.apply_statements(
+        spanevents,
+        [
+            'set(spanevent.attributes["err"], span.status.code)'
+            ' where spanevent.name == "exception"',
+            'set(spanevent.attributes["svc"], resource.attributes["service.name"])',
+            'set(spanevent.name, Concat([span.name, spanevent.name], ":"))'
+            " where event_index == 0",
+        ],
+        ctx="spanevent",
+    )
+    rows = {(r["span_id"], r["event_index"]): r for r in out.collect()}
+    assert rows[("s1", 0)]["event_name"] == "op-a:exception"
+    assert rows[("s1", 0)]["err"] == 2
+    assert rows[("s1", 1)]["event_name"] == "retry"
+    assert rows[("s1", 1)]["err"] is None
+    assert rows[("s3", 0)]["event_name"] == "op-c:enqueue"
+    assert rows[("s3", 0)]["svc"] == "svc-2"
+
+
+def test_spanevent_span_attr_read(spark, spanevents):
+    out = X.apply_statements(
+        spanevents,
+        ['set(spanevent.attributes["uid"], span.attributes["user.id"])'],
+        ctx="spanevent",
+    )
+    assert {r["uid"] for r in out.collect()} == {"7", "9"}
+
+
+def test_parse_otlp_spanevents(spark):
+    from sparkotel.otlpjson import parse_otlp_spanevents
+
+    line = (
+        '{"resourceSpans":[{"resource":{"attributes":['
+        '{"key":"service.name","value":{"stringValue":"svc"}}]},'
+        '"scopeSpans":[{"scope":{"name":"tracer"},"spans":['
+        '{"traceId":"t1","spanId":"s1","name":"op","kind":2,'
+        '"startTimeUnixNano":"1000000000","endTimeUnixNano":"2000000000",'
+        '"status":{"code":1},'
+        '"events":[{"timeUnixNano":"1500000000","name":"ev-a",'
+        '"attributes":[{"key":"k","value":{"stringValue":"v"}}]},'
+        '{"timeUnixNano":"1600000000","name":"ev-b"}]}]}]}]}'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    rows = sorted(parse_otlp_spanevents(df).collect(), key=lambda r: r["event_index"])
+    assert [(r["event_name"], r["event_index"]) for r in rows] == [("ev-a", 0), ("ev-b", 1)]
+    assert rows[0]["attributes"] == {"k": "v"}
+    assert rows[0]["span_name"] == "op" and rows[0]["status_code"] == 1
+    assert rows[0]["resource"] == {"service.name": "svc"}
