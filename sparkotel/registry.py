@@ -953,6 +953,67 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- genainormalizerprocessor (openllmetry source, pure column path) ----
+    from sparkotel.operators.genai import genai_normalizer
+
+    def genai_q(spark, sf):
+        ev = _events(spark, sf)
+        rtype = (
+            F.when(F.col("event_type") == "purchase", "chat")
+            .when(F.col("event_type") == "error", "completion")
+            .otherwise(F.lit("embedding"))
+        )
+        tokens = F.when(
+            F.col("event_id") % 10 == 0, F.lit("NaN-tokens")
+        ).otherwise(F.col("user_id").cast("string"))
+        attrs = F.map_from_arrays(
+            F.array(
+                F.lit("gen_ai.usage.prompt_tokens"),
+                F.lit("llm.request.type"),
+                F.lit("llm.response.finish_reason"),
+                F.lit("llm.request.temperature"),
+                F.lit("traceloop.entity.name"),
+            ),
+            F.array(
+                tokens,
+                rtype,
+                F.lit("stop"),
+                F.round(F.col("value"), 3).cast("string"),
+                F.concat(F.lit("agent-"), (F.col("user_id") % 5).cast("string")),
+            ),
+        )
+        spans = ev.select(F.col("event_id"), attrs.alias("attributes"))
+        out = genai_normalizer(
+            spans, [{"name": "openllmetry", "remove_originals": True}]
+        )
+        a = F.col("attributes")
+        return out.select(
+            "event_id",
+            a["gen_ai.operation.name"].alias("op_name"),
+            a["gen_ai.usage.input_tokens"].alias("in_tokens"),
+            a["gen_ai.response.finish_reasons"].alias("finish"),
+            a["gen_ai.request.temperature"].alias("temperature"),
+            a["gen_ai.agent.name"].alias("agent"),
+            a["gen_ai.usage.prompt_tokens"].alias("left_src"),
+            "schema_url",
+        )
+
+    q["genai_normalize"] = Query(
+        genai_q,
+        """SELECT event_id,
+  CASE event_type WHEN 'purchase' THEN 'chat'
+       WHEN 'error' THEN 'text_completion'
+       ELSE 'embeddings' END AS op_name,
+  CASE WHEN event_id % 10 = 0 THEN NULL
+       ELSE CAST(user_id AS VARCHAR) END AS in_tokens,
+  '["stop"]' AS finish,
+  CAST(round(value, 3) AS VARCHAR) AS temperature,
+  'agent-' || CAST(user_id % 5 AS VARCHAR) AS agent,
+  CASE WHEN event_id % 10 = 0 THEN 'NaN-tokens' END AS left_src,
+  'https://opentelemetry.io/schemas/1.40.0' AS schema_url
+FROM events""",
+    )
+
     # --- transformprocessor over the spanevent context ----------------------
     # ottlspanevent paths (event_index, span.* parent paths) via
     # apply_statements(ctx="spanevent") over parse_otlp_spanevents.
