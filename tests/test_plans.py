@@ -74,3 +74,87 @@ def test_single_pass_agg_one_shuffle(spark):
         and "Broadcast" not in l
     )
     assert n_shuffle == 1, plan
+
+
+def _count_shuffles(plan: str) -> int:
+    return sum(
+        1 for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l and "Broadcast" not in l
+    )
+
+
+def test_metricfuncs_conversions_shuffle_free(spark):
+    """convert/scale/copy/merge are projections (+ a union) — no
+    exchange anywhere; the 100 TB cost is one scan."""
+    import datetime as dt
+
+    from sparkotel.operators import metricfuncs as MF
+
+    ts = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [("m", "ms", "gauge", 0, False, None, ts, 1.0, {"k": "a"}, {"h": "1"}, "s")],
+        "metric_name string, unit string, metric_type string,"
+        " aggregation_temporality int, is_monotonic boolean,"
+        " start_ts timestamp_ntz, ts timestamp_ntz, value double,"
+        " attributes map<string,string>, resource map<string,string>,"
+        " scope_name string",
+    )
+    chained = MF.copy_metric(
+        MF.scale_metric(MF.convert_gauge_to_sum(pts, "delta", True), 2.0), name="x"
+    )
+    assert _count_shuffles(plan_of(chained)) == 0
+    hist = spark.createDataFrame(
+        [("h", 1, ts, ts, 10, 5.0, 1.0, 2.0, [1, 2], [1.0], {}, {})],
+        "metric_name string, aggregation_temporality int, start_ts timestamp_ntz,"
+        " ts timestamp_ntz, count long, sum double, min double, max double,"
+        " bucket_counts array<long>, explicit_bounds array<double>,"
+        " attributes map<string,string>, resource map<string,string>",
+    )
+    assert _count_shuffles(plan_of(MF.merge_histogram_buckets(hist, 2, "limit_buckets"))) == 0
+    assert _count_shuffles(plan_of(MF.extract_percentile_metric(hist, 90.0))) == 0
+
+
+def test_aggregate_on_attributes_one_shuffle(spark):
+    """aggregate_on_attributes is exactly one map-side-combined hash
+    aggregate — one exchange."""
+    import datetime as dt
+
+    from sparkotel.operators import metricfuncs as MF
+
+    ts = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [("m", "ms", "gauge", 0, False, None, ts, 1.0, {"k": "a"}, {"h": "1"}, "s")],
+        "metric_name string, unit string, metric_type string,"
+        " aggregation_temporality int, is_monotonic boolean,"
+        " start_ts timestamp_ntz, ts timestamp_ntz, value double,"
+        " attributes map<string,string>, resource map<string,string>,"
+        " scope_name string",
+    )
+    plan = plan_of(MF.aggregate_on_attributes(pts, "sum", ["k"]))
+    assert _count_shuffles(plan) == 1, plan
+
+
+def test_genai_rename_path_pure_column(spark):
+    """the openllmetry source (no aggregator) compiles to projections
+    only: zero exchanges AND zero python evals."""
+    from sparkotel.operators.genai import genai_normalizer
+
+    df = spark.createDataFrame(
+        [("s", {"llm.request.type": "chat"})],
+        "name string, attributes map<string,string>",
+    )
+    plan = plan_of(genai_normalizer(df, [{"name": "openllmetry"}]))
+    assert _count_shuffles(plan) == 0
+    assert "EvalPython" not in plan, plan  # no UDF nodes
+
+
+def test_semconv_span_name_shuffle_free(spark):
+    from sparkotel.operators.spanfuncs import set_semconv_span_name
+
+    df = spark.createDataFrame(
+        [("n", 2, {"http.request.method": "GET"})],
+        "name string, kind int, attributes map<string,string>",
+    )
+    plan = plan_of(set_semconv_span_name(df, "1.40.0", "orig"))
+    assert _count_shuffles(plan) == 0
+    assert "EvalPython" not in plan, plan
