@@ -953,6 +953,64 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- metricstarttimeprocessor (subtract_initial_point strategy) ---------
+    from sparkotel.operators.starttime import adjust_start_time
+
+    def start_time_q(spark, sf):
+        ev = _events(spark, sf)
+        pts = ev.select(
+            F.concat(F.lit("s."), (F.col("user_id") % 40).cast("string")).alias(
+                "metric_name"
+            ),
+            F.lit("").alias("unit"),
+            F.lit("sum").alias("metric_type"),
+            F.lit(2).alias("aggregation_temporality"),
+            F.lit(True).alias("is_monotonic"),
+            F.lit(None).cast("timestamp_ntz").alias("start_ts"),
+            F.timestamp_micros(
+                F.lit(1700000000000000) + F.col("event_id") * 1000
+            ).cast("timestamp_ntz").alias("ts"),
+            ((F.col("event_id") * 7) % 97).cast("double").alias("value"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            ).alias("attributes"),
+            F.map_from_arrays(
+                F.array(F.lit("h")), F.array(F.lit("1"))
+            ).alias("resource"),
+            F.lit("meter").alias("scope_name"),
+        )
+        out = adjust_start_time(pts, "subtract_initial_point")
+        return out.select("metric_name", "ts", "start_ts", "value")
+
+    # mirror of the subtract-initial segmentation: reset heads (value
+    # decrease) re-anchor at ts − 1 ms, first point per series is the
+    # dropped reference (subtractinitial/adjuster.go:209-257)
+    q["metric_start_time"] = Query(
+        start_time_q,
+        """WITH pts AS (
+  SELECT 's.' || CAST(user_id % 40 AS VARCHAR) AS metric_name,
+    make_timestamp(1700000000000000 + event_id * 1000) AS ts,
+    CAST((event_id * 7) % 97 AS DOUBLE) AS value
+  FROM events),
+seg AS (
+  SELECT *, CASE WHEN lag(value) OVER w IS NULL OR value < lag(value) OVER w
+    THEN 1 ELSE 0 END AS head
+  FROM pts WINDOW w AS (PARTITION BY metric_name ORDER BY ts)),
+runs AS (
+  SELECT *,
+    last_value(CASE WHEN head = 1 THEN ts END IGNORE NULLS) OVER w2 AS seg_ts,
+    last_value(CASE WHEN head = 1 THEN value END IGNORE NULLS) OVER w2 AS seg_val,
+    SUM(head) OVER w2 AS seg_n,
+    row_number() OVER (PARTITION BY metric_name ORDER BY ts) AS rn
+  FROM seg
+  WINDOW w2 AS (PARTITION BY metric_name ORDER BY ts ROWS UNBOUNDED PRECEDING))
+SELECT metric_name, ts,
+  CASE WHEN seg_n = 1 THEN seg_ts
+       ELSE seg_ts - INTERVAL 1 MILLISECOND END AS start_ts,
+  CASE WHEN seg_n = 1 THEN value - seg_val ELSE value END AS value
+FROM runs WHERE rn > 1""",
+    )
+
     # --- genainormalizerprocessor (openllmetry source, pure column path) ----
     from sparkotel.operators.genai import genai_normalizer
 
