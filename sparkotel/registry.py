@@ -953,6 +953,78 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- cardinalityguardianprocessor (strip_and_reaggregate) ---------------
+    # alternating hours explode the `path` label (one unique value per
+    # event) vs a stable 5-value set; the guardian strips the exploding
+    # label in offending epochs and reaggregates the delta sums.
+    from sparkotel.operators.cardinality import cardinality_guardian
+
+    def cardinality_q(spark, sf):
+        ev = _events(spark, sf)
+        ep = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+        path = F.when(
+            ep % 2 == 1, F.concat(F.lit("p-"), F.col("event_id").cast("string"))
+        ).otherwise(F.concat(F.lit("p-"), (F.col("event_id") % 5).cast("string")))
+        pts = ev.select(
+            F.lit("req").alias("metric_name"),
+            F.lit("").alias("unit"),
+            F.lit("sum").alias("metric_type"),
+            F.lit(1).alias("aggregation_temporality"),
+            F.lit(True).alias("is_monotonic"),
+            (F.col("ts").cast("timestamp") - F.expr("INTERVAL 1 SECOND"))
+            .cast("timestamp_ntz")
+            .alias("start_ts"),
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            F.lit(1.0).alias("value"),
+            F.map_from_arrays(
+                F.array(F.lit("path"), F.lit("region")),
+                F.array(
+                    path,
+                    F.concat(F.lit("r-"), (F.col("user_id") % 3).cast("string")),
+                ),
+            ).alias("attributes"),
+            F.map_from_arrays(F.array(F.lit("h")), F.array(F.lit("1"))).alias(
+                "resource"
+            ),
+            F.lit("meter").alias("scope_name"),
+        )
+        out = cardinality_guardian(
+            pts,
+            max_cardinality_delta_per_epoch=50,
+            epoch_seconds=3600,
+            enforcement_mode="strip_and_reaggregate",
+            never_drop_labels=("region",),
+        )
+        return out.select(
+            "metric_name",
+            F.col("attributes")["path"].alias("path"),
+            F.col("attributes")["region"].alias("region"),
+            "start_ts",
+            "ts",
+            "value",
+        )
+
+    q["cardinality_guardian"] = Query(
+        cardinality_q,
+        """WITH pts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS ep,
+    CASE WHEN CAST(floor(epoch(ts) / 3600) AS BIGINT) % 2 = 1
+         THEN 'p-' || CAST(event_id AS VARCHAR)
+         ELSE 'p-' || CAST(event_id % 5 AS VARCHAR) END AS path,
+    'r-' || CAST(user_id % 3 AS VARCHAR) AS region,
+    ts - INTERVAL 1 SECOND AS start_ts, ts, 1.0 AS value
+  FROM events),
+cnts AS (SELECT ep, count(DISTINCT path) AS c FROM pts GROUP BY ep),
+offend AS (SELECT c.ep FROM cnts c LEFT JOIN cnts p ON p.ep = c.ep - 1
+           WHERE c.c - coalesce(p.c, 0) > 50),
+mutated AS (
+  SELECT CASE WHEN ep IN (SELECT ep FROM offend) THEN NULL ELSE path END AS path,
+         region, start_ts, ts, value FROM pts)
+SELECT 'req' AS metric_name, path, region,
+  min(start_ts) AS start_ts, max(ts) AS ts, sum(value) AS value
+FROM mutated GROUP BY 1, 2, 3""",
+    )
+
     # --- metricstarttimeprocessor (subtract_initial_point strategy) ---------
     from sparkotel.operators.starttime import adjust_start_time
 
