@@ -953,6 +953,31 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- isolationforestprocessor (rows-only: RNG-grown trees have no
+    # SQL mirror; determinism + planted-outlier recall are pytest-proven
+    # in tests/test_iforest.py) ----------------------------------------------
+    from sparkotel.functions.iforest import isolation_forest
+
+    def iforest_q(spark, sf):
+        ev = _events(spark, sf)
+        pts = ev.select(
+            "event_id",
+            F.col("value").alias("x"),
+            F.coalesce(
+                F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)
+            ).alias("y"),
+        )
+        out = isolation_forest(
+            pts, ["x", "y"], num_trees=50, subsample=128, seed=11,
+            contamination_rate=0.02,
+        )
+        return out.where(F.col("anomaly_is_anomaly")).select(
+            "event_id", "x", "y",
+            F.round("anomaly_isolation_score", 6).alias("score"),
+        )
+
+    q["isolation_forest"] = Query(iforest_q, None)
+
     # --- cardinalityguardianprocessor (strip_and_reaggregate) ---------------
     # alternating hours explode the `path` label (one unique value per
     # event) vs a stable 5-value set; the guardian strips the exploding
