@@ -953,6 +953,66 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- spanpruningprocessor (leaf-only config → SQL-expressible;
+    # parent recursion + outliers covered in tests/test_spanprune.py) --------
+    from sparkotel.operators.spanprune import span_pruning
+
+    def spanprune_q(spark, sf):
+        ev = _events(spark, sf)
+        spans = ev.select(
+            F.concat(F.lit("tr-"), (F.col("user_id") % 50).cast("string")).alias(
+                "trace_id"
+            ),
+            F.printf(F.lit("%016x"), F.col("event_id")).alias("span_id"),
+            F.lit("").alias("parent_span_id"),
+            F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+            F.lit(3).alias("kind"),
+            F.col("ts").cast("timestamp_ntz").alias("start_ts"),
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts").cast("timestamp")) + F.col("event_id")
+            ).cast("timestamp_ntz").alias("end_ts"),
+            F.lit(0).alias("status_code"),
+            F.lit("").alias("status_message"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            ).alias("attributes"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            ).alias("resource"),
+            F.lit("tracer").alias("scope_name"),
+        )
+        out = span_pruning(spans, min_spans_to_aggregate=5, max_parent_depth=0)
+        a = F.col("attributes")
+        return out.select(
+            "trace_id",
+            "name",
+            a["pruning.is_summary"].alias("is_summary"),
+            a["pruning.span_count"].alias("span_count"),
+            a["pruning.duration_total_ns"].alias("duration_total_ns"),
+            "start_ts",
+            "end_ts",
+        )
+
+    q["span_pruning"] = Query(
+        spanprune_q,
+        """WITH spans AS (
+  SELECT 'tr-' || CAST(user_id % 50 AS VARCHAR) AS trace_id,
+    'op-' || event_type AS name, ts AS start_ts,
+    ts + to_microseconds(CAST(event_id AS BIGINT)) AS end_ts,
+    CAST(event_id AS BIGINT) * 1000 AS dur_ns
+  FROM events),
+g AS (SELECT trace_id, name, count(*) AS n, min(start_ts) AS s,
+        max(end_ts) AS e, sum(dur_ns) AS dtot
+      FROM spans GROUP BY 1, 2)
+SELECT trace_id, name, 'true' AS is_summary, CAST(n AS VARCHAR) AS span_count,
+  CAST(dtot AS VARCHAR) AS duration_total_ns, s AS start_ts, e AS end_ts
+FROM g WHERE n >= 5
+UNION ALL
+SELECT sp.trace_id, sp.name, NULL, NULL, NULL, sp.start_ts, sp.end_ts
+FROM spans sp JOIN g ON g.trace_id = sp.trace_id AND g.name = sp.name
+WHERE g.n < 5""",
+    )
+
     # --- isolationforestprocessor (rows-only: RNG-grown trees have no
     # SQL mirror; determinism + planted-outlier recall are pytest-proven
     # in tests/test_iforest.py) ----------------------------------------------
