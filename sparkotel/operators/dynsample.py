@@ -1,0 +1,199 @@
+"""Dynamic sampling: first-match rules route traces to samplers whose
+keep/drop decision is consistent-probability encoded in TraceState
+(processor/dynamicsamplingprocessor/).
+
+Batch semantics (README "How it works"; the buffering/decision-delay
+machinery exists because a stream never sees a whole trace — a batch
+table does, so steps 1-3 are free):
+
+- rules evaluate IN ORDER per trace; a condition ``field == value``
+  holds when ANY span (or its resource) carries it, ``field != value``
+  when NO span does, ``status.code == N`` likewise; a rule with no
+  conditions is a catch-all.  First match wins and its decision is
+  final (rules.go).
+- the matched sampler yields a 1-in-N rate: ``always_sample`` (N=1),
+  ``deterministic`` (N = 100/percentage), ``dynamic`` (per-key batch
+  analogue of ema_dynamic: each key of ``key_fields`` gets an equal
+  share of the goal percentage, N_k = ceil(count_k / share)), and
+  ``throughput`` (analogue of ema/windowed_throughput: share =
+  goal_per_sec × interval / num_keys, N_k = ceil(count_k / share)).
+  The EMA smoothing weight has no meaning in a single batch (there is
+  no history to smooth), so the analogues are the weight→1 fixed point.
+- keep/drop is the OTel consistent-probability rule: threshold
+  T = 2^56 − floor(2^56 / N); the trace is kept iff the randomness
+  value (the trace id's lowest 56 bits) ≥ T.  Every span of a kept
+  trace gets ``otelcol.processor.dynamic_sampling.rule`` and the
+  TraceState ``ot=th:<hex>`` annotation (threshold hex, trailing
+  zeros trimmed, ``0`` = always sample).
+
+Spark shape: ONE groupBy(trace_id) computes every rule's flags, rates
+for the adaptive samplers come from window counts over (rule, key) —
+tiny cardinality — and the per-span annotation is a broadcast-style
+join back on trace_id.  No Python, no state.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RULE_ATTR = "otelcol.processor.dynamic_sampling.rule"
+
+_COND_RE = re.compile(r"^\s*([\w.]+)\s*(==|!=)\s*(.+?)\s*$")
+_TWO56 = 1 << 56
+
+
+def _span_cond(field: str, value: str) -> Column:
+    """Per-span predicate for `field == value` over span attributes,
+    resource attributes, or status.code."""
+    if field == "status.code":
+        return F.col("status_code") == int(value)
+    v = value.strip("\"'")
+    # coalesce each side: an absent map key yields NULL and
+    # `false OR NULL` is NULL, which would poison the any-span max
+    return F.coalesce(F.col("attributes")[field] == v, F.lit(False)) | F.coalesce(
+        F.col("resource")[field] == v, F.lit(False)
+    )
+
+
+def _threshold(n: Column) -> Column:
+    """OTel consistent-probability threshold for a 1-in-N rate:
+    T = 2^56 − floor(2^56 / N)."""
+    return F.lit(_TWO56) - F.floor(F.lit(_TWO56) / n).cast("long")
+
+
+def _th_hex(t: Column) -> Column:
+    """TraceState `th` value: 14-digit hex, trailing zeros trimmed,
+    '0' when the threshold is zero (always sample)."""
+    full = F.lpad(F.conv(t.cast("string"), 10, 16), 14, "0")
+    trimmed = F.regexp_replace(F.lower(full), "0+$", "")
+    return F.when(t == 0, F.lit("0")).otherwise(
+        F.when(trimmed == "", F.lit("0")).otherwise(trimmed)
+    )
+
+
+def _randomness() -> Column:
+    """R value: lowest 56 bits of the trace id (its last 14 hex chars),
+    per the W3C trace-context randomness convention."""
+    return F.conv(F.substring(F.col("trace_id"), -14, 14), 16, 10).cast("long")
+
+
+def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Sample the span frame trace-by-trace.  ``rules`` entries:
+    ``name``, optional ``conditions`` (list of strings), ``sampler`` =
+    ``{"type": "always_sample" | "deterministic" | "dynamic" |
+    "throughput", ...}`` with ``sampling_percentage`` /
+    ``goal_sampling_percentage`` + ``key_fields`` /
+    ``goal_throughput_per_sec`` + ``interval_seconds`` + ``key_fields``.
+    Returns the kept spans annotated with the matched rule and the
+    ``ot=th`` trace state."""
+    if not rules:
+        raise ValueError("at least one rule is required")
+    parsed = []
+    for r in rules:
+        conds = []
+        for c in r.get("conditions", []) or []:
+            m = _COND_RE.match(c)
+            if not m:
+                raise ValueError(f"unsupported condition: {c!r}")
+            conds.append((m.group(1), m.group(2), m.group(3)))
+        parsed.append((r["name"], conds, r["sampler"]))
+
+    # per-trace flags: for every (rule, condition), "any span matches"
+    aggs = []
+    for ri, (_, conds, sampler) in enumerate(parsed):
+        for ci, (field, _, value) in enumerate(conds):
+            aggs.append(
+                F.max(_span_cond(field, value).cast("int")).alias(f"_c_{ri}_{ci}")
+            )
+        for ki, kf in enumerate(sampler.get("key_fields", []) or []):
+            # trace key value: deterministic min over the trace's spans
+            aggs.append(
+                F.min(
+                    F.coalesce(
+                        F.col("attributes")[kf], F.col("resource")[kf], F.lit("")
+                    )
+                ).alias(f"_k_{ri}_{ki}")
+            )
+    traces = df.groupBy("trace_id").agg(*(aggs or [F.count(F.lit(1)).alias("_n")]))
+
+    # first-match rule index (== needs any-match, != needs no-match)
+    rule_idx = F.lit(-1)
+    for ri in reversed(range(len(parsed))):
+        _, conds, _ = parsed[ri]
+        ok = F.lit(True)
+        for ci, (_, op, _) in enumerate(conds):
+            hit = F.col(f"_c_{ri}_{ci}") == 1
+            ok = ok & (hit if op == "==" else ~hit)
+        rule_idx = F.when(ok, F.lit(ri)).otherwise(rule_idx)
+    traces = traces.withColumn("_rule", rule_idx)
+
+    # per-rule 1-in-N rate
+    rate = F.lit(None).cast("double")
+    for ri, (_, _, sampler) in enumerate(parsed):
+        stype = sampler["type"]
+        if stype == "always_sample":
+            n = F.lit(1.0)
+        elif stype == "deterministic":
+            pct = float(sampler["sampling_percentage"])
+            if not 0 < pct <= 100:
+                raise ValueError("sampling_percentage must be in (0, 100]")
+            n = F.lit(100.0 / pct)
+        elif stype in ("dynamic", "throughput"):
+            kf = sampler.get("key_fields", []) or []
+            key = F.concat_ws(
+                "\x01", *[F.col(f"_k_{ri}_{i}") for i in range(len(kf))]
+            )
+            in_rule = F.col("_rule") == ri
+            wk = Window.partitionBy(F.when(in_rule, key))
+            wr = Window.partitionBy(F.when(in_rule, F.lit(1)))
+            count_k = F.count(F.when(in_rule, F.lit(1))).over(wk)
+            if stype == "dynamic":
+                g = float(sampler["goal_sampling_percentage"])
+                total = F.count(F.when(in_rule, F.lit(1))).over(wr)
+                nkeys = F.size(
+                    F.collect_set(F.when(in_rule, key)).over(wr)
+                )
+                share = (total * F.lit(g / 100.0)) / nkeys
+            else:
+                g = float(sampler["goal_throughput_per_sec"])
+                interval = float(sampler.get("interval_seconds", 1.0))
+                nkeys = F.size(
+                    F.collect_set(F.when(in_rule, key)).over(wr)
+                )
+                share = F.lit(g * interval) / nkeys
+            n = F.greatest(F.lit(1.0), F.ceil(count_k / share).cast("double"))
+        else:
+            raise ValueError(f"unknown sampler type: {stype}")
+        rate = F.when(F.col("_rule") == ri, n).otherwise(rate)
+    traces = traces.withColumn("_n", rate)
+
+    thr = _threshold(F.col("_n"))
+    decided = traces.select(
+        "trace_id",
+        "_rule",
+        thr.alias("_thr"),
+        _th_hex(thr).alias("_th_hex"),
+        (_randomness() >= thr).alias("_keep"),
+    )
+    names = F.array(*[F.lit(nm) for nm, _, _ in parsed])
+
+    kept = df.join(decided, "trace_id").where(
+        (F.col("_rule") >= 0) & F.col("_keep")
+    )
+    return (
+        kept.withColumn(
+            "attributes",
+            F.map_concat(
+                F.map_filter("attributes", lambda k, _: k != RULE_ATTR),
+                F.map_from_arrays(
+                    F.array(F.lit(RULE_ATTR)),
+                    F.array(F.element_at(names, F.col("_rule") + 1)),
+                ),
+            ),
+        )
+        .withColumn("trace_state", F.concat(F.lit("ot=th:"), F.col("_th_hex")))
+        .drop("_rule", "_thr", "_th_hex", "_keep")
+    )

@@ -953,6 +953,71 @@ SELECT 'h.latency_p90' AS metric_name, ts,
 FROM t WHERE total > 0""",
     )
 
+    # --- dynamicsamplingprocessor (keep-errors + deterministic catch-all) ---
+    from sparkotel.operators.dynsample import RULE_ATTR, dynamic_sampling
+
+    def dynsample_q(spark, sf):
+        ev = _events(spark, sf)
+        status = (
+            F.when(F.col("event_type") == "error", 2).otherwise(0)
+        )
+        spans = ev.select(
+            F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))).alias(
+                "trace_id"
+            ),
+            F.printf(F.lit("%016x"), F.col("event_id")).alias("span_id"),
+            F.lit("").alias("parent_span_id"),
+            F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+            F.lit(2).alias("kind"),
+            F.col("ts").cast("timestamp_ntz").alias("start_ts"),
+            F.col("ts").cast("timestamp_ntz").alias("end_ts"),
+            status.alias("status_code"),
+            F.lit("").alias("status_message"),
+            F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
+            ).alias("attributes"),
+            F.map_from_arrays(
+                F.array(F.lit("service.name")),
+                F.array(F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string"))),
+            ).alias("resource"),
+            F.lit("tracer").alias("scope_name"),
+        )
+        out = dynamic_sampling(
+            spans,
+            [
+                {"name": "keep-errors", "conditions": ["status.code == 2"],
+                 "sampler": {"type": "always_sample"}},
+                {"name": "default",
+                 "sampler": {"type": "deterministic", "sampling_percentage": 25}},
+            ],
+        )
+        return out.select(
+            "trace_id",
+            "name",
+            F.col("attributes")[RULE_ATTR].alias("rule"),
+            "trace_state",
+        )
+
+    # threshold for 1-in-4 = 2^56 − 2^54 = 0xc0000000000000 → th:c;
+    # randomness = low 56 bits of the md5 trace id
+    q["dynamic_sampling"] = Query(
+        dynsample_q,
+        """WITH sp AS (
+  SELECT md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
+    'op-' || event_type AS name,
+    CASE event_type WHEN 'error' THEN 2 ELSE 0 END AS status
+  FROM events),
+r AS (SELECT *, list_reduce(list_transform(range(0, 14),
+        i -> (strpos('0123456789abcdef', substr(trace_id, 19 + i, 1)) - 1)::HUGEINT),
+        (acc, d) -> acc * 16 + d) AS rnd
+      FROM sp)
+SELECT trace_id, name, 'keep-errors' AS rule, 'ot=th:0' AS trace_state
+FROM r WHERE status = 2
+UNION ALL
+SELECT trace_id, name, 'default', 'ot=th:c'
+FROM r WHERE status <> 2 AND rnd >= 54043195528445952""",
+    )
+
     # --- spanpruningprocessor (leaf-only config → SQL-expressible;
     # parent recursion + outliers covered in tests/test_spanprune.py) --------
     from sparkotel.operators.spanprune import span_pruning

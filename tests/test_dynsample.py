@@ -1,0 +1,127 @@
+"""Dynamic sampling processor — first-match rules, consistent-probability
+thresholds, TraceState annotation (processor/dynamicsamplingprocessor)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from sparkotel.operators.dynsample import RULE_ATTR, dynamic_sampling
+
+_DDL = (
+    "trace_id string, span_id string, parent_span_id string, name string,"
+    " kind int, start_ts timestamp_ntz, end_ts timestamp_ntz,"
+    " status_code int, status_message string,"
+    " attributes map<string,string>, resource map<string,string>,"
+    " scope_name string"
+)
+
+_TS = dt.datetime(2024, 1, 1)
+
+
+def _t(tid_low14: str, n_spans=2, status=0, attrs=None):
+    """trace with a controlled low-56-bit randomness value."""
+    tid = "a" * (32 - 14) + tid_low14
+    rows = []
+    for i in range(n_spans):
+        rows.append((tid, f"{tid[:4]}s{i}", "" if i == 0 else f"{tid[:4]}s0",
+                     f"op{i}", 2, _TS, _TS, status if i == 0 else 0, "",
+                     attrs or {}, {"service.name": "svc"}, "t"))
+    return rows
+
+
+def test_first_match_and_thresholds(spark):
+    rows = []
+    rows += _t("ffffffffffffff", status=2)              # error, max randomness
+    rows += _t("00000000000000", status=2)              # error, min randomness
+    rows += _t("ffffffffffffff".replace("f", "e"), status=0)  # R high → kept at 50%
+    rows += _t("00000000000001", status=0)              # R low → dropped at 50%
+    df = spark.createDataFrame(rows, _DDL)
+    out = dynamic_sampling(
+        df,
+        [
+            {"name": "keep-errors", "conditions": ["status.code == 2"],
+             "sampler": {"type": "always_sample"}},
+            {"name": "default",
+             "sampler": {"type": "deterministic", "sampling_percentage": 50}},
+        ],
+    ).collect()
+    by_rule = {}
+    for r in out:
+        by_rule.setdefault(r["attributes"][RULE_ATTR], set()).add(r["trace_id"])
+    # both error traces kept regardless of randomness (always_sample, th:0)
+    assert len(by_rule["keep-errors"]) == 2
+    err_rows = [r for r in out if r["attributes"][RULE_ATTR] == "keep-errors"]
+    assert all(r["trace_state"] == "ot=th:0" for r in err_rows)
+    # 50% rule: threshold 2^55 → hex 80000000000000 → trimmed "8"
+    dflt = [r for r in out if r["attributes"][RULE_ATTR] == "default"]
+    assert all(r["trace_state"] == "ot=th:8" for r in dflt)
+    assert {r["trace_id"][-14:] for r in dflt} == {"eeeeeeeeeeeeee"}
+
+
+def test_condition_negation(spark):
+    rows = _t("ffffffffffffff", attrs={"env": "prod"})
+    rows += _t("fffffffffffffe", attrs={"env": "dev"})
+    df = spark.createDataFrame(rows, _DDL)
+    out = dynamic_sampling(
+        df,
+        [
+            {"name": "non-prod", "conditions": ["env != prod"],
+             "sampler": {"type": "always_sample"}},
+            {"name": "rest", "sampler": {"type": "always_sample"}},
+        ],
+    ).collect()
+    rules = {r["trace_id"][-14:]: r["attributes"][RULE_ATTR] for r in out}
+    assert rules["fffffffffffffe"] == "non-prod"
+    assert rules["ffffffffffffff"] == "rest"
+
+
+def test_no_matching_rule_drops(spark):
+    df = spark.createDataFrame(_t("ffffffffffffff", status=0), _DDL)
+    out = dynamic_sampling(
+        df,
+        [{"name": "errors-only", "conditions": ["status.code == 2"],
+          "sampler": {"type": "always_sample"}}],
+    )
+    assert out.count() == 0
+
+
+def test_dynamic_per_key_rates(spark):
+    # hot key (40 traces) vs cold key (4): goal 50% → hot key rate
+    # ceil(40/11) = 4, cold key rate 1 (every trace kept)
+    rows = []
+    for i in range(40):
+        rows += _t(f"{i:014x}", n_spans=1, attrs={"route": "/hot"})
+    for i in range(4):
+        rows += _t(f"{0xff000000000000 + i:014x}", n_spans=1,
+                   attrs={"route": "/cold"})
+    df = spark.createDataFrame(rows, _DDL)
+    out = dynamic_sampling(
+        df,
+        [{"name": "adaptive", "sampler": {
+            "type": "dynamic", "goal_sampling_percentage": 50,
+            "key_fields": ["route"]}}],
+    ).collect()
+    cold = [r for r in out if r["attributes"]["route"] == "/cold"]
+    hot = [r for r in out if r["attributes"]["route"] == "/hot"]
+    # share = 44*0.5/2 = 11 → cold N=1 (all 4 kept, th:0); hot N=4
+    assert len(cold) == 4
+    assert all(r["trace_state"] == "ot=th:0" for r in cold)
+    assert all(r["trace_state"] == "ot=th:c" for r in hot)
+    # hot kept = traces with randomness >= 0.75·2^56
+    assert all(int(r["trace_id"][-14:], 16) >= 3 * (1 << 54) for r in hot)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(_t("ffffffffffffff"), _DDL)
+    with pytest.raises(ValueError, match="at least one rule"):
+        dynamic_sampling(df, [])
+    with pytest.raises(ValueError, match="unsupported condition"):
+        dynamic_sampling(df, [{"name": "x", "conditions": ["status.code >> 2"],
+                               "sampler": {"type": "always_sample"}}])
+    with pytest.raises(ValueError, match="unknown sampler"):
+        dynamic_sampling(df, [{"name": "x", "sampler": {"type": "coin"}}])
+    with pytest.raises(ValueError, match="sampling_percentage"):
+        dynamic_sampling(df, [{"name": "x", "sampler": {
+            "type": "deterministic", "sampling_percentage": 0}}])
