@@ -243,15 +243,25 @@ FROM res""",
     # The driver's correctness pass records at most 50 queries, in dict
     # order.  Keep the window on (a) the flagship pipeline + training-data
     # families above and (b) every query whose implementation changed this
-    # round (the OTTL grammar/editor rewrite, the Drain-tree leaf bound);
-    # stable single-parser queries green since round 1 take the tail.
+    # round (the signal contexts, the metric/span transform functions, the
+    # fork processors); queries green in BOTH earlier rounds and whose code
+    # did not change move to the tail.
     early = [
         "ottl_transform",
         "ottl_map_editors_redaction",
         "ottl_editors_2",
+        "metric_exphist_convert",
+        "metric_summary_convert",
         "drain_tree_templates",
     ]
     tail = [
+        # stable since r1/r2, implementation untouched this round
+        "sink_errors_other",
+        "sink_other",
+        "sink_de_copy",
+        "agg_count_cond_big",
+        "agg_count_default_dim",
+        "agg_count_missing_dim",
         "delta_to_cumulative",
         "cumulative_to_delta",
         "delta_to_rate",
