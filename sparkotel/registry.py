@@ -239,6 +239,7 @@ FROM res""",
     _add_trainingdata_queries(q)
     _add_tailsampling_queries(q)
     _add_otlpjson_queries(q)
+    _add_spanconnect_queries(q)
     _add_operator_queries(q)
     # The driver's correctness pass records at most 50 queries, in dict
     # order.  Keep the window on (a) the flagship pipeline + training-data
@@ -1617,6 +1618,218 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.parse_stage(P.pages(spark, sf_dir).drop("html"))
+
+
+# ---------------------------------------------------------------------------
+# trace-to-logs/metrics connectors (slowsqlconnector, exceptionsconnector)
+# — sparkotel/operators/spanconnect.py
+# ---------------------------------------------------------------------------
+
+# CASE mirror of traceutil.SpanKindStr over our kind = event_id % 6 fixture.
+_KIND_SQL = (
+    "CASE event_id % 6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'"
+    " WHEN 1 THEN 'SPAN_KIND_INTERNAL' WHEN 2 THEN 'SPAN_KIND_SERVER'"
+    " WHEN 3 THEN 'SPAN_KIND_CLIENT' WHEN 4 THEN 'SPAN_KIND_PRODUCER'"
+    " ELSE 'SPAN_KIND_CONSUMER' END"
+)
+_STATUS_SQL = (
+    "CASE event_type WHEN 'error' THEN 'STATUS_CODE_ERROR'"
+    " WHEN 'purchase' THEN 'STATUS_CODE_OK' ELSE 'STATUS_CODE_UNSET' END"
+)
+_K_SQL = "CAST(json_extract(props, '$.k') AS BIGINT)"
+
+
+def _add_spanconnect_queries(q: dict[str, Query]) -> None:
+    from sparkotel.operators.spanconnect import (
+        exceptions_logs,
+        exceptions_metrics,
+        slow_sql_logs,
+    )
+    from sparkotel.otlpjson import parse_otlp_spanevents, parse_otlp_traces
+
+    # Span fixture with db-client attributes and exception span events,
+    # serialized through OTLP/JSON so the connectors are exercised over the
+    # exact frame shape the file receiver produces.  Per event row:
+    # kind = event_id % 6 (CLIENT iff 3); db.system.name/db.statement on
+    # event_id % 3 == 0 rows cycling mysql/postgresql/redis/mongodb by
+    # user_id % 4 (redis is OUTSIDE the connector's default allow-list);
+    # error rows carry an 'exception' span event (type E<k%7>, constant
+    # message, stacktrace only when k is even); every span has a 'note'
+    # event that both connectors must ignore.
+    def _conn_lines(spark, sf):
+        ev = _events(spark, sf)
+        start_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
+        k = F.get_json_object("props", "$.k").cast("long")
+        status = (
+            F.when(F.col("event_type") == "error", 2)
+            .when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+        )
+        db_sys = (
+            F.when(F.col("user_id") % 4 == 0, "mysql")
+            .when(F.col("user_id") % 4 == 1, "postgresql")
+            .when(F.col("user_id") % 4 == 2, "redis")
+            .otherwise("mongodb")
+        )
+        db_frag = F.when(
+            F.col("event_id") % 3 == 0,
+            F.format_string(
+                ',{"key":"db.system.name","value":{"stringValue":"%s"}},'
+                '{"key":"db.statement","value":{"stringValue":"SELECT %d"}}',
+                db_sys,
+                k,
+            ),
+        ).otherwise("")
+        st_frag = F.when(
+            k % 2 == 0,
+            F.format_string(
+                ',{"key":"exception.stacktrace","value":{"stringValue":"st-%d"}}',
+                F.col("event_id"),
+            ),
+        ).otherwise("")
+        exc_frag = F.when(
+            F.col("event_type") == "error",
+            F.format_string(
+                '{"timeUnixNano":"%d","name":"exception","attributes":['
+                '{"key":"exception.type","value":{"stringValue":"E%d"}},'
+                '{"key":"exception.message","value":{"stringValue":"boom error"}}'
+                "%s]},",
+                end_us * 1000,
+                k % 7,
+                st_frag,
+            ),
+        ).otherwise("")
+        return ev.select(
+            F.concat(
+                F.format_string(
+                    '{"resourceSpans":[{"resource":{"attributes":['
+                    '{"key":"service.name","value":{"stringValue":"svc-%d"}}]},'
+                    '"scopeSpans":[{"scope":{"name":"tracer"},"spans":['
+                    '{"traceId":"%s","spanId":"%016x","name":"op-%s","kind":%d,'
+                    '"startTimeUnixNano":"%d","endTimeUnixNano":"%d",'
+                    '"attributes":[{"key":"user.id","value":{"intValue":"%d"}}',
+                    F.col("user_id") % 5,
+                    F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("event_id") % 6,
+                    start_us * 1000,
+                    end_us * 1000,
+                    F.col("user_id"),
+                ),
+                db_frag,
+                F.format_string('],"status":{"code":%d},"events":[', status),
+                exc_frag,
+                F.format_string(
+                    '{"timeUnixNano":"%d","name":"note"}]}]}]}]}', start_us * 1000
+                ),
+            ).alias("line")
+        )
+
+    def slow_sql_q(spark, sf):
+        spans = parse_otlp_traces(_conn_lines(spark, sf))
+        out = slow_sql_logs(
+            spans,
+            threshold_ms=30.0,
+            dimensions=[("user.id", None), ("region", "unknown")],
+        )
+        a = F.col("attributes")
+        return out.select(
+            "ts",
+            "trace_id",
+            "span_id",
+            "severity_number",
+            "severity_text",
+            a["service.name"].alias("service_name"),
+            a["span.name"].alias("span_name"),
+            a["span.kind"].alias("span_kind"),
+            a["status.code"].alias("status_code"),
+            a["db.system.name"].alias("db_system"),
+            a["db.statement"].alias("db_statement"),
+            a["db.client.operation.duration"].cast("long").alias("duration_ns"),
+            a["user.id"].alias("user_id_dim"),
+            a["region"].alias("region"),
+        )
+
+    q["slow_sql_logs"] = Query(
+        slow_sql_q,
+        f"""SELECT ts,
+  md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
+  printf('%016x', event_id) AS span_id,
+  17 AS severity_number, 'SLOW' AS severity_text,
+  'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+  'op-' || event_type AS span_name,
+  'SPAN_KIND_CLIENT' AS span_kind,
+  {_STATUS_SQL} AS status_code,
+  CASE user_id % 4 WHEN 0 THEN 'mysql' WHEN 1 THEN 'postgresql' ELSE 'mongodb' END AS db_system,
+  'SELECT ' || CAST({_K_SQL} AS VARCHAR) AS db_statement,
+  CAST(round(value * 1000, 0) AS BIGINT) * 1000 AS duration_ns,
+  CAST(user_id AS VARCHAR) AS user_id_dim,
+  'unknown' AS region
+FROM events
+WHERE event_id % 3 = 0 AND event_id % 6 = 3 AND user_id % 4 <> 2
+  AND CAST(round(value * 1000, 0) AS BIGINT) * 1000 >= 30000000""",
+    )
+
+    def exc_logs_q(spark, sf):
+        se = parse_otlp_spanevents(_conn_lines(spark, sf))
+        out = exceptions_logs(
+            se, dimensions=[("exception.type", None), ("exception.message", None)]
+        )
+        a = F.col("attributes")
+        return out.select(
+            "ts",
+            "trace_id",
+            "span_id",
+            "severity_number",
+            "severity_text",
+            a["service.name"].alias("service_name"),
+            a["span.name"].alias("span_name"),
+            a["span.kind"].alias("span_kind"),
+            a["status.code"].alias("status_code"),
+            a["exception.type"].alias("exception_type"),
+            a["exception.message"].alias("exception_message"),
+            a["exception.stacktrace"].alias("exception_stacktrace"),
+            a["user.id"].alias("span_attr_user"),
+        )
+
+    q["exceptions_logs"] = Query(
+        exc_logs_q,
+        f"""SELECT ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)) AS ts,
+  md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
+  printf('%016x', event_id) AS span_id,
+  17 AS severity_number, 'ERROR' AS severity_text,
+  'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+  'op-error' AS span_name,
+  {_KIND_SQL} AS span_kind,
+  'STATUS_CODE_ERROR' AS status_code,
+  'E' || CAST({_K_SQL} % 7 AS VARCHAR) AS exception_type,
+  'boom error' AS exception_message,
+  CASE WHEN {_K_SQL} % 2 = 0 THEN 'st-' || CAST(event_id AS VARCHAR) ELSE '' END
+    AS exception_stacktrace,
+  CAST(user_id AS VARCHAR) AS span_attr_user
+FROM events WHERE event_type = 'error'""",
+    )
+
+    def exc_metrics_q(spark, sf):
+        se = parse_otlp_spanevents(_conn_lines(spark, sf))
+        return exceptions_metrics(se)
+
+    q["exceptions_metrics"] = Query(
+        exc_metrics_q,
+        f"""SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+  'op-error' AS span_name,
+  {_KIND_SQL} AS span_kind,
+  'STATUS_CODE_ERROR' AS status_code,
+  'E' || CAST({_K_SQL} % 7 AS VARCHAR) AS "exception_type",
+  'boom error' AS "exception_message",
+  count(*) AS exceptions_total,
+  min(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS first_seen,
+  max(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS last_seen
+FROM events WHERE event_type = 'error'
+GROUP BY 1, 2, 3, 4, 5, 6""",
+    )
 
 
 def _add_operator_queries(q: dict[str, Query]) -> None:
