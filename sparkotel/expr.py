@@ -454,6 +454,7 @@ _SPAN_ALIASES = {
     "end_time": "end_ts",
     "start_time_unix_nano": "start_ts",
     "end_time_unix_nano": "end_ts",
+    "trace_state": "trace_state",
 }
 _SPAN_TWO_PART = {
     ("status", "code"): "status_code",
@@ -770,7 +771,8 @@ class Compiler:
         # (Go: time.Sub yields time.Duration)
         if node.op == "-" and _is_ts_node(node.left) and _is_ts_node(node.right):
             return (
-                F.unix_micros(_c(left)) - F.unix_micros(_c(right))
+                F.unix_micros(_c(left).cast("timestamp"))
+                - F.unix_micros(_c(right).cast("timestamp"))
             ).cast("double") / F.lit(1000000.0)
         # `x == nil` / `x != nil`: OTTL nil equality is a null test, not
         # SQL three-valued NULL comparison (LANGUAGE.md nil semantics)
@@ -846,15 +848,21 @@ _MAP_PRODUCERS = {
 
 
 _TS_CALLS = {"Time", "Now", "TruncateTime", "Time_", "ObservedTime"}
-_TS_PATHS = {"time", "observed_time"}
+_TS_PATHS = {"time", "observed_time", "start_time", "end_time"}
 
 
 def _is_ts_node(node) -> bool:
-    """static check: does this AST node produce a timestamp?"""
+    """static check: does this AST node produce a timestamp?  Covers the
+    bare paths and their context-prefixed spellings (span.start_time −
+    span.end_time is the signaltometrics README's canonical duration
+    expression)."""
     if isinstance(node, Call):
         return node.name in _TS_CALLS
     if isinstance(node, Path):
-        return node.parts[0] in _TS_PATHS and len(node.parts) == 1
+        parts = [p for p in node.parts if isinstance(p, str)]
+        if len(parts) == 2 and parts[0] in ("span", "log", "spanevent", "datapoint"):
+            parts = parts[1:]
+        return len(parts) == 1 and parts[0] in _TS_PATHS
     return False
 
 
@@ -1205,6 +1213,38 @@ def _is_root_span(c, a):
 
 
 _reg("IsRootSpan")(_is_root_span)
+
+
+def _adjusted_count(c, a):
+    """AdjustedCount() — signaltometricsconnector's custom span
+    converter (connector/signaltometricsconnector/internal/customottl/
+    adjustedcount.go): the inverse sampling probability encoded as the
+    OTel ``th`` T-value inside the W3C tracestate's ``ot`` member
+    (pkg/sampling/threshold.go: AdjustedCount =
+    2^56 / (2^56 − threshold)).  Missing tracestate / ot member / empty
+    T-value → 1 (non-probabilistic).  The reference errors (→ 0) on a
+    syntactically invalid W3C tracestate; here an unparseable
+    tracestate is treated as absent (→ 1) — regex extraction can't
+    distinguish 'no ot member' from 'malformed list'."""
+    if c.ctx != "span":
+        raise NameError("AdjustedCount is only available in the span context")
+    ts = (
+        F.coalesce(F.col("trace_state"), F.lit(""))
+        if c.columns and "trace_state" in c.columns
+        else F.lit("")
+    )
+    ot = F.regexp_extract(ts, r"(?:^|,)\s*ot=([^,]*)", 1)
+    tv = F.regexp_extract(ot, r"(?:^|;)th:([0-9a-f]{1,14})", 1)
+    # exact integer threshold (≤ 2^56 fits a long), then one
+    # double-divide like the Go float64(max)/float64(max−unsigned)
+    unsigned = F.conv(F.rpad(tv, 14, "0"), 16, 10).cast("long")
+    two56 = 1 << 56
+    return F.when(tv == "", F.lit(1.0)).otherwise(
+        F.lit(float(two56)) / (F.lit(two56) - unsigned).cast("double")
+    )
+
+
+_reg("AdjustedCount")(_adjusted_count)
 
 
 def _concat(c, a):

@@ -265,7 +265,8 @@ _SPAN_EVENT = (
     "droppedAttributesCount:int>"
 )
 _SPAN = (
-    "struct<traceId:string,spanId:string,parentSpanId:string,name:string,"
+    "struct<traceId:string,spanId:string,parentSpanId:string,traceState:string,"
+    "name:string,"
     "kind:int,startTimeUnixNano:string,endTimeUnixNano:string,"
     f"attributes:{_KVLIST},droppedAttributesCount:int,"
     f"events:array<{_SPAN_EVENT}>,"
@@ -310,6 +311,7 @@ def parse_otlp_traces(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.timestamp_micros(F.col("_eus")).cast("timestamp_ntz").alias("end_ts"),
         F.coalesce(sp.getField("status").getField("code"), F.lit(0)).alias("status_code"),
         F.coalesce(sp.getField("status").getField("message"), F.lit("")).alias("status_message"),
+        F.coalesce(sp.getField("traceState"), F.lit("")).alias("trace_state"),
         _kv_to_map(sp.getField("attributes")).alias("attributes"),
         _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
         F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),

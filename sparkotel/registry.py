@@ -240,6 +240,7 @@ FROM res""",
     _add_tailsampling_queries(q)
     _add_otlpjson_queries(q)
     _add_spanconnect_queries(q)
+    _add_signaltometrics_queries(q)
     _add_operator_queries(q)
     # The driver's correctness pass records at most 50 queries, in dict
     # order.  Keep the window on (a) the flagship pipeline + training-data
@@ -257,6 +258,12 @@ FROM res""",
     ]
     tail = [
         # stable since r1/r2, implementation untouched this round
+        "parse_onerror_drop",
+        "sink_errors_en",
+        "agg_count_all_errors_other",
+        "text_lang_id",
+        "text_quality",
+        "text_fingerprint",
         "sink_errors_other",
         "sink_other",
         "sink_de_copy",
@@ -1621,6 +1628,146 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# signaltometricsconnector — sparkotel/operators/signaltometrics.py
+# ---------------------------------------------------------------------------
+
+_S2M_BOUNDS = (
+    "[2.0,4.0,6.0,8.0,10.0,50.0,100.0,200.0,400.0,800.0,"
+    "1000.0,1400.0,2000.0,5000.0,10000.0,15000.0]"
+)
+# duration ms mirrored from the fixture: dur_us = round(value*1000)
+_S2M_V = "round(value * 1000, 0) / 1000.0"
+# Int(AdjustedCount()): even event ids carry ot=th:8 → adjusted count 2
+_S2M_CNT = "CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END"
+_S2M_SVC = "'svc-' || CAST(user_id % 5 AS VARCHAR)"
+
+
+def _add_signaltometrics_queries(q: dict[str, Query]) -> None:
+    from sparkotel.operators.signaltometrics import Attr, MetricDef, signal_to_metrics
+    from sparkotel.otlpjson import parse_otlp_traces
+
+    def _spans_fx(spark, sf):
+        return parse_otlp_traces(_conn_trace_lines(spark, sf))
+
+    # sum arm: OR-ed conditions + attribute default_value + resource attr
+    def s2m_sum_q(spark, sf):
+        d = MetricDef(
+            name="span.duration.sum",
+            metric_type="sum",
+            value="Int(Seconds(span.end_time - span.start_time) * 1000)",
+            monotonic=True,
+            attributes=(Attr("db.system.name", default_value="none"),),
+            include_resource_attributes=(Attr("service.name"),),
+            conditions=("span.status.code == 2", "span.kind == 3"),
+        )
+        return signal_to_metrics(_spans_fx(spark, sf), d, ctx="span")
+
+    q["s2m_sum_duration"] = Query(
+        s2m_sum_q,
+        f"""SELECT 'span.duration.sum' AS metric_name,
+  {_S2M_SVC} AS "service_name",
+  CASE WHEN event_id % 3 = 0 THEN
+    CASE user_id % 4 WHEN 0 THEN 'mysql' WHEN 1 THEN 'postgresql'
+         WHEN 2 THEN 'redis' ELSE 'mongodb' END
+  ELSE 'none' END AS "db_system_name",
+  sum(CAST(trunc({_S2M_V}) AS BIGINT)) AS value
+FROM events WHERE event_type = 'error' OR event_id % 6 = 3
+GROUP BY 1, 2, 3""",
+    )
+
+    # gauge arm: last value per group (order = span start, value tiebreak)
+    def s2m_gauge_q(spark, sf):
+        d = MetricDef(
+            name="user.gauge",
+            metric_type="gauge",
+            value='Int(span.attributes["user.id"])',
+            include_resource_attributes=(Attr("service.name"),),
+        )
+        return signal_to_metrics(_spans_fx(spark, sf), d, ctx="span")
+
+    q["s2m_gauge_last"] = Query(
+        s2m_gauge_q,
+        f"""SELECT 'user.gauge' AS metric_name, {_S2M_SVC} AS "service_name",
+  user_id AS value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id % 5 ORDER BY ts DESC, user_id DESC) = 1""",
+    )
+
+    # histogram arm: explicit default bounds, AdjustedCount() weights
+    def s2m_hist_q(spark, sf):
+        d = MetricDef(
+            name="span.duration.hist",
+            metric_type="histogram",
+            value="Seconds(span.end_time - span.start_time) * 1000",
+            count="Int(AdjustedCount())",
+            include_resource_attributes=(Attr("service.name"),),
+        )
+        out = signal_to_metrics(_spans_fx(spark, sf), d, ctx="span")
+        # long format for the driver compare: one row per bucket index
+        # (array-valued columns don't survive the pandas value-hash)
+        return out.select(
+            "metric_name",
+            "service_name",
+            F.col("count").alias("count_value"),
+            F.round("sum", 6).alias("sum_value"),
+            F.posexplode("bucket_counts").alias("bucket_index", "bucket_count"),
+        )
+
+    q["s2m_histogram"] = Query(
+        s2m_hist_q,
+        f"""WITH rows AS (
+  SELECT {_S2M_SVC} AS service_name, {_S2M_V} AS v, {_S2M_CNT} AS cnt
+  FROM events),
+idx AS (
+  SELECT service_name,
+    length(list_filter({_S2M_BOUNDS}, b -> b < v)) AS i, v, cnt
+  FROM rows),
+grid AS (
+  SELECT service_name, gi.i AS i,
+    coalesce(sum(CASE WHEN idx.i = gi.i THEN cnt END), 0) AS bc
+  FROM idx CROSS JOIN (SELECT unnest(range(17)) AS i) gi
+  GROUP BY 1, 2),
+tot AS (
+  SELECT service_name, CAST(sum(cnt) AS BIGINT) AS count_value,
+    round(sum(v * cnt), 6) AS sum_value
+  FROM idx GROUP BY 1)
+SELECT 'span.duration.hist' AS metric_name, t.service_name AS "service_name",
+  t.count_value, t.sum_value,
+  CAST(g.i AS INT) AS bucket_index, CAST(g.bc AS BIGINT) AS bucket_count
+FROM tot t JOIN grid g USING (service_name)""",
+    )
+
+    # exponential-histogram arm: base-2 halves at fixed scale 2, weighted
+    def s2m_exph_q(spark, sf):
+        d = MetricDef(
+            name="span.duration.exph",
+            metric_type="exponential_histogram",
+            value="Seconds(span.end_time - span.start_time) * 1000",
+            count="Int(AdjustedCount())",
+            scale=2,
+            include_resource_attributes=(Attr("service.name"),),
+        )
+        return signal_to_metrics(_spans_fx(spark, sf), d, ctx="span")
+
+    q["s2m_exp_histogram"] = Query(
+        s2m_exph_q,
+        f"""WITH rows AS (
+  SELECT {_S2M_SVC} AS service_name, {_S2M_V} AS v, {_S2M_CNT} AS cnt
+  FROM events)
+SELECT 'span.duration.exph' AS metric_name, service_name AS "service_name",
+  CASE WHEN v = 0.0 THEN 'zero' WHEN v < 0 THEN 'negative'
+       ELSE 'positive' END AS sign,
+  CASE WHEN v = 0.0 THEN NULL
+       ELSE CAST(CEIL(log2(abs(v)) * 4) AS INT) - 1 END AS bucket_index,
+  CAST(sum(cnt) AS BIGINT) AS bucket_count,
+  round(min(v), 6) AS min_value, round(max(v), 6) AS max_value,
+  2 AS scale
+FROM rows GROUP BY 1, 2, 3, 4""",
+    )
+
+
+# ---------------------------------------------------------------------------
 # trace-to-logs/metrics connectors (slowsqlconnector, exceptionsconnector)
 # — sparkotel/operators/spanconnect.py
 # ---------------------------------------------------------------------------
@@ -1637,6 +1784,85 @@ _STATUS_SQL = (
     " WHEN 'purchase' THEN 'STATUS_CODE_OK' ELSE 'STATUS_CODE_UNSET' END"
 )
 _K_SQL = "CAST(json_extract(props, '$.k') AS BIGINT)"
+
+
+def _conn_trace_lines(spark, sf):
+    ev = _events(spark, sf)
+    start_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
+    k = F.get_json_object("props", "$.k").cast("long")
+    status = (
+        F.when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+    )
+    db_sys = (
+        F.when(F.col("user_id") % 4 == 0, "mysql")
+        .when(F.col("user_id") % 4 == 1, "postgresql")
+        .when(F.col("user_id") % 4 == 2, "redis")
+        .otherwise("mongodb")
+    )
+    db_frag = F.when(
+        F.col("event_id") % 3 == 0,
+        F.format_string(
+            ',{"key":"db.system.name","value":{"stringValue":"%s"}},'
+            '{"key":"db.statement","value":{"stringValue":"SELECT %d"}}',
+            db_sys,
+            k,
+        ),
+    ).otherwise("")
+    st_frag = F.when(
+        k % 2 == 0,
+        F.format_string(
+            ',{"key":"exception.stacktrace","value":{"stringValue":"st-%d"}}',
+            F.col("event_id"),
+        ),
+    ).otherwise("")
+    exc_frag = F.when(
+        F.col("event_type") == "error",
+        F.format_string(
+            '{"timeUnixNano":"%d","name":"exception","attributes":['
+            '{"key":"exception.type","value":{"stringValue":"E%d"}},'
+            '{"key":"exception.message","value":{"stringValue":"boom error"}}'
+            "%s]},",
+            end_us * 1000,
+            k % 7,
+            st_frag,
+        ),
+    ).otherwise("")
+    # even event ids carry a consistent-probability tracestate of
+    # th:8 (threshold 2^55 → sampling probability 1/2 → adjusted
+    # count 2); odd ids have no tracestate (adjusted count 1)
+    ts_frag = F.when(
+        F.col("event_id") % 2 == 0, '"traceState":"ot=th:8",'
+    ).otherwise("")
+    return ev.select(
+        F.concat(
+            F.format_string(
+                '{"resourceSpans":[{"resource":{"attributes":['
+                '{"key":"service.name","value":{"stringValue":"svc-%d"}}]},'
+                '"scopeSpans":[{"scope":{"name":"tracer"},"spans":['
+                '{"traceId":"%s","spanId":"%016x",%s"name":"op-%s","kind":%d,'
+                '"startTimeUnixNano":"%d","endTimeUnixNano":"%d",'
+                '"attributes":[{"key":"user.id","value":{"intValue":"%d"}}',
+                F.col("user_id") % 5,
+                F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))),
+                F.col("event_id"),
+                ts_frag,
+                F.col("event_type"),
+                F.col("event_id") % 6,
+                start_us * 1000,
+                end_us * 1000,
+                F.col("user_id"),
+            ),
+            db_frag,
+            F.format_string('],"status":{"code":%d},"events":[', status),
+            exc_frag,
+            F.format_string(
+                '{"timeUnixNano":"%d","name":"note"}]}]}]}]}', start_us * 1000
+            ),
+        ).alias("line")
+    )
 
 
 def _add_spanconnect_queries(q: dict[str, Query]) -> None:
@@ -1656,79 +1882,8 @@ def _add_spanconnect_queries(q: dict[str, Query]) -> None:
     # error rows carry an 'exception' span event (type E<k%7>, constant
     # message, stacktrace only when k is even); every span has a 'note'
     # event that both connectors must ignore.
-    def _conn_lines(spark, sf):
-        ev = _events(spark, sf)
-        start_us = F.unix_micros(F.col("ts").cast("timestamp"))
-        end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
-        k = F.get_json_object("props", "$.k").cast("long")
-        status = (
-            F.when(F.col("event_type") == "error", 2)
-            .when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-        )
-        db_sys = (
-            F.when(F.col("user_id") % 4 == 0, "mysql")
-            .when(F.col("user_id") % 4 == 1, "postgresql")
-            .when(F.col("user_id") % 4 == 2, "redis")
-            .otherwise("mongodb")
-        )
-        db_frag = F.when(
-            F.col("event_id") % 3 == 0,
-            F.format_string(
-                ',{"key":"db.system.name","value":{"stringValue":"%s"}},'
-                '{"key":"db.statement","value":{"stringValue":"SELECT %d"}}',
-                db_sys,
-                k,
-            ),
-        ).otherwise("")
-        st_frag = F.when(
-            k % 2 == 0,
-            F.format_string(
-                ',{"key":"exception.stacktrace","value":{"stringValue":"st-%d"}}',
-                F.col("event_id"),
-            ),
-        ).otherwise("")
-        exc_frag = F.when(
-            F.col("event_type") == "error",
-            F.format_string(
-                '{"timeUnixNano":"%d","name":"exception","attributes":['
-                '{"key":"exception.type","value":{"stringValue":"E%d"}},'
-                '{"key":"exception.message","value":{"stringValue":"boom error"}}'
-                "%s]},",
-                end_us * 1000,
-                k % 7,
-                st_frag,
-            ),
-        ).otherwise("")
-        return ev.select(
-            F.concat(
-                F.format_string(
-                    '{"resourceSpans":[{"resource":{"attributes":['
-                    '{"key":"service.name","value":{"stringValue":"svc-%d"}}]},'
-                    '"scopeSpans":[{"scope":{"name":"tracer"},"spans":['
-                    '{"traceId":"%s","spanId":"%016x","name":"op-%s","kind":%d,'
-                    '"startTimeUnixNano":"%d","endTimeUnixNano":"%d",'
-                    '"attributes":[{"key":"user.id","value":{"intValue":"%d"}}',
-                    F.col("user_id") % 5,
-                    F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))),
-                    F.col("event_id"),
-                    F.col("event_type"),
-                    F.col("event_id") % 6,
-                    start_us * 1000,
-                    end_us * 1000,
-                    F.col("user_id"),
-                ),
-                db_frag,
-                F.format_string('],"status":{"code":%d},"events":[', status),
-                exc_frag,
-                F.format_string(
-                    '{"timeUnixNano":"%d","name":"note"}]}]}]}]}', start_us * 1000
-                ),
-            ).alias("line")
-        )
-
     def slow_sql_q(spark, sf):
-        spans = parse_otlp_traces(_conn_lines(spark, sf))
+        spans = parse_otlp_traces(_conn_trace_lines(spark, sf))
         out = slow_sql_logs(
             spans,
             threshold_ms=30.0,
@@ -1773,7 +1928,7 @@ WHERE event_id % 3 = 0 AND event_id % 6 = 3 AND user_id % 4 <> 2
     )
 
     def exc_logs_q(spark, sf):
-        se = parse_otlp_spanevents(_conn_lines(spark, sf))
+        se = parse_otlp_spanevents(_conn_trace_lines(spark, sf))
         out = exceptions_logs(
             se, dimensions=[("exception.type", None), ("exception.message", None)]
         )
@@ -1813,7 +1968,7 @@ FROM events WHERE event_type = 'error'""",
     )
 
     def exc_metrics_q(spark, sf):
-        se = parse_otlp_spanevents(_conn_lines(spark, sf))
+        se = parse_otlp_spanevents(_conn_trace_lines(spark, sf))
         return exceptions_metrics(se)
 
     q["exceptions_metrics"] = Query(
