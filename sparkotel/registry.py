@@ -241,6 +241,7 @@ FROM res""",
     _add_otlpjson_queries(q)
     _add_spanconnect_queries(q)
     _add_signaltometrics_queries(q)
+    _add_spanproc_queries(q)
     _add_operator_queries(q)
     # The driver's correctness pass records at most 50 queries, in dict
     # order.  Keep the window on (a) the flagship pipeline + training-data
@@ -1625,6 +1626,130 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.parse_stage(P.pages(spark, sf_dir).drop("html"))
+
+
+# ---------------------------------------------------------------------------
+# spanprocessor + metricsaslogsconnector — sparkotel/operators/spanproc.py,
+# sparkotel/operators/metricsaslogs.py
+# ---------------------------------------------------------------------------
+
+
+def _add_spanproc_queries(q: dict[str, Query]) -> None:
+    from sparkotel.operators.metricsaslogs import number_points_as_logs
+    from sparkotel.operators.spanproc import (
+        span_name_from_attributes,
+        span_name_to_attributes,
+        span_set_status,
+    )
+    from sparkotel.otlpjson import parse_otlp_metrics, parse_otlp_traces
+
+    # spanprocessor chain in the reference's execution order
+    # (span.go:89-92): from_attributes → to_attributes → status
+    def span_ops_q(spark, sf):
+        spans = parse_otlp_traces(_conn_trace_lines(spark, sf))
+        spans = span_name_from_attributes(
+            spans, ["user.id", "event.kind"], separator=":", where="span.kind == 3"
+        )  # event.kind never exists → any-miss means NO rename anywhere
+        spans = span_name_from_attributes(
+            spans, ["user.id"], separator=":", where="span.kind == 3"
+        )
+        spans = span_name_to_attributes(spans, [r"^op-(?P<etype>[a-z]+)$"])
+        spans = span_set_status(
+            spans, "Error", "bad", where='span.attributes["etype"] == "error"'
+        )
+        return spans.select(
+            "span_id",
+            "name",
+            F.col("attributes")["etype"].alias("etype"),
+            "status_code",
+            "status_message",
+        )
+
+    q["span_name_ops"] = Query(
+        span_ops_q,
+        """SELECT printf('%016x', event_id) AS span_id,
+  CASE WHEN event_id % 6 = 3 THEN CAST(user_id AS VARCHAR)
+       ELSE 'op-{etype}' END AS name,
+  CASE WHEN event_id % 6 = 3 THEN NULL ELSE event_type END AS etype,
+  CASE WHEN event_id % 6 <> 3 AND event_type = 'error' THEN 2
+       WHEN event_type = 'error' THEN 2 WHEN event_type = 'purchase' THEN 1
+       ELSE 0 END AS status_code,
+  CASE WHEN event_id % 6 <> 3 AND event_type = 'error' THEN 'bad'
+       ELSE '' END AS status_message
+FROM events""",
+    )
+
+    # metricsaslogs over the number-point frame (gauge + sum arms)
+    _MAL_GAUGE = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"g.%s","unit":"ms","gauge":{"dataPoints":['
+        '{"timeUnixNano":"%d","asDouble":%s,'
+        '"attributes":[{"key":"k","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+    _MAL_SUM = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"s.%s","unit":"ms","sum":{"aggregationTemporality":2,'
+        '"isMonotonic":true,"dataPoints":['
+        '{"startTimeUnixNano":"%d","timeUnixNano":"%d","asInt":"%s",'
+        '"attributes":[{"key":"k","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+
+    def mal_q(spark, sf):
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        k = F.get_json_object("props", "$.k")
+        gauge = F.format_string(
+            _MAL_GAUGE, F.col("user_id") % 7, F.col("event_type"), tus * 1000,
+            F.col("value").cast("string"), k,
+        )
+        asum = F.format_string(
+            _MAL_SUM, F.col("user_id") % 7, F.col("event_type"),
+            (tus - 1_000_000) * 1000, tus * 1000, k, k,
+        )
+        lines = ev.select(
+            F.when(F.col("event_type") == "purchase", asum).otherwise(gauge).alias("line")
+        )
+        out = number_points_as_logs(parse_otlp_metrics(lines))
+        a = F.col("attributes")
+        return out.select(
+            "ts",
+            "observed_ts",
+            "body",
+            a["metric.name"].alias("metric_name"),
+            a["metric.type"].alias("metric_type"),
+            a["metric.unit"].alias("unit"),
+            a["metric.is_monotonic"].alias("is_monotonic"),
+            a["metric.aggregation_temporality"].alias("temporality"),
+            a["gauge.value"].alias("gauge_value"),
+            a["sum.value"].alias("sum_value"),
+            a["k"].alias("attr_k"),
+            F.col("resource")["host.name"].alias("host_name"),
+            "scope_name",
+        )
+
+    q["metrics_as_logs"] = Query(
+        mal_q,
+        """SELECT ts,
+  CASE WHEN event_type = 'purchase' THEN ts - INTERVAL 1 SECOND END AS observed_ts,
+  'metric converted to log' AS body,
+  CASE WHEN event_type = 'purchase' THEN 's.' ELSE 'g.' END || event_type AS metric_name,
+  CASE WHEN event_type = 'purchase' THEN 'Sum' ELSE 'Gauge' END AS metric_type,
+  'ms' AS unit,
+  CASE WHEN event_type = 'purchase' THEN 'true' END AS is_monotonic,
+  CASE WHEN event_type = 'purchase' THEN 'Cumulative' END AS temporality,
+  CASE WHEN event_type <> 'purchase' THEN CAST(value AS VARCHAR) END AS gauge_value,
+  CASE WHEN event_type = 'purchase'
+       THEN CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS VARCHAR)
+  END AS sum_value,
+  json_extract_string(props, '$.k') AS attr_k,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name,
+  'meter' AS scope_name
+FROM events""",
+    )
 
 
 # ---------------------------------------------------------------------------
