@@ -510,3 +510,45 @@ def _metric_base(df: DataFrame, line_col: str) -> DataFrame:
     rm = req.select(F.explode("req.resourceMetrics").alias("rm"))
     sm = rm.select(F.col("rm.resource").alias("res"), F.explode("rm.scopeMetrics").alias("sm"))
     return sm.select("res", F.col("sm.scope").alias("scope"), F.explode("sm.metrics").alias("m"))
+
+
+# ---------------------------------------------------------------------------
+# otlpjsonconnector: classify OTLP/JSON payloads embedded in log bodies
+# and fan them out to the per-signal parsers
+# ---------------------------------------------------------------------------
+
+# connector/otlpjsonconnector/factory.go:19-21 — anchored key sniffers
+OTLPJSON_LOG_RE = r'^\{\s*"resourceLogs"\s*:\s*\['
+OTLPJSON_METRIC_RE = r'^\{\s*"resourceMetrics"\s*:\s*\['
+OTLPJSON_TRACE_RE = r'^\{\s*"resourceSpans"\s*:\s*\['
+
+
+def classify_otlpjson(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Adds ``signal`` ∈ {logs, metrics, traces, invalid} per record —
+    the connector's regex switch (otlpjsonconnector/logs.go:51-70; a
+    payload matching none of the three sniffers is the logged
+    "Invalid otlp payload" arm)."""
+    b = F.col(body_col)
+    return df.withColumn(
+        "signal",
+        F.when(b.rlike(OTLPJSON_LOG_RE), "logs")
+        .when(b.rlike(OTLPJSON_METRIC_RE), "metrics")
+        .when(b.rlike(OTLPJSON_TRACE_RE), "traces")
+        .otherwise("invalid"),
+    )
+
+
+def route_otlpjson_bodies(df: DataFrame, body_col: str = "body") -> dict:
+    """The full connector: one filter + parse per signal pipeline.
+    Each arm only scans its own subset (predicate before from_json);
+    malformed-but-matching payloads parse to NULL structs and drop out
+    of the explodes, mirroring the reference's per-record error-log +
+    continue (logs.go:55-61)."""
+    c = classify_otlpjson(df, body_col)
+    sel = lambda s: c.where(F.col("signal") == s).select(F.col(body_col).alias("line"))
+    return {
+        "logs": parse_otlp_logs(sel("logs")),
+        "metrics": parse_otlp_metrics(sel("metrics")),
+        "histograms": parse_otlp_histograms(sel("metrics")),
+        "traces": parse_otlp_traces(sel("traces")),
+    }

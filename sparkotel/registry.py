@@ -1629,12 +1629,73 @@ def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# spanprocessor + metricsaslogsconnector — sparkotel/operators/spanproc.py,
-# sparkotel/operators/metricsaslogs.py
+# spanprocessor + metricsaslogsconnector + otlpjsonconnector
 # ---------------------------------------------------------------------------
 
 
 def _add_spanproc_queries(q: dict[str, Query]) -> None:
+    from sparkotel.otlpjson import route_otlpjson_bodies
+
+    # otlpjsonconnector: mixed log bodies → per-signal pipelines.  One
+    # line per event: click/view → embedded resourceLogs payload,
+    # purchase → resourceMetrics, error → resourceSpans, signup →
+    # invalid junk (the connector's "Invalid otlp payload" arm).
+    def otlpjson_route_q(spark, sf):
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        k = F.get_json_object("props", "$.k")
+        log_line = F.format_string(
+            '{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":['
+            '{"scope":{"name":"g"},"logRecords":[{"timeUnixNano":"%d",'
+            '"body":{"stringValue":"evt %d"}}]}]}]}',
+            tus * 1000,
+            F.col("event_id"),
+        )
+        metric_line = F.format_string(
+            '{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":['
+            '{"scope":{"name":"g"},"metrics":[{"name":"m.%s","gauge":{"dataPoints":['
+            '{"timeUnixNano":"%d","asDouble":%s}]}}]}]}]}',
+            k,
+            tus * 1000,
+            F.col("value").cast("string"),
+        )
+        trace_line = F.format_string(
+            '{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":['
+            '{"scope":{"name":"g"},"spans":[{"traceId":"%s","spanId":"%016x",'
+            '"name":"s","kind":1,"startTimeUnixNano":"%d","endTimeUnixNano":"%d",'
+            '"status":{"code":0}}]}]}]}',
+            F.md5(F.concat(F.lit("t"), F.col("event_id").cast("string"))),
+            F.col("event_id"),
+            tus * 1000,
+            tus * 1000,
+        )
+        body = (
+            F.when(F.col("event_type") == "purchase", metric_line)
+            .when(F.col("event_type") == "error", trace_line)
+            .when(F.col("event_type") == "signup",
+                  F.format_string("not otlp %d", F.col("event_id")))
+            .otherwise(log_line)
+        )
+        arms = route_otlpjson_bodies(ev.select(body.alias("body")))
+        logs = arms["logs"].select(F.lit("logs").alias("signal"), F.col("body").alias("ident"))
+        mets = arms["metrics"].select(
+            F.lit("metrics").alias("signal"), F.col("metric_name").alias("ident")
+        )
+        trcs = arms["traces"].select(
+            F.lit("traces").alias("signal"), F.col("trace_id").alias("ident")
+        )
+        return logs.unionByName(mets).unionByName(trcs)
+
+    q["otlpjson_route"] = Query(
+        otlpjson_route_q,
+        """SELECT CASE WHEN event_type = 'purchase' THEN 'metrics'
+            WHEN event_type = 'error' THEN 'traces' ELSE 'logs' END AS signal,
+  CASE WHEN event_type = 'purchase'
+         THEN 'm.' || json_extract_string(props, '$.k')
+       WHEN event_type = 'error' THEN md5('t' || CAST(event_id AS VARCHAR))
+       ELSE 'evt ' || CAST(event_id AS VARCHAR) END AS ident
+FROM events WHERE event_type <> 'signup'""",
+    )
     from sparkotel.operators.metricsaslogs import number_points_as_logs
     from sparkotel.operators.spanproc import (
         span_name_from_attributes,

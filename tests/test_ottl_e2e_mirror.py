@@ -15,10 +15,10 @@ Statements omitted, each a documented engine divergence:
 - `Index(attributes["slices"], attributes["slices"][2])` — the
   reference's `slices` mixes strings and maps in one slice;
 - `delete_key(struct-col, <runtime key>)` — struct schemas can't drop
-  fields row-dependently (see SEQ_CASES note);
-- event_index — spanevent transform context (not a frame the engine
-  carries; IsRootSpan itself IS implemented over the span context —
-  tests/test_ottl_contexts.py).
+  fields row-dependently (see SEQ_CASES note).
+The spanevent-context case (event_index) is mirrored at the bottom of
+this file over the engine's spanevent frame; IsRootSpan over the span
+context lives in tests/test_ottl_contexts.py.
 
 Value-representation divergences asserted AS the engine form, each
 marked inline: heterogeneous literal slices stringify their elements,
@@ -994,3 +994,20 @@ def test_e2e_lambda_statement(spark, vrec):
         attrs_cols=VX_COLS,
     )
     assert out2.first()["resource_test"] == "pass"
+
+
+def test_e2e_spanevent_event_index(spark):
+    """Test_ProcessSpanEvents (e2e_test.go:2500-2535): the one spanevent
+    case — `set(attributes["index"], event_index)` over the
+    constructSpanEventTransformContext frame (event-1 at index 0)."""
+    df = spark.createDataFrame(
+        [("event-1", 0, {}, "operationA", "scope")],
+        "event_name string, event_index int, attributes map<string,string>,"
+        " span_name string, scope_name string",
+    )
+    out = X.apply_statements(
+        df, ['set(spanevent.attributes["index"], event_index)'], ctx="spanevent"
+    )
+    r = out.first()
+    # PutInt("index", 0) — engine form: typed promoted attribute column
+    assert r["index"] == 0
