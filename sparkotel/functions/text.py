@@ -125,6 +125,61 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII scrubbing: ordered regexp_replace chain (emails before IPs before
+# phones — the phone pattern's char class would otherwise eat dotted
+# IPs).  Patterns stay inside the Java-regex ∩ RE2 subset (no
+# lookaround) so the DuckDB oracle runs them verbatim.  Pure projection,
+# scan-speed at 100 TB; the per-type counts make redaction audits a
+# groupBy away.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out: str = "text_clean"
+) -> DataFrame:
+    """Replace PII spans with typed placeholders + count each type."""
+    clean = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"pii_{name}"] = F.regexp_count(clean, F.lit(pat)).cast("bigint")
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.withColumns({**counts, out: clean})
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Token-window chunking for training-data prep: whitespace tokens,
+    fixed window of ``max_tokens`` advancing by ``max_tokens − overlap``
+    (the last window may be short; a document shorter than one window is
+    one chunk).  Explodes to one row per (doc, chunk_index) — a
+    generator, no shuffle; the 100-TB shape is scan → explode → sink."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(step)))
+    ).cast("int")
+    df = df.withColumn("_toks", toks).withColumn(
+        "chunk_index", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_index") * step + 1, max_tokens)
+    return (
+        df.withColumn("chunk", F.array_join(piece, " "))
+        .withColumn("chunk_tokens", F.size(piece).cast("bigint"))
+        .drop("_toks")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirrors
 # ---------------------------------------------------------------------------

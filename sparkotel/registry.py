@@ -258,13 +258,24 @@ FROM res""",
         "drain_tree_templates",
     ]
     tail = [
-        # stable since r1/r2, implementation untouched this round
+        # stable since r1/r2, implementation untouched this round; the
+        # flagship pipeline keeps driver coverage via its r1+r2 green
+        # rows (cumulative) plus the entry() smoke and the sink queries
+        "pages_gen",
+        "parse_regex",
+        "enrich_lookup",
+        "route_assign",
         "parse_onerror_drop",
         "sink_errors_en",
         "agg_count_all_errors_other",
         "text_lang_id",
         "text_quality",
         "text_fingerprint",
+        # rows-only checks (the driver row adds little over their pytest
+        # golden/determinism evidence) — make room for oracle-checked
+        # queries whose implementation changed this round
+        "multimodal_features",
+        "isolation_forest",
         "sink_errors_other",
         "sink_other",
         "sink_de_copy",
@@ -2983,6 +2994,71 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
         ),
         TX.duck_fingerprint(),
     )
+    # PII scrub over documents with deterministically injected PII
+    # (docs have none natively): every doc_id % 3 == 0 row gains an
+    # email + phone + IPv4 span.
+    def _pii_docs(spark, sf):
+        d = _docs(spark, sf)
+        inject = F.format_string(
+            "%s contact u%d@ex.com tel +1 (555) 010-%04d ip 10.2.%d.7 end",
+            F.col("text"),
+            F.col("doc_id"),
+            F.col("doc_id") % 10000,
+            F.col("doc_id") % 256,
+        )
+        return d.withColumn(
+            "text", F.when(F.col("doc_id") % 3 == 0, inject).otherwise(F.col("text"))
+        )
+
+    def pii_q(spark, sf):
+        return TX.pii_scrub(_pii_docs(spark, sf)).select(
+            "doc_id", "pii_email", "pii_ipv4", "pii_phone", "text_clean"
+        )
+
+    _PII_INJ = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com tel +1 (555) 010-'"
+        " || printf('%04d', doc_id % 10000) || ' ip 10.2.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.7 end'"
+    )
+    _PII_SQL = []
+    _cur = "t"
+    for _n, _pat, _repl in TX.PII_PATTERNS:
+        _PII_SQL.append(
+            f"CAST(len(regexp_extract_all({_cur}, '{_pat}')) AS BIGINT) AS pii_{_n}"
+        )
+        _cur = f"regexp_replace({_cur}, '{_pat}', '{_repl}', 'g')"
+    q["text_pii_scrub"] = Query(
+        pii_q,
+        f"""WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN {_PII_INJ} ELSE text END AS t
+  FROM documents)
+SELECT doc_id, {", ".join(_PII_SQL)}, {_cur} AS text_clean FROM d""",
+    )
+
+    # token-window chunking (32-token windows, 8-token overlap)
+    def chunks_q(spark, sf):
+        return TX.chunk_text(_docs(spark, sf), max_tokens=32, overlap=8).select(
+            "doc_id", "chunk_index", "chunk", "chunk_tokens"
+        )
+
+    q["text_chunks"] = Query(
+        chunks_q,
+        """WITH d AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks,
+    greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS n_chunks
+  FROM d),
+x AS (
+  SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_index FROM n)
+SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
+  array_to_string(toks[chunk_index * 24 + 1 : chunk_index * 24 + 32], ' ') AS chunk,
+  CAST(len(toks[chunk_index * 24 + 1 : chunk_index * 24 + 32]) AS BIGINT)
+    AS chunk_tokens
+FROM x""",
+    )
+
     q["dedup_exact"] = Query(
         lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
         D.duck_exact_dedup(),

@@ -274,3 +274,43 @@ def test_file_attrs_and_line_split_options(spark):
     b = spark.createDataFrame([(bytes([0x61, 0xE9, 0x0A, 0x62]),)], "text binary")
     decoded = [r["line"] for r in split_lines(b, encoding="ISO-8859-1").collect()]
     assert decoded == ["aé", "b"]
+
+
+def test_pii_scrub_ordering_and_counts(spark):
+    """email scrubbed before phone; IP scrubbed before phone so the
+    phone pattern can't eat dotted IPs; counts per type."""
+    from sparkotel.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@ex.co.uk call +44 (0) 7911 123456 host 192.168.0.1 done"),
+         (1, "clean text only")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    r = out[0]
+    assert r["text_clean"] == "mail <EMAIL> call <PHONE> host <IP> done"
+    assert (r["pii_email"], r["pii_ipv4"], r["pii_phone"]) == (1, 1, 1)
+    r = out[1]
+    assert r["text_clean"] == "clean text only"
+    assert (r["pii_email"], r["pii_ipv4"], r["pii_phone"]) == (0, 0, 0)
+
+
+def test_chunk_text_windows(spark):
+    """32/8 windows advance by 24; short docs are one chunk; windows
+    overlap by exactly `overlap` tokens."""
+    from sparkotel.functions.text import chunk_text
+
+    long_text = " ".join(f"t{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, long_text), (1, "a b c")], "doc_id long, text string"
+    )
+    rows = chunk_text(df, max_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 60 tokens → ceil((60-8)/24) = 3 chunks: [0:32], [24:56], [48:60]
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_index"])
+    assert [r["chunk_tokens"] for r in c0] == [32, 32, 12]
+    assert c0[0]["chunk"].split()[24:] == c0[1]["chunk"].split()[:8]  # overlap
+    assert c0[2]["chunk"].split()[-1] == "t59"  # tail covered
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk"] == "a b c"
