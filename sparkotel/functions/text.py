@@ -180,6 +180,49 @@ def chunk_text(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    token_col: str = "chunk_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_index"),
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-slice sequence packing (the standard GPT-style
+    pretraining layout): within a shard, chunks are laid end-to-end in
+    a deterministic order and cut into fixed ``seq_len`` sequences; a
+    chunk that straddles a boundary is split across sequences (the
+    attention mask downstream uses the per-piece offsets).  One row out
+    per (chunk, sequence) piece.
+
+    Scale shape: packing is per-shard (``hash-mod`` of the first order
+    column), so the prefix-sum window parallelizes across shards
+    instead of collapsing onto one partition; shard count is the
+    write-side file parallelism.  One shuffle (the window), then a
+    generator explode."""
+    from pyspark.sql import Window
+
+    shard = (F.col(order_cols[0]) % n_shards).cast("int")
+    w = Window.partitionBy(shard).orderBy(*[F.col(c) for c in order_cols])
+    tokens = F.col(token_col)
+    cum_before = F.coalesce(
+        F.sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    df = df.withColumns({"_shard": shard, "_off": cum_before})
+    first_seq = F.floor(F.col("_off") / seq_len)
+    last_seq = F.floor((F.col("_off") + tokens - 1) / seq_len)
+    df = df.withColumn("seq_id", F.explode(F.sequence(first_seq, last_seq)))
+    piece_begin = F.greatest(F.col("_off"), F.col("seq_id") * seq_len)
+    piece_end = F.least(F.col("_off") + tokens, (F.col("seq_id") + 1) * seq_len)
+    return df.select(
+        F.col("_shard").alias("shard"),
+        F.col("seq_id").cast("bigint"),
+        *[F.col(c) for c in order_cols],
+        (piece_begin - F.col("seq_id") * seq_len).cast("bigint").alias("seq_offset"),
+        (piece_begin - F.col("_off")).cast("bigint").alias("chunk_offset"),
+        (piece_end - piece_begin).cast("bigint").alias("piece_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB mirrors
 # ---------------------------------------------------------------------------

@@ -255,7 +255,6 @@ FROM res""",
         "ottl_editors_2",
         "metric_exphist_convert",
         "metric_summary_convert",
-        "drain_tree_templates",
     ]
     tail = [
         # stable since r1/r2, implementation untouched this round; the
@@ -276,6 +275,7 @@ FROM res""",
         # queries whose implementation changed this round
         "multimodal_features",
         "isolation_forest",
+        "drain_tree_templates",
         "sink_errors_other",
         "sink_other",
         "sink_de_copy",
@@ -3056,6 +3056,42 @@ SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
   array_to_string(toks[chunk_index * 24 + 1 : chunk_index * 24 + 32], ' ') AS chunk,
   CAST(len(toks[chunk_index * 24 + 1 : chunk_index * 24 + 32]) AS BIGINT)
     AS chunk_tokens
+FROM x""",
+    )
+
+    # sequence packing over the 32/8 chunks (seq_len 64, 8 shards)
+    def pack_q(spark, sf):
+        chunks = TX.chunk_text(_docs(spark, sf), max_tokens=32, overlap=8)
+        return TX.pack_sequences(chunks, seq_len=64, n_shards=8)
+
+    q["pack_sequences"] = Query(
+        pack_q,
+        """WITH d AS (
+  SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks,
+    greatest(1, CAST(ceil((len(toks) - 8) / 24.0) AS INT)) AS n_chunks
+  FROM d),
+c AS (
+  SELECT doc_id, CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_index,
+    len(toks[unnest(range(n_chunks)) * 24 + 1
+             : unnest(range(n_chunks)) * 24 + 32]) AS tokens
+  FROM n),
+o AS (
+  SELECT *, CAST(doc_id % 8 AS INT) AS shard,
+    coalesce(sum(tokens) OVER (PARTITION BY doc_id % 8
+      ORDER BY doc_id, chunk_index
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM c),
+x AS (
+  SELECT *, unnest(range(CAST(off // 64 AS BIGINT),
+                         CAST((off + tokens - 1) // 64 + 1 AS BIGINT))) AS seq_id
+  FROM o)
+SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, chunk_index,
+  CAST(greatest(off, seq_id * 64) - seq_id * 64 AS BIGINT) AS seq_offset,
+  CAST(greatest(off, seq_id * 64) - off AS BIGINT) AS chunk_offset,
+  CAST(least(off + tokens, (seq_id + 1) * 64)
+       - greatest(off, seq_id * 64) AS BIGINT) AS piece_tokens
 FROM x""",
     )
 

@@ -314,3 +314,29 @@ def test_chunk_text_windows(spark):
     assert c0[0]["chunk"].split()[24:] == c0[1]["chunk"].split()[:8]  # overlap
     assert c0[2]["chunk"].split()[-1] == "t59"  # tail covered
     assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk"] == "a b c"
+
+
+def test_pack_sequences_boundary_split(spark):
+    """a chunk straddling a sequence boundary is split; per-sequence
+    piece totals equal seq_len except the final partial sequence."""
+    from sparkotel.functions.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 0, 40), (0, 1, 40), (8, 0, 30)],
+        "doc_id long, chunk_index long, chunk_tokens long",
+    )
+    rows = pack_sequences(df, seq_len=64, n_shards=8).collect()
+    # shard 0: doc 0 (40+40) then doc 8 (30) = 110 tokens → seqs 0 and 1
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r)
+    s0 = sorted(by_seq[(0, 0)], key=lambda r: r["seq_offset"])
+    assert sum(r["piece_tokens"] for r in s0) == 64
+    # chunk (0,1) is split: 24 tokens in seq 0, 16 in seq 1
+    split = [r for r in rows if r["doc_id"] == 0 and r["chunk_index"] == 1]
+    assert {(r["seq_id"], r["chunk_offset"], r["piece_tokens"]) for r in split} == {
+        (0, 0, 24),
+        (1, 24, 16),
+    }
+    s1 = by_seq[(0, 1)]
+    assert sum(r["piece_tokens"] for r in s1) == 110 - 64
