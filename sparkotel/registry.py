@@ -270,6 +270,7 @@ FROM res""",
         "text_lang_id",
         "text_quality",
         "text_fingerprint",
+        "dedup_exact",
         # rows-only checks (the driver row adds little over their pytest
         # golden/determinism evidence) — make room for oracle-checked
         # queries whose implementation changed this round
@@ -3093,6 +3094,46 @@ SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, chunk_index,
   CAST(least(off + tokens, (seq_id + 1) * 64)
        - greatest(off, seq_id * 64) AS BIGINT) AS piece_tokens
 FROM x""",
+    )
+
+    # embedding vector prep: unit-norm + symmetric int8 quantization
+    # (arrays summarized to scalars — the driver compare hashes scalars)
+    def embprep_q(spark, sf):
+        e = SIM.quantize_int8(SIM.l2_normalize(_emb(spark, sf)))
+        return e.select(
+            "vec_id",
+            F.round("vec_norm", 6).alias("vec_norm"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+            F.round("q_scale", 9).alias("q_scale"),
+            F.aggregate("q_vec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+            F.array_min("q_vec").alias("q_min"),
+            F.array_max("q_vec").alias("q_max"),
+        )
+
+    q["embedding_prep"] = Query(
+        embprep_q,
+        """WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(list_aggregate(list_transform(embedding,
+      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS vec_norm
+  FROM embeddings),
+u AS (
+  SELECT vec_id, vec_norm,
+    list_transform(embedding,
+      x -> CAST(CAST(CAST(x AS DOUBLE) / vec_norm AS FLOAT) AS DOUBLE)) AS unit
+  FROM n),
+s AS (
+  SELECT *, list_max(list_transform(unit, x -> abs(x))) / 127.0 AS q_scale
+  FROM u),
+qv AS (
+  SELECT vec_id, vec_norm, unit[1] AS e0, q_scale,
+    list_transform(unit, x -> CAST(round(x / q_scale) AS INT)) AS q_vec
+  FROM s)
+SELECT vec_id, round(vec_norm, 6) AS vec_norm, round(e0, 6) AS e0,
+  round(q_scale, 9) AS q_scale,
+  CAST(list_aggregate(q_vec, 'sum') AS BIGINT) AS q_sum,
+  list_min(q_vec) AS q_min, list_max(q_vec) AS q_max
+FROM qv""",
     )
 
     q["dedup_exact"] = Query(

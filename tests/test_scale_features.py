@@ -340,3 +340,45 @@ def test_pack_sequences_boundary_split(spark):
     }
     s1 = by_seq[(0, 1)]
     assert sum(r["piece_tokens"] for r in s1) == 110 - 64
+
+
+def test_text_ops_plan_shapes(spark):
+    """chunking/PII are pure generators (zero Exchange); packing is
+    exactly one hash-partitioned window exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sparkotel.functions.text import chunk_text, pack_sequences, pii_scrub
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    assert "Exchange" not in plan_of(pii_scrub(df))
+    chunks = chunk_text(df, max_tokens=4, overlap=1)
+    assert "Exchange" not in plan_of(chunks)
+    plan = plan_of(pack_sequences(chunks, seq_len=8))
+    n_shuffle = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l and "Broadcast" not in l
+    )
+    assert n_shuffle == 1, plan
+
+
+def test_quantize_int8_roundtrip(spark):
+    """dequantized vectors stay within half a quantization step of the
+    unit-normed original; q values bounded at ±127."""
+    from sparkotel.functions.similarity import l2_normalize, quantize_int8
+
+    df = spark.createDataFrame(
+        [(0, [3.0, -4.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_int8(l2_normalize(df)).collect()[0]
+    assert abs(r["vec_norm"] - 5.0) < 1e-6
+    assert max(abs(q) for q in r["q_vec"]) == 127
+    for orig, q in zip([0.6, -0.8, 0.0, 0.0], r["q_vec"]):
+        assert abs(q * r["q_scale"] - orig) <= r["q_scale"] / 2 + 1e-9
