@@ -206,3 +206,43 @@ def exceptions_metrics(
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
     )
+
+
+def spanmetrics_events(
+    spanevents: DataFrame,
+    event_dimensions: Sequence[tuple[str, str | None]] = (),
+    dimensions: Sequence[tuple[str, str | None]] = (),
+) -> DataFrame:
+    """spanmetricsconnector's 'events' sum metric
+    (connector/spanmetricsconnector/connector.go:486-509): one count
+    contribution per span EVENT, keyed by the standard span identity
+    (service.name, span.name, span.kind, status.code) plus configured
+    span dimensions and event dimensions.  Event-dimension lookup uses
+    the span attributes first, then resource-and-event attributes
+    merged with the EVENT winning on key conflicts (the manual Range
+    copy at connector.go:489-497).  A dimension missing everywhere is
+    simply absent (NULL group key) — the event still counts, unlike the
+    countconnector's missing-dim drop.  One map-side-combined hash
+    aggregate."""
+    ev = spanevents.where(F.col("resource")["service.name"].isNotNull())
+    sa, ea, ra = F.col("span_attributes"), F.col("attributes"), F.col("resource")
+    merged = F.map_concat(
+        F.map_filter(ra, lambda k, _: ~F.map_contains_key(ea, k)), ea
+    )
+    keyed = ev.select(
+        ra["service.name"].alias("service_name"),
+        F.col("span_name"),
+        span_kind_str(F.col("span_kind")).alias("span_kind"),
+        status_code_str(F.col("status_code")).alias("status_code"),
+        *[
+            _dim_value(name, default, [sa, merged]).alias(name.replace(".", "_"))
+            for name, default in tuple(dimensions) + tuple(event_dimensions)
+        ],
+        F.col("ts"),
+    )
+    dim_cols = [c for c in keyed.columns if c != "ts"]
+    return keyed.groupBy(*dim_cols).agg(
+        F.count(F.lit(1)).alias("events_total"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )

@@ -2165,6 +2165,33 @@ WHERE event_id % 3 = 0 AND event_id % 6 = 3 AND user_id % 4 <> 2
 FROM events WHERE event_type = 'error'""",
     )
 
+    # spanmetrics 'events' metric: every span event counts (notes on all
+    # spans, exceptions on error spans); exception.type resolves from
+    # the event side of the merged resource+event map, NULL for notes
+    def sm_events_q(spark, sf):
+        from sparkotel.operators.spanconnect import spanmetrics_events
+
+        se = parse_otlp_spanevents(_conn_trace_lines(spark, sf))
+        return spanmetrics_events(se, event_dimensions=[("exception.type", None)])
+
+    q["spanmetrics_events"] = Query(
+        sm_events_q,
+        f"""WITH ev AS (
+  SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+    'op-' || event_type AS span_name, {_KIND_SQL} AS span_kind,
+    {_STATUS_SQL} AS status_code,
+    CAST(NULL AS VARCHAR) AS exception_type, ts AS ets
+  FROM events
+  UNION ALL
+  SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR), 'op-error', {_KIND_SQL},
+    'STATUS_CODE_ERROR', 'E' || CAST({_K_SQL} % 7 AS VARCHAR),
+    ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))
+  FROM events WHERE event_type = 'error')
+SELECT service_name, span_name, span_kind, status_code, "exception_type",
+  count(*) AS events_total, min(ets) AS first_seen, max(ets) AS last_seen
+FROM ev GROUP BY 1, 2, 3, 4, 5""",
+    )
+
     def exc_metrics_q(spark, sf):
         se = parse_otlp_spanevents(_conn_trace_lines(spark, sf))
         return exceptions_metrics(se)

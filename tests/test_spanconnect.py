@@ -203,3 +203,27 @@ def test_plan_shapes(spark):
     )
     assert n_shuffle == 1, plan
     assert "partial" in plan.lower()
+
+
+def test_spanmetrics_events_dim_precedence_and_counting(spark):
+    from sparkotel.operators.spanconnect import spanmetrics_events
+
+    rows = [
+        # event attr wins over resource attr in the merged map, but span
+        # attrs beat both (buildKey lookup order)
+        ("e1", 2, 0, {"region": "event-r"}, {},
+         {"service.name": "svc", "region": "res-r"}),
+        ("e2", 2, 0, {}, {"region": "span-r"},
+         {"service.name": "svc", "region": "res-r"}),
+        # dim missing everywhere → NULL key, event still counted
+        ("e3", 2, 0, {}, {}, SVC),
+        # resource without service.name skipped
+        ("e4", 2, 0, {}, {}, {"h": "x"}),
+    ]
+    out = {
+        (r["region"] if "region" in r.__fields__ else None, r["events_total"])
+        for r in spanmetrics_events(
+            _events_frame(spark, rows), event_dimensions=[("region", None)]
+        ).collect()
+    }
+    assert out == {("event-r", 1), ("span-r", 1), (None, 1)}
