@@ -27,12 +27,20 @@ def write_sink(
     fmt: str = "parquet",
     mode: str = "overwrite",
     repartition_on_group: bool = False,
+    compression: str | None = None,
 ) -> None:
-    """Write one routed sink, optionally fileexporter-grouped."""
+    """Write one routed sink, optionally fileexporter-grouped.
+
+    ``compression`` mirrors fileexporter's zstd option
+    (exporter/fileexporter/config.go `compression: zstd`) — parquet
+    accepts zstd/snappy/gzip, json/text gzip etc.; None keeps the
+    format default (snappy for parquet)."""
     writer = df
     if group_by and repartition_on_group:
         writer = df.repartition(group_by)
     w = writer.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+    if compression:
+        w = w.option("compression", compression)
     if group_by:
         w = w.partitionBy(group_by)
     w.format(fmt).save(path)

@@ -155,6 +155,12 @@ def test_partitioned_sink_write(spark, tmp_path):
     # idempotent rewrite (dynamic partition overwrite): same count
     S.write_sink(routed.filter("route = 'other'"), base, group_by="route")
     assert spark.read.parquet(base).count() == routed.count()
+    # fileexporter zstd compression option
+    zbase = str(tmp_path / "zstd")
+    S.write_sink(routed, zbase, compression="zstd")
+    files = [f for f in os.listdir(zbase) if f.endswith(".parquet")]
+    assert files and all(".zstd." in f for f in files)
+    assert spark.read.parquet(zbase).count() == routed.count()
 
 
 # -- multimodal ---------------------------------------------------------------
