@@ -271,6 +271,8 @@ FROM res""",
         "text_quality",
         "text_fingerprint",
         "dedup_exact",
+        "dedup_simhash",
+        "ann_lsh_buckets",
         # rows-only checks (the driver row adds little over their pytest
         # golden/determinism evidence) — make room for oracle-checked
         # queries whose implementation changed this round
@@ -3121,6 +3123,27 @@ SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, chunk_index,
   CAST(least(off + tokens, (seq_id + 1) * 64)
        - greatest(off, seq_id * 64) AS BIGINT) AS piece_tokens
 FROM x""",
+    )
+
+    # multimodal frame-sampling plumbing: deterministic fake video
+    # binaries (n_chars*60 bytes) → one row per sampled frame index;
+    # the explode arithmetic is the oracle-checked part, decode stays
+    # the documented stub
+    def frame_sample_q(spark, sf):
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.encode(F.repeat(F.lit("x"), (F.col("n_chars") * 60).cast("int")), "UTF-8")
+            .alias("video"),
+        )
+        return MM.frame_sample_plan(d, every_n=5).select("doc_id", "frame_idx")
+
+    q["multimodal_frame_sample"] = Query(
+        frame_sample_q,
+        """WITH n AS (
+  SELECT doc_id, CAST(n_chars * 60 // 1024 AS INT) AS nf FROM documents)
+SELECT doc_id,
+  CAST(unnest(range(0, greatest(nf - 1, 0) + 1, 5)) AS INT) AS frame_idx
+FROM n""",
     )
 
     # embedding vector prep: unit-norm + symmetric int8 quantization
