@@ -674,6 +674,17 @@ class Compiler:
                     base, dt = self._apply_seg(base, dt, ("key", s))
             return base
         name = self.ctx_aliases.get(head, head)
+        # alias targets assume the flagship frame (log `body` → pages
+        # `text`); a frame carrying the OTTL name itself (the OTLP/JSON
+        # log frame's literal `body` column) wins when the alias target
+        # is absent
+        if (
+            self.columns is not None
+            and name != head
+            and name not in self.columns
+            and head in self.columns
+        ):
+            name = head
         if len(parts) == 2 and parts[1] == "string":  # body.string / trace_id.string
             return F.col(name).cast("string")
         base, dt = F.col(name), self._col_dtype(name)
@@ -707,7 +718,19 @@ class Compiler:
             and (head, parts[1]) in self.ctx_two_part
         ):
             return self.ctx_two_part[(head, parts[1])]
-        return self.ctx_aliases.get(head, head)
+        name = self.ctx_aliases.get(head, head)
+        # alias targets assume the flagship frame's column names (log
+        # `body` → pages `text`); a frame carrying the OTTL name itself
+        # (the OTLP/JSON log frame has a literal `body` column) wins
+        # when the alias target is absent
+        if (
+            self.columns is not None
+            and name != head
+            and name not in self.columns
+            and head in self.columns
+        ):
+            return head
+        return name
 
     def compile(self, node) -> Column | object:
         """Returns a Column, or a python literal for Lit nodes."""

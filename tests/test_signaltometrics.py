@@ -181,3 +181,27 @@ def test_one_shuffle(spark):
     )
     assert n_shuffle == 1, plan
     assert "partial" in plan.lower()
+
+
+def test_readme_grok_gauge_over_otlp_log_frame(spark):
+    """The README's logs example: ExtractGrokPatterns gauge over a
+    frame with a literal `body` column (the OTLP/JSON log frame shape) —
+    the log-context alias (body→text on the pages frame) must fall back
+    to the frame's own column."""
+    df = spark.createDataFrame(
+        [
+            ("Memory usage 512MB", "2024-01-01 00:00:00", {}, {"service.name": "s"}),
+            ("Memory usage 256MB", "2024-01-01 00:00:01", {}, {"service.name": "s"}),
+        ],
+        "body string, ts_s string, attributes map<string,string>,"
+        " resource map<string,string>",
+    )
+    df = df.withColumn("ts", F.to_timestamp("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    d = MetricDef(
+        name="logs.memory_mb",
+        metric_type="gauge",
+        value='Int(ExtractGrokPatterns(body, "Memory usage %{NUMBER:memory_mb:int}MB")'
+        '["memory_mb"])',
+        include_resource_attributes=(Attr("service.name"),),
+    )
+    assert signal_to_metrics(df, d, ctx="log").collect()[0]["value"] == 256
