@@ -130,6 +130,32 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
         rule_idx = F.when(ok, F.lit(ri)).otherwise(rule_idx)
     traces = traces.withColumn("_rule", rule_idx)
 
+    # per-rule scalars (total in-rule traces, distinct keys) as a tiny
+    # broadcast side: a single-partition window over all in-rule traces
+    # (the obvious alternative) would funnel every trace of a rule into
+    # ONE task and hold every key in a collect_set — a guaranteed
+    # straggler/OOM at 10^9 traces.  A map-side-combined aggregate plus
+    # a broadcast join keeps the scalars scalar.
+    scalars = None
+    for ri, (_, _, sampler) in enumerate(parsed):
+        if sampler["type"] not in ("dynamic", "throughput"):
+            continue
+        kf = sampler.get("key_fields", []) or []
+        key = F.concat_ws("\x01", *[F.col(f"_k_{ri}_{i}") for i in range(len(kf))])
+        row = (
+            traces.where(F.col("_rule") == ri)
+            .agg(
+                F.count(F.lit(1)).alias("_total"),
+                F.count_distinct(key).alias("_nkeys"),
+            )
+            .withColumn("_rule_s", F.lit(ri))
+        )
+        scalars = row if scalars is None else scalars.unionByName(row)
+    if scalars is not None:
+        traces = traces.join(
+            F.broadcast(scalars), traces["_rule"] == scalars["_rule_s"], "left"
+        ).drop("_rule_s")
+
     # per-rule 1-in-N rate
     rate = F.lit(None).cast("double")
     for ri, (_, _, sampler) in enumerate(parsed):
@@ -147,23 +173,17 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
                 "\x01", *[F.col(f"_k_{ri}_{i}") for i in range(len(kf))]
             )
             in_rule = F.col("_rule") == ri
-            wk = Window.partitionBy(F.when(in_rule, key))
-            wr = Window.partitionBy(F.when(in_rule, F.lit(1)))
+            # per-key counts partition on (rule, key): every trace lands
+            # in its own rule's partition, so no null-bucket collapse
+            wk = Window.partitionBy(F.col("_rule"), key)
             count_k = F.count(F.when(in_rule, F.lit(1))).over(wk)
             if stype == "dynamic":
                 g = float(sampler["goal_sampling_percentage"])
-                total = F.count(F.when(in_rule, F.lit(1))).over(wr)
-                nkeys = F.size(
-                    F.collect_set(F.when(in_rule, key)).over(wr)
-                )
-                share = (total * F.lit(g / 100.0)) / nkeys
+                share = (F.col("_total") * F.lit(g / 100.0)) / F.col("_nkeys")
             else:
                 g = float(sampler["goal_throughput_per_sec"])
                 interval = float(sampler.get("interval_seconds", 1.0))
-                nkeys = F.size(
-                    F.collect_set(F.when(in_rule, key)).over(wr)
-                )
-                share = F.lit(g * interval) / nkeys
+                share = F.lit(g * interval) / F.col("_nkeys")
             n = F.greatest(F.lit(1.0), F.ceil(count_k / share).cast("double"))
         else:
             raise ValueError(f"unknown sampler type: {stype}")

@@ -125,3 +125,31 @@ def test_validation(spark):
     with pytest.raises(ValueError, match="sampling_percentage"):
         dynamic_sampling(df, [{"name": "x", "sampler": {
             "type": "deterministic", "sampling_percentage": 0}}])
+
+
+def test_adaptive_plan_has_no_global_window(spark):
+    """the per-rule totals come from a broadcast scalar aggregate, not a
+    single-partition window holding every in-rule trace; the per-key
+    window partitions on (rule, key)."""
+    import io
+    from contextlib import redirect_stdout
+
+    rows = _t("00000000000001", n_spans=1, attrs={"route": "/a"})
+    df = spark.createDataFrame(rows, _DDL)
+    out = dynamic_sampling(
+        df,
+        [{"name": "adaptive", "sampler": {
+            "type": "dynamic", "goal_sampling_percentage": 50,
+            "key_fields": ["route"]}}],
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan
+    assert "collect_set" not in plan
+    # the only SinglePartition exchange feeds the one-row scalar agg,
+    # never a Window
+    for i, line in enumerate(plan.splitlines()):
+        if "Window" in line:
+            assert "SinglePartition" not in plan.splitlines()[max(0, i - 3):i + 1]
