@@ -130,6 +130,7 @@ def isolation_forest(
     mode: str = "enrich",
     score_col: str = SCORE_ATTR.replace(".", "_"),
     flag_col: str = FLAG_ATTR.replace(".", "_"),
+    approx_threshold: bool = False,
 ) -> DataFrame:
     """Score every row; ``mode="enrich"`` appends score + flag columns
     (the processor's score/classification attributes), ``mode="filter"``
@@ -205,13 +206,18 @@ def isolation_forest(
 
     scored = df.withColumn(score_col, _score(*gb, *fcols))
     if threshold is None:
-        # (1 − contamination) exact quantile of the batch's scores
-        # (README "Contamination rate")
-        thr = scored.select(
-            F.expr(
-                f"percentile({score_col}, {1.0 - contamination_rate})"
-            ).alias("t")
-        ).collect()[0]["t"]
+        # (1 − contamination) quantile of the batch's scores (README
+        # "Contamination rate").  Exact percentile buffers every
+        # distinct score per partition — fine at test scale and fully
+        # reproducible; at 10^9 rows pass approx_threshold=True for the
+        # t-digest sketch (bounded memory, ±1e-4 rank accuracy).
+        q = 1.0 - contamination_rate
+        qexpr = (
+            f"approx_percentile({score_col}, {q}, 10000)"
+            if approx_threshold
+            else f"percentile({score_col}, {q})"
+        )
+        thr = scored.select(F.expr(qexpr).alias("t")).collect()[0]["t"]
     else:
         thr = float(threshold)
     flagged = scored.withColumn(

@@ -110,3 +110,17 @@ def test_validation(spark, clustered):
         isolation_forest(clustered, ["x"], mode="softly")
     with pytest.raises(ValueError, match="at least one feature"):
         isolation_forest(clustered, [])
+
+
+def test_approx_threshold_close_to_exact(spark, clustered):
+    """the scale path (t-digest approx percentile) lands within noise of
+    the exact-threshold flag rate."""
+    exact = isolation_forest(
+        clustered, ["x", "y"], contamination_rate=0.2, seed=3
+    ).where("anomaly_is_anomaly").count()
+    approx = isolation_forest(
+        clustered, ["x", "y"], contamination_rate=0.2, seed=3,
+        approx_threshold=True,
+    ).where("anomaly_is_anomaly").count()
+    total = clustered.count()
+    assert abs(exact - approx) <= max(2, total * 0.02)
