@@ -279,6 +279,9 @@ FROM res""",
         "multimodal_features",
         "isolation_forest",
         "drain_tree_templates",
+        # new query over multi-round-green count machinery (agg_count_*
+        # has r1+r2 rows); the spans variant is parity-test evidenced
+        "agg_count_spans",
         "sink_errors_other",
         "sink_other",
         "sink_de_copy",
@@ -2125,6 +2128,44 @@ def _add_spanconnect_queries(q: dict[str, Query]) -> None:
 FROM events
 WHERE event_id % 3 = 0 AND event_id % 6 = 3 AND user_id % 4 <> 2
   AND CAST(round(value * 1000, 0) AS BIGINT) * 1000 >= 30000000""",
+    )
+
+    # countconnector over the TRACES signal (connector.go:167-189
+    # ConsumeTraces — same counter machinery as logs, dims from span
+    # attrs, missing-dim drop): spans with user.id, grouped by
+    # service + db system (defaulted), counting only CLIENT spans
+    def count_spans_q(spark, sf):
+        spans = parse_otlp_traces(_conn_trace_lines(spark, sf)).select(
+            "start_ts",
+            F.col("kind"),
+            F.col("resource")["service.name"].alias("svc"),
+            F.coalesce(F.col("attributes")["db.system.name"], F.lit("none")).alias(
+                "dbsys"
+            ),
+            F.col("attributes")["user.id"].alias("uid"),
+        )
+        return A.connector_metric(
+            spans,
+            A.MetricDef(
+                name="span.count.db_clients",
+                conditions=("kind = 3",),
+                dims=("svc", "dbsys", "uid"),
+            ),
+            ts_col="start_ts",
+        )
+
+    q["agg_count_spans"] = Query(
+        count_spans_q,
+        """SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS svc,
+  CASE WHEN event_id % 3 = 0 THEN
+    CASE user_id % 4 WHEN 0 THEN 'mysql' WHEN 1 THEN 'postgresql'
+         WHEN 2 THEN 'redis' ELSE 'mongodb' END
+  ELSE 'none' END AS dbsys,
+  CAST(user_id AS VARCHAR) AS uid,
+  count(*) AS value, min(ts) AS start_ts, max(ts) AS end_ts,
+  'span.count.db_clients' AS metric_name
+FROM events WHERE event_id % 6 = 3
+GROUP BY 1, 2, 3""",
     )
 
     def exc_logs_q(spark, sf):
