@@ -157,3 +157,41 @@ def test_property_string_converters(pframe, expr):
 @given(_bool_expr())
 def test_property_boolean_lattice(pframe, expr):
     _check(pframe, *expr)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # doc_id
+            st.integers(min_value=1, max_value=100),  # tokens
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_property_pack_sequences_conservation(spark, chunks):
+    """packing invariants for arbitrary inputs: token conservation, and
+    every per-shard sequence except the last is exactly seq_len."""
+    from collections import defaultdict
+
+    from sparkotel.functions.text import pack_sequences
+
+    rows = [(d, i, t) for i, (d, t) in enumerate(chunks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_index long, chunk_tokens long"
+    )
+    out = pack_sequences(df, seq_len=64, n_shards=4).collect()
+    assert sum(r["piece_tokens"] for r in out) == sum(t for _, t in chunks)
+    per_seq = defaultdict(int)
+    for r in out:
+        per_seq[(r["shard"], r["seq_id"])] += r["piece_tokens"]
+        assert 0 <= r["seq_offset"] < 64 and r["piece_tokens"] >= 1
+    last = {}
+    for shard, seq in per_seq:
+        last[shard] = max(last.get(shard, -1), seq)
+    for (shard, seq), total in per_seq.items():
+        if seq < last[shard]:
+            assert total == 64, (shard, seq, total)
+        else:
+            assert 1 <= total <= 64
