@@ -179,6 +179,7 @@ def exceptions_metrics(
         ("exception.type", None),
         ("exception.message", None),
     ),
+    exemplars: bool = False,
 ) -> DataFrame:
     """The 'exceptions' monotonic-sum metric: count of exception events
     grouped by service.name/span.name/span.kind/status.code + dims
@@ -186,7 +187,13 @@ def exceptions_metrics(
     exception.type + exception.message per factory.go:28-36).  A dim
     that resolves nowhere is simply absent from the attr map — NULL
     group key here.  One hash aggregate; min/max event ts stand in for
-    the reference's wall-clock stamps."""
+    the reference's wall-clock stamps.
+
+    ``exemplars`` mirrors ``config.Exemplars.Enabled``
+    (connector_metrics.go:170-178: attach sampled span ids to the
+    datapoint): the batch pick is the group member with the smallest
+    md5(trace_id‖span_id) — one deterministic exemplar per group via
+    min_by, never a collect_list, so group size doesn't matter."""
     ev = _exception_events(spanevents)
     sa, ea, ra = F.col("span_attributes"), F.col("attributes"), F.col("resource")
     keyed = ev.select(
@@ -199,13 +206,22 @@ def exceptions_metrics(
             for name, default in dimensions
         ],
         F.col("ts"),
+        F.col("trace_id"),
+        F.col("span_id"),
     )
-    dim_cols = [c for c in keyed.columns if c != "ts"]
-    return keyed.groupBy(*dim_cols).agg(
+    dim_cols = [c for c in keyed.columns if c not in ("ts", "trace_id", "span_id")]
+    aggs = [
         F.count(F.lit(1)).alias("exceptions_total"),
         F.min("ts").alias("first_seen"),
         F.max("ts").alias("last_seen"),
-    )
+    ]
+    if exemplars:
+        pick = F.md5(F.concat("trace_id", "span_id"))
+        aggs += [
+            F.min_by("trace_id", pick).alias("exemplar_trace_id"),
+            F.min_by("span_id", pick).alias("exemplar_span_id"),
+        ]
+    return keyed.groupBy(*dim_cols).agg(*aggs)
 
 
 def spanmetrics_events(

@@ -2237,7 +2237,7 @@ FROM ev GROUP BY 1, 2, 3, 4, 5""",
 
     def exc_metrics_q(spark, sf):
         se = parse_otlp_spanevents(_conn_trace_lines(spark, sf))
-        return exceptions_metrics(se)
+        return exceptions_metrics(se, exemplars=True)
 
     q["exceptions_metrics"] = Query(
         exc_metrics_q,
@@ -2249,7 +2249,13 @@ FROM ev GROUP BY 1, 2, 3, 4, 5""",
   'boom error' AS "exception_message",
   count(*) AS exceptions_total,
   min(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS first_seen,
-  max(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS last_seen
+  max(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS last_seen,
+  arg_min(md5('t' || CAST(event_id AS VARCHAR)),
+          md5(md5('t' || CAST(event_id AS VARCHAR)) || printf('%016x', event_id)))
+    AS exemplar_trace_id,
+  arg_min(printf('%016x', event_id),
+          md5(md5('t' || CAST(event_id AS VARCHAR)) || printf('%016x', event_id)))
+    AS exemplar_span_id
 FROM events WHERE event_type = 'error'
 GROUP BY 1, 2, 3, 4, 5, 6""",
     )
