@@ -85,6 +85,44 @@ GROK_PATTERNS.update({
                "(?:%{ELB_URIHOST})?(?:%{ELB_URIPATHQUERY})?",
 })
 GROK_PATTERNS["IPORHOST"] = "(?:%{IP}|%{HOSTNAME})"
+# remainder of the go-grok base dictionary (public grok pattern set) —
+# the long tail users hit when porting dashboards/configs verbatim
+GROK_PATTERNS.update({
+    "BOOLEAN": r"(?:true|false|TRUE|FALSE|True|False)",
+    "EMAILLOCALPART": r"[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,64}"
+                      r"(?:\.[a-zA-Z0-9!#$%&'*+\-/=?^_`{|}~]{1,62}){0,63}",
+    "HOSTPORT": "%{IPORHOST}:%{POSINT}",
+    "CISCOMAC": r"(?:[A-Fa-f0-9]{4}\.){2}[A-Fa-f0-9]{4}",
+    "WINDOWSMAC": r"(?:[A-Fa-f0-9]{2}-){5}[A-Fa-f0-9]{2}",
+    "COMMONMAC": r"(?:[A-Fa-f0-9]{2}:){5}[A-Fa-f0-9]{2}",
+    "TTY": r"(?:/dev/(?:pts|tty(?:[pq])?)(?:\w+)?/?(?:[0-9]+))",
+    "WINPATH": r"(?:[A-Za-z]+:|\\)(?:\\[^\\?*]*)+",
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]+)+",
+    "URIPATHPARAM": "%{URIPATH}(?:%{URIPARAM})?",
+    # URIHOST above is a deliberately loose non-greedy form; URI needs
+    # the classic greedy host (IPORHOST + optional port)
+    "URI": "%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?"
+           "(?:%{IPORHOST}(?::%{POSINT})?)?(?:%{URIPATHPARAM})?",
+    "QS": "%{QUOTEDSTRING}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "DATE": "%{DATE_US}|%{DATE_EU}",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+    "TZ": r"(?:[APMCE][SD]T|UTC|GMT)",
+    "DATESTAMP_RFC822": "%{DAY} %{MONTH} %{MONTHDAY} %{YEAR} %{TIME} %{TZ}",
+    "DATESTAMP_RFC2822": "%{DAY}, %{MONTHDAY} %{MONTH} %{YEAR} %{TIME} "
+                         "%{ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": "%{DAY} %{MONTH} %{MONTHDAY} %{TIME} %{TZ} %{YEAR}",
+    "DATESTAMP_EVENTLOG": "%{YEAR}%{MONTHNUM2}%{MONTHDAY}%{HOUR}%{MINUTE}%{SECOND}",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHNUM2": r"(?:0[1-9]|1[0-2])",
+    "SYSLOGHOST": "%{IPORHOST}",
+    "SYSLOGFACILITY": r"<%{NONNEGINT:log.syslog.facility.code:int}"
+                      r"\.%{NONNEGINT:log.syslog.priority:int}>",
+    "SYSLOGBASE": r"%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?"
+                  r"%{SYSLOGHOST:host.hostname} %{SYSLOGPROG}:",
+})
 GROK_PATTERNS["COMMONAPACHELOG"] = (
     '%{IP:clientip} - %{NOTSPACE:auth} \\[%{HTTPDATE:timestamp}\\] '
     '"%{WORD:verb} %{NOTSPACE:request} HTTP/%{NUMBER:httpversion}" '

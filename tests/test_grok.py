@@ -100,3 +100,42 @@ def test_grok_round2_patterns(spark):
     assert out["mac"] == "00:1b:44:11:3a:b7"
     assert out["path"] == "/var/log/app.log"
     assert out["mail"] == "a@b.co"
+
+
+def test_base_dictionary_long_tail():
+    """spot checks over the newly added go-grok base patterns."""
+    from sparkotel.operators.grok import expand_grok
+    import re as _re
+
+    cases = [
+        ("%{URI:u}", "https://u:p@example.com:8080/a/b?x=1", "u"),
+        ("%{COMMONMAC:m}", "aa:bb:cc:dd:ee:ff", "m"),
+        ("%{WINPATH:p}", r"C:\Users\x\file.txt", "p"),
+        ("%{UNIXPATH:p}", "/var/log/app.log", "p"),
+        ("%{DATESTAMP:d}", "12/31/2024 23:59:59", "d"),
+        ("%{DATESTAMP_RFC822:d}", "Tue Jan 07 2025 10:01:22 UTC", "d"),
+        ("%{BOOLEAN:b}", "true", "b"),
+        ("%{HOSTPORT:h}", "db.internal:5432", "h"),
+        ("%{QS:q}", '"quoted text"', "q"),
+        ("%{SYSLOGBASE}", "Jan  7 10:01:22 host01 sshd[42]:", None),
+    ]
+    for expr, sample, field in cases:
+        regex, captures = expand_grok(expr)
+        m = _re.search(regex, sample)
+        assert m, (expr, sample, regex)
+        if field:
+            assert captures[0][0] == field
+            assert m.group(1) == sample
+
+
+def test_syslogfacility_typed_captures():
+    from sparkotel.operators.grok import expand_grok
+    import re as _re
+
+    regex, captures = expand_grok("%{SYSLOGFACILITY}")
+    m = _re.search(regex, "<13.5>")
+    assert m and m.group(1) == "13" and m.group(2) == "5"
+    assert captures == [
+        ("log.syslog.facility.code", "int"),
+        ("log.syslog.priority", "int"),
+    ]
