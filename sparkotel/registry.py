@@ -298,6 +298,9 @@ FROM res""",
         "trace_parser",
         "json_parser",
     ]
+    unknown = (set(early) | set(tail)) - set(q)
+    if unknown:  # a typo here would silently drop driver coverage
+        raise KeyError(f"window lists name unknown queries: {sorted(unknown)}")
     names = [n for n in q if n not in early and n not in tail]
     anchor = names.index("agg_sum_connector")
     order = names[:anchor] + early + names[anchor:] + tail
