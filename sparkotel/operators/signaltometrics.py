@@ -79,6 +79,11 @@ class MetricDef:
     attributes: tuple[Attr, ...] = ()
     include_resource_attributes: tuple[Attr, ...] = ()
     conditions: tuple[str, ...] = ()
+    # README "Error Handling": propagate (default) lets a bad value
+    # expression fail the job; ignore/silent skip the records whose
+    # extraction came back NULL (the column engine's per-row error
+    # form) and keep aggregating the rest
+    error_mode: str = "propagate"
 
 
 def _attr_cols(
@@ -139,6 +144,10 @@ def signal_to_metrics(
         cnt.alias("_count"),
         F.col(order_col or _DEFAULT_ORDER[ctx]).alias("_order"),
     )
+    if d.error_mode in ("ignore", "silent"):
+        base = base.where(F.col("_value").isNotNull() & F.col("_count").isNotNull())
+    elif d.error_mode != "propagate":
+        raise ValueError(f"unknown error_mode: {d.error_mode}")
     key_names = [c for c in base.columns if c not in ("_value", "_count", "_order")]
     gb = base.groupBy(*key_names)
     name = F.lit(d.name).alias("metric_name")

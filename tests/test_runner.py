@@ -69,3 +69,15 @@ def test_runner_kill_resume(spark, tmp_path):
     # transform statement applied (host_hash only on parsed rows)
     ok = routed.filter("NOT _error").limit(5).collect()
     assert all(len(r["host_hash"]) == 64 for r in ok)
+
+
+def test_correctness_window_is_oracle_checked():
+    """the driver records the first 50 registry queries; every one of
+    those slots must carry a DuckDB oracle (rows-only checks live at
+    the tail where the weaker check costs nothing)."""
+    from sparkotel.registry import build_registry
+
+    reg = build_registry()
+    window = list(reg)[:50]
+    missing = [n for n in window if reg[n].oracle is None]
+    assert not missing, missing

@@ -205,3 +205,22 @@ def test_readme_grok_gauge_over_otlp_log_frame(spark):
         include_resource_attributes=(Attr("service.name"),),
     )
     assert signal_to_metrics(df, d, ctx="log").collect()[0]["value"] == 256
+
+
+def test_error_mode_ignore_skips_bad_records(spark):
+    """README error handling: ignore/silent skip records whose value
+    extraction failed (NULL in the column engine) instead of failing."""
+    rows = [
+        ("a", {"n": "5"}, 100, None),
+        ("a", {"n": "not-a-number"}, 100, None),
+        ("a", {}, 100, None),
+    ]
+    d = MetricDef(
+        name="m",
+        metric_type="sum",
+        value='Int(attributes["n"])',
+        include_resource_attributes=(Attr("service.name"),),
+        error_mode="ignore",
+    )
+    out = signal_to_metrics(_spans(spark, rows), d).collect()
+    assert out[0]["value"] == 5  # the two unparseable records skipped
