@@ -787,7 +787,24 @@ class Compiler:
         left, right = self.compile(node.left), self.compile(node.right)
         if not isinstance(left, Column) and not isinstance(right, Column):
             # constant folding, like the reference's Go-compile-time consts;
-            # stays a python literal (no SparkContext needed at plan time)
+            # stays a python literal (no SparkContext needed at plan time).
+            # OTTL math rules (LANGUAGE.md:198-220): mixing int64 and
+            # float64 is an ERROR, and int/int division follows Go
+            # (truncates toward zero).
+            if node.op in ("+", "-", "*", "/"):
+                li = isinstance(left, int) and not isinstance(left, bool)
+                ri = isinstance(right, int) and not isinstance(right, bool)
+                if (li and isinstance(right, float)) or (
+                    isinstance(left, float) and ri
+                ):
+                    raise TypeError(
+                        "math expressions mixing int64 and float64 are an error"
+                    )
+                if node.op == "/" and li and ri:
+                    if right == 0:
+                        raise ZeroDivisionError("math expression divide by zero")
+                    q = abs(left) // abs(right)
+                    return q if (left < 0) == (right < 0) else -q
             return _PYOPS[node.op](left, right)
         # timestamp - timestamp → Duration (seconds double), so
         # `Time(..) - Time(..) < Duration("10m")` compares in one unit
@@ -806,6 +823,30 @@ class Compiler:
             col = _c(right)
             return col.isNull() if node.op == "==" else col.isNotNull()
         lc, rc = _c(left), _c(right)
+        if node.op == "/" and self.df is not None:
+            # Go integer division when both sides are integral
+            # (LANGUAGE.md:220); Spark's `/` always yields double, so
+            # truncate toward zero via the double→long cast (documented
+            # precision caveat above 2^53)
+            from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+            ints = (ByteType, ShortType, IntegerType, LongType)
+
+            def _dt(v, node_side):
+                if isinstance(v, Column):
+                    try:
+                        return self.df.select(v).schema[0].dataType
+                    except Exception:
+                        return None
+                return (
+                    LongType()
+                    if isinstance(v, int) and not isinstance(v, bool)
+                    else None
+                )
+
+            ldt, rdt = _dt(left, node.left), _dt(right, node.right)
+            if isinstance(ldt, ints) and isinstance(rdt, ints):
+                return (lc / rc).cast("long")
         return _COLOPS[node.op](lc, rc)
 
     def compile_call(self, node: Call) -> Column:

@@ -199,3 +199,34 @@ def test_stringify_all(spark):
     df = spark.createDataFrame([({"n": 1, "m": 2},)], "attrs map<string,int>")
     out = X.apply_statement(df, "stringify_all(attrs)")
     assert out.first()["attrs"] == {"n": "1", "m": "2"}
+
+
+def test_math_rules_match_language_md():
+    """LANGUAGE.md:198-220 — int/int division follows Go (truncates
+    toward zero), int64/float64 mixing is an error, division by zero
+    errors gracefully."""
+    import pytest as _pytest
+
+    from sparkotel.expr import Compiler, parse_expr
+
+    c = Compiler(None)
+    assert c.compile(parse_expr("7 / 2")) == 3
+    assert c.compile(parse_expr("-7 / 2")) == -3
+    assert c.compile(parse_expr("7 / -2")) == -3
+    assert c.compile(parse_expr("10 / 1")) == 10
+    assert c.compile(parse_expr("3.0 / 2.0")) == 1.5
+    with _pytest.raises(TypeError):
+        c.compile(parse_expr("1 + 1.5"))
+    with _pytest.raises(TypeError):
+        c.compile(parse_expr("2.0 * 3"))
+    with _pytest.raises(ZeroDivisionError):
+        c.compile(parse_expr("1 / 0"))
+
+
+def test_integral_column_division(spark):
+    """column-typed int/int division also truncates toward zero."""
+    from sparkotel.expr import compile_value
+
+    df = spark.createDataFrame([(7, 2), (-7, 2)], "a long, b long")
+    col = compile_value(df, 'attributes["a"] / attributes["b"]', attrs_cols=["a", "b"])
+    assert [r["v"] for r in df.select(col.alias("v")).collect()] == [3, -3]
