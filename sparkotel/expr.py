@@ -805,6 +805,8 @@ class Compiler:
                         raise ZeroDivisionError("math expression divide by zero")
                     q = abs(left) // abs(right)
                     return q if (left < 0) == (right < 0) else -q
+            if node.op in ("==", "!=", "<", "<=", ">", ">="):
+                return _lattice_compare(node.op, left, right)
             return _PYOPS[node.op](left, right)
         # timestamp - timestamp → Duration (seconds double), so
         # `Time(..) - Time(..) < Duration("10m")` compares in one unit
@@ -1223,6 +1225,42 @@ def _c(v) -> Column:
         # heterogeneous values → struct (field per key, typed)
         return F.struct(*[_c(val).alias(k) for k, val in v.items()])
     return F.lit(v)
+
+
+def _lattice_compare(op: str, a, b) -> bool:
+    """LANGUAGE.md:263-291 comparison table for plan-time literals:
+    mismatched base types are 'not equal' (only != is true); mixed
+    numerics compare as float64; bool is NOT a numeric (true == 1 is
+    not equal, unlike Python); same-type values compare normally with
+    bools ordered T>F; maps/slices support equality only."""
+
+    def cls(v):
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, float)):
+            return "num"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if v is None:
+            return "nil"
+        return "other"
+
+    ca, cb = cls(a), cls(b)
+    if ca != cb:
+        return op == "!="
+    if ca == "nil":  # "true for equality only"
+        return op == "=="
+    if ca == "other":  # maps/slices: deep equality only
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        return False
+    if ca == "bool":
+        a, b = int(a), int(b)  # false < true
+    return _PYOPS[op](a, b)
 
 
 _PYOPS = {

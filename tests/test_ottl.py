@@ -230,3 +230,20 @@ def test_integral_column_division(spark):
     df = spark.createDataFrame([(7, 2), (-7, 2)], "a long, b long")
     col = compile_value(df, 'attributes["a"] / attributes["b"]', attrs_cols=["a", "b"])
     assert [r["v"] for r in df.select(col.alias("v")).collect()] == [3, -3]
+
+
+def test_comparison_lattice_literals():
+    """LANGUAGE.md:263-291: mismatched base types are 'not equal' (only
+    != true); bool is not numeric; mixed numerics compare as float64;
+    nil equals only nil; bools order false < true."""
+    from sparkotel.expr import Compiler, parse_expr
+
+    c = Compiler(None)
+    cases = [
+        ("true == 1", False), ("true != 1", True), ("1 == 1.0", True),
+        ('"1" == 1', False), ('"1" != 1', True), ("true > false", True),
+        ("nil == nil", True), ("nil != nil", False), ('1 < "2"', False),
+        ("1.5 > 1", True), ('"a" < "b"', True),
+    ]
+    for src, want in cases:
+        assert c.compile(parse_expr(src)) is want, src
