@@ -816,6 +816,18 @@ class Compiler:
                 F.unix_micros(_c(left).cast("timestamp"))
                 - F.unix_micros(_c(right).cast("timestamp"))
             ).cast("double") / F.lit(1000000.0)
+        # time.Time ± time.Duration → time.Time (LANGUAGE.md:203-209);
+        # durations are seconds-double in this engine
+        if node.op in ("+", "-"):
+            lt, rt = _is_ts_node(node.left), _is_ts_node(node.right)
+            ld, rd = _is_dur_node(node.left), _is_dur_node(node.right)
+            if (lt and rd) or (node.op == "+" and ld and rt):
+                ts_v, dur_v = (left, right) if lt else (right, left)
+                us = (_c(dur_v) * F.lit(1000000.0)).cast("long")
+                base = F.unix_micros(_c(ts_v).cast("timestamp"))
+                return F.timestamp_micros(
+                    base + us if node.op == "+" else base - us
+                )
         # `x == nil` / `x != nil`: OTTL nil equality is a null test, not
         # SQL three-valued NULL comparison (LANGUAGE.md nil semantics)
         if right is None and node.op in ("==", "!="):
@@ -915,6 +927,20 @@ _MAP_PRODUCERS = {
 
 _TS_CALLS = {"Time", "Now", "TruncateTime", "Time_", "ObservedTime"}
 _TS_PATHS = {"time", "observed_time", "start_time", "end_time"}
+
+
+def _is_dur_node(node) -> bool:
+    """static check: does this AST node produce a time.Duration
+    (seconds-double in this engine)?  Duration(...) calls, ts − ts
+    differences, and ±-combinations of durations."""
+    if isinstance(node, Call):
+        return node.name == "Duration"
+    if isinstance(node, BinOp):
+        if node.op == "-" and _is_ts_node(node.left) and _is_ts_node(node.right):
+            return True
+        if node.op in ("+", "-") and _is_dur_node(node.left) and _is_dur_node(node.right):
+            return True
+    return False
 
 
 def _is_ts_node(node) -> bool:

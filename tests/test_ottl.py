@@ -247,3 +247,26 @@ def test_comparison_lattice_literals():
     ]
     for src, want in cases:
         assert c.compile(parse_expr(src)) is want, src
+
+
+def test_time_duration_math_rules(spark):
+    """LANGUAGE.md:203-209: Time ± Duration → Time (either operand
+    order for +), Duration ± Duration → Duration, Time − Time →
+    Duration (seconds-double engine form)."""
+    import datetime as dt
+
+    from sparkotel.expr import compile_value
+
+    df = spark.createDataFrame([("x",)], "s string")
+
+    def run(src):
+        col = compile_value(df, src)
+        return df.select(col.alias("v")).first()["v"] if hasattr(col, "_jc") else col
+
+    base = dt.datetime(2023, 1, 1)
+    assert run('Time("2023-01-01", "%Y-%m-%d") + Duration("10m")') == base + dt.timedelta(minutes=10)
+    assert run('Time("2023-01-01", "%Y-%m-%d") - Duration("10m")') == base - dt.timedelta(minutes=10)
+    assert run('Duration("10m") + Time("2023-01-01", "%Y-%m-%d")') == base + dt.timedelta(minutes=10)
+    assert run('Duration("10m") + Duration("5m")') == 900.0
+    assert run('Time("2023-01-02", "%Y-%m-%d") - Time("2023-01-01", "%Y-%m-%d")') == 86400.0
+    assert run('Time("2023-01-01", "%Y-%m-%d") + (Duration("10m") - Duration("5m"))') == base + dt.timedelta(minutes=5)
