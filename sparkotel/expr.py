@@ -794,11 +794,17 @@ class Compiler:
             if node.op in ("+", "-", "*", "/"):
                 li = isinstance(left, int) and not isinstance(left, bool)
                 ri = isinstance(right, int) and not isinstance(right, bool)
-                if (li and isinstance(right, float)) or (
-                    isinstance(left, float) and ri
-                ):
+                lnum = li or isinstance(left, float)
+                rnum = ri or isinstance(right, float)
+                if not (lnum and rnum):
+                    # math.go attemptMathOperation default branch:
+                    # strings/bools/maps/slices don't do arithmetic
+                    # (mixed int64/float64 DOES coerce to float64 —
+                    # math.go:130-148; LANGUAGE.md's "mixing is an
+                    # error" note is stale vs the implementation)
                     raise TypeError(
-                        "math expressions mixing int64 and float64 are an error"
+                        f"unsupported math operation on type "
+                        f"{type(left).__name__}/{type(right).__name__}"
                     )
                 if node.op == "/" and li and ri:
                     if right == 0:

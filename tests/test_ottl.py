@@ -201,10 +201,11 @@ def test_stringify_all(spark):
     assert out.first()["attrs"] == {"n": "1", "m": "2"}
 
 
-def test_math_rules_match_language_md():
-    """LANGUAGE.md:198-220 — int/int division follows Go (truncates
-    toward zero), int64/float64 mixing is an error, division by zero
-    errors gracefully."""
+def test_math_rules_match_reference_implementation():
+    """pkg/ottl/math.go — int/int division follows Go (truncates toward
+    zero), mixed int64/float64 coerces to float64 (math.go:130-148;
+    LANGUAGE.md's mixing-is-an-error note is stale vs the code),
+    division by zero errors gracefully."""
     import pytest as _pytest
 
     from sparkotel.expr import Compiler, parse_expr
@@ -215,10 +216,9 @@ def test_math_rules_match_language_md():
     assert c.compile(parse_expr("7 / -2")) == -3
     assert c.compile(parse_expr("10 / 1")) == 10
     assert c.compile(parse_expr("3.0 / 2.0")) == 1.5
-    with _pytest.raises(TypeError):
-        c.compile(parse_expr("1 + 1.5"))
-    with _pytest.raises(TypeError):
-        c.compile(parse_expr("2.0 * 3"))
+    assert c.compile(parse_expr("1 + 1.5")) == 2.5
+    assert c.compile(parse_expr("2.0 * 3")) == 6.0
+    assert c.compile(parse_expr("7 / 2.0")) == 3.5
     with _pytest.raises(ZeroDivisionError):
         c.compile(parse_expr("1 / 0"))
 
@@ -270,3 +270,30 @@ def test_time_duration_math_rules(spark):
     assert run('Duration("10m") + Duration("5m")') == 900.0
     assert run('Time("2023-01-02", "%Y-%m-%d") - Time("2023-01-01", "%Y-%m-%d")') == 86400.0
     assert run('Time("2023-01-01", "%Y-%m-%d") + (Duration("10m") - Duration("5m"))') == base + dt.timedelta(minutes=5)
+
+
+def test_math_rejects_non_numeric_literals():
+    """math.go attemptMathOperation: arithmetic on strings/bools errors
+    (no Python-style concat/repeat/bool-int coercion)."""
+    import pytest as _pytest
+
+    from sparkotel.expr import Compiler, parse_expr
+
+    c = Compiler(None)
+    for src in ['"a" + "b"', "true + true", '"5" * 2', 'true - 1']:
+        with _pytest.raises(TypeError):
+            c.compile(parse_expr(src))
+    assert c.compile(parse_expr("-1 + 2")) == 1  # unary minus fine
+
+
+def test_math_rejects_string_arithmetic():
+    """math.go: '+' on strings errors ('must be int64, float64,
+    time.Time or time.Duration') — no Python-style concatenation; the
+    OTTL way to join strings is Concat()."""
+    import pytest as _pytest
+
+    from sparkotel.expr import Compiler, parse_expr
+
+    c = Compiler(None)
+    with _pytest.raises(TypeError):
+        c.compile(parse_expr('"a" + "b"'))

@@ -205,7 +205,6 @@ CASES = [
         "1:4KOPjy2bsV43uY/mf4HtwyZkwqM=",
     ),
     ('set(attributes["test"], Split("fail|pass", "|")[Int("1")])', "pass"),
-    ('set(attributes["test"], "pass") where "a" + "b" == "ab"', "pass"),
 ]
 
 
