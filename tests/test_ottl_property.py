@@ -47,10 +47,18 @@ def _int_leaf():
     )
 
 
+def _go_div(a, b):
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
 def _int_expr(depth=3):
     if depth == 0:
         return _int_leaf()
     sub = st.deferred(lambda: _int_expr(depth - 1))
+    nonzero = st.integers(min_value=1, max_value=9).map(
+        lambda n: (str(n), lambda r, n=n: n)
+    )
     return st.one_of(
         _int_leaf(),
         st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
@@ -61,6 +69,13 @@ def _int_expr(depth=3):
                     "-": lambda a, b: a - b,
                     "*": lambda a, b: a * b,
                 }[t[1]](t[0][1](r), t[2][1](r)),
+            )
+        ),
+        # Go integer division (trunc toward zero), nonzero divisor
+        st.tuples(sub, nonzero).map(
+            lambda t: (
+                f"({t[0][0]} / {t[1][0]})",
+                lambda r, t=t: _go_div(t[0][1](r), t[1][1](r)),
             )
         ),
     )
