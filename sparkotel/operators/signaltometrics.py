@@ -146,7 +146,18 @@ def signal_to_metrics(
     )
     if d.error_mode in ("ignore", "silent"):
         base = base.where(F.col("_value").isNotNull() & F.col("_count").isNotNull())
-    elif d.error_mode != "propagate":
+    elif d.error_mode == "propagate":
+        # a per-record extraction error is NULL in columnar form; Spark
+        # aggregates skip NULLs implicitly for sum/gauge, but the
+        # histogram arms would count the record without bucketing it
+        # (count ≠ Σ bucket_counts).  Drop NULL extractions uniformly so
+        # every arm stays internally consistent; truly malformed
+        # EXPRESSIONS still fail at analysis time.
+        if d.metric_type in ("histogram", "exponential_histogram"):
+            base = base.where(
+                F.col("_value").isNotNull() & F.col("_count").isNotNull()
+            )
+    else:
         raise ValueError(f"unknown error_mode: {d.error_mode}")
     key_names = [c for c in base.columns if c not in ("_value", "_count", "_order")]
     gb = base.groupBy(*key_names)

@@ -224,3 +224,21 @@ def test_error_mode_ignore_skips_bad_records(spark):
     )
     out = signal_to_metrics(_spans(spark, rows), d).collect()
     assert out[0]["value"] == 5  # the two unparseable records skipped
+
+
+def test_histogram_null_value_consistency(spark):
+    """a record whose value extraction fails (NULL) must not inflate
+    the histogram count without landing in a bucket."""
+    rows = [
+        ("a", {"n": "5"}, 100, None),
+        ("a", {}, 100, None),  # Int(missing) → NULL
+    ]
+    d = MetricDef(
+        name="m",
+        metric_type="histogram",
+        value='Int(attributes["n"])',
+        buckets=(2.0, 10.0),
+        include_resource_attributes=(Attr("service.name"),),
+    )
+    r = signal_to_metrics(_spans(spark, rows), d).collect()[0]
+    assert r["count"] == sum(r["bucket_counts"]) == 1
