@@ -250,6 +250,86 @@ def to_otlp_logs_json(df: DataFrame) -> DataFrame:
     return per_res.select(F.to_json(req).alias("line"))
 
 
+def to_otlp_traces_json(df: DataFrame) -> DataFrame:
+    """Flat span rows (parse_otlp_traces shape) → one ``line`` per
+    resource identity, each a full ExportTraceServiceRequest JSON — the
+    fileexporter JSON-lines traces arm, same batchperresourceattr
+    grouping/determinism contract as ``to_otlp_logs_json``."""
+    rec = F.struct(
+        F.when(F.col("trace_id") != "", F.col("trace_id")).alias("traceId"),
+        F.when(F.col("span_id") != "", F.col("span_id")).alias("spanId"),
+        F.when(F.col("parent_span_id") != "", F.col("parent_span_id")).alias("parentSpanId"),
+        F.when(F.col("trace_state") != "", F.col("trace_state")).alias("traceState"),
+        F.when(F.col("name") != "", F.col("name")).alias("name"),
+        F.when(F.col("kind") != 0, F.col("kind")).alias("kind"),
+        F.when(
+            F.col("start_ts").isNotNull(),
+            (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("startTimeUnixNano"),
+        F.when(
+            F.col("end_ts").isNotNull(),
+            (F.unix_micros(F.col("end_ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("endTimeUnixNano"),
+        F.when(F.size(F.map_entries("attributes")) > 0, _str_kvs(F.col("attributes")))
+        .alias("attributes"),
+        F.when(
+            (F.col("status_code") != 0) | (F.col("status_message") != ""),
+            F.struct(
+                F.when(F.col("status_code") != 0, F.col("status_code")).alias("code"),
+                F.when(F.col("status_message") != "", F.col("status_message")).alias("message"),
+            ),
+        ).alias("status"),
+    )
+    sort_key = F.struct(
+        F.coalesce(F.unix_micros(F.col("start_ts").cast("timestamp")), F.lit(0)).alias("t"),
+        F.col("span_id").alias("s"),
+        rec.alias("rec"),
+    )
+    per_scope = (
+        df.groupBy(
+            F.array_sort(F.map_entries("resource")).alias("_res"),
+            F.col("scope_name").alias("_sn"),
+        )
+        .agg(F.array_sort(F.collect_list(sort_key)).alias("_keyed"))
+    )
+    scope_entry = F.struct(
+        F.col("_sn").alias("n"),
+        F.transform(F.col("_keyed"), lambda k: k.getField("rec")).alias("recs"),
+    )
+    per_res = (
+        per_scope.groupBy("_res")
+        .agg(F.array_sort(F.collect_list(scope_entry)).alias("_scopes"))
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.when(
+                        F.size("_res") > 0,
+                        F.transform(
+                            F.col("_res"),
+                            lambda e: F.struct(
+                                e.getField("key").alias("key"),
+                                F.struct(e.getField("value").alias("stringValue")).alias("value"),
+                            ),
+                        ),
+                    ).alias("attributes")
+                ).alias("resource"),
+                F.transform(
+                    F.col("_scopes"),
+                    lambda s: F.struct(
+                        F.struct(
+                            F.when(s.getField("n") != "", s.getField("n")).alias("name"),
+                        ).alias("scope"),
+                        s.getField("recs").alias("spans"),
+                    ),
+                ).alias("scopeSpans"),
+            )
+        ).alias("resourceSpans")
+    )
+    return per_res.select(F.to_json(req).alias("line"))
+
+
 def write_otlp_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """fileexporter JSON-lines mode: marshal then write text lines."""
     to_otlp_logs_json(df).write.mode(mode).text(path)

@@ -273,6 +273,9 @@ FROM res""",
         "dedup_exact",
         "dedup_simhash",
         "ann_lsh_buckets",
+        # r1-green; its own logic unchanged — the r3 signature changes are
+        # driver-covered by dedup_minhash_signature/_lsh_pairs in-window
+        "dedup_jaccard_verify",
         # rows-only checks (the driver row adds little over their pytest
         # golden/determinism evidence) — make room for oracle-checked
         # queries whose implementation changed this round
@@ -631,6 +634,27 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
             "scope_name",
         )
 
+    def traces_roundtrip_q(spark, sf):
+        from sparkotel.otlpjson import to_otlp_traces_json
+
+        # marshal → unmarshal must be lossless: same flat fields as the
+        # direct parse (otlpjson_traces), same oracle
+        t = parse_otlp_traces(to_otlp_traces_json(_span_frame(spark, sf)))
+        return t.select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "name",
+            "kind",
+            "start_ts",
+            "end_ts",
+            "status_code",
+            "status_message",
+            F.col("attributes")["user.id"].alias("attr_user"),
+            F.col("resource")["service.name"].alias("service_name"),
+            "scope_name",
+        )
+
     q["otlpjson_traces"] = Query(
         traces_q,
         """SELECT md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
@@ -647,6 +671,8 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
   'tracer' AS scope_name
 FROM events""",
     )
+
+    q["otlpjson_traces_roundtrip"] = Query(traces_roundtrip_q, q["otlpjson_traces"].oracle)
 
     # --- metrics signal: number data points (gauge + monotonic sum arms) --
     _GAUGE_FMT = (
