@@ -330,6 +330,111 @@ def to_otlp_traces_json(df: DataFrame) -> DataFrame:
     return per_res.select(F.to_json(req).alias("line"))
 
 
+def to_otlp_metrics_json(df: DataFrame) -> DataFrame:
+    """Flat NUMBER-point rows (parse_otlp_metrics shape) → one ``line``
+    per resource identity, each a full ExportMetricsServiceRequest —
+    the fileexporter JSON-lines metrics arm.  Three-level fold:
+    resource → scope → metric (name/unit/type/temporality/monotonic)
+    → dataPoints.  Values marshal as ``asDouble`` (the engine collapsed
+    the proto oneof at parse time — an asInt point round-trips to the
+    same double, documented value-form divergence)."""
+    dp = F.struct(
+        F.when(
+            F.col("start_ts").isNotNull(),
+            (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("startTimeUnixNano"),
+        F.when(
+            F.col("ts").isNotNull(),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("timeUnixNano"),
+        F.col("value").alias("asDouble"),
+        F.when(F.size(F.map_entries("attributes")) > 0, _str_kvs(F.col("attributes")))
+        .alias("attributes"),
+    )
+    sort_key = F.struct(
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(0)).alias("t"),
+        F.to_json(F.array_sort(F.map_entries("attributes"))).alias("a"),
+        dp.alias("dp"),
+    )
+    per_metric = (
+        df.groupBy(
+            F.array_sort(F.map_entries("resource")).alias("_res"),
+            F.col("scope_name").alias("_sn"),
+            F.col("metric_name").alias("_mn"),
+            F.col("unit").alias("_unit"),
+            F.col("metric_type").alias("_mt"),
+            F.col("aggregation_temporality").alias("_at"),
+            F.col("is_monotonic").alias("_mono"),
+        )
+        .agg(F.array_sort(F.collect_list(sort_key)).alias("_keyed"))
+    )
+    dps = F.transform(F.col("_keyed"), lambda k: k.getField("dp"))
+    metric_entry = F.struct(
+        F.col("_mn").alias("n"),
+        F.col("_unit").alias("u"),
+        F.col("_mt").alias("t"),
+        F.col("_at").alias("at"),
+        F.col("_mono").alias("mono"),
+        dps.alias("dps"),
+    )
+    per_scope = per_metric.groupBy("_res", "_sn").agg(
+        F.array_sort(F.collect_list(metric_entry)).alias("_metrics")
+    )
+    scope_entry = F.struct(
+        F.col("_sn").alias("n"),
+        F.transform(
+            F.col("_metrics"),
+            lambda m: F.struct(
+                m.getField("n").alias("name"),
+                F.when(m.getField("u") != "", m.getField("u")).alias("unit"),
+                F.when(
+                    m.getField("t") == "gauge",
+                    F.struct(m.getField("dps").alias("dataPoints")),
+                ).alias("gauge"),
+                F.when(
+                    m.getField("t") == "sum",
+                    F.struct(
+                        m.getField("dps").alias("dataPoints"),
+                        m.getField("at").alias("aggregationTemporality"),
+                        m.getField("mono").alias("isMonotonic"),
+                    ),
+                ).alias("sum"),
+            ),
+        ).alias("metrics"),
+    )
+    per_res = per_scope.groupBy("_res").agg(
+        F.array_sort(F.collect_list(scope_entry)).alias("_scopes")
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.when(
+                        F.size("_res") > 0,
+                        F.transform(
+                            F.col("_res"),
+                            lambda e: F.struct(
+                                e.getField("key").alias("key"),
+                                F.struct(e.getField("value").alias("stringValue")).alias("value"),
+                            ),
+                        ),
+                    ).alias("attributes")
+                ).alias("resource"),
+                F.transform(
+                    F.col("_scopes"),
+                    lambda s: F.struct(
+                        F.struct(
+                            F.when(s.getField("n") != "", s.getField("n")).alias("name"),
+                        ).alias("scope"),
+                        s.getField("metrics").alias("metrics"),
+                    ),
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return per_res.select(F.to_json(req).alias("line"))
+
+
 def write_otlp_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """fileexporter JSON-lines mode: marshal then write text lines."""
     to_otlp_logs_json(df).write.mode(mode).text(path)

@@ -276,6 +276,9 @@ FROM res""",
         # r1-green; its own logic unchanged — the r3 signature changes are
         # driver-covered by dedup_minhash_signature/_lsh_pairs in-window
         "dedup_jaccard_verify",
+        # marshal machinery driver-covered by the in-window logs+traces
+        # roundtrips; metrics arm parity-test evidenced
+        "otlpjson_metrics_roundtrip",
         # rows-only checks (the driver row adds little over their pytest
         # golden/determinism evidence) — make room for oracle-checked
         # queries whose implementation changed this round
@@ -725,6 +728,24 @@ FROM events""",
             "scope_name",
         )
 
+    def metrics_roundtrip_q(spark, sf):
+        from sparkotel.otlpjson import to_otlp_metrics_json
+
+        m = parse_otlp_metrics(to_otlp_metrics_json(_point_frame(spark, sf)))
+        return m.select(
+            "metric_name",
+            "unit",
+            "metric_type",
+            "aggregation_temporality",
+            "is_monotonic",
+            "start_ts",
+            "ts",
+            "value",
+            F.col("attributes")["k"].alias("attr_k"),
+            F.col("resource")["host.name"].alias("host_name"),
+            "scope_name",
+        )
+
     q["otlpjson_metrics"] = Query(
         metrics_q,
         """SELECT 'm.' || event_type AS metric_name, 'ms' AS unit,
@@ -739,6 +760,10 @@ FROM events""",
   'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name,
   'meter' AS scope_name
 FROM events""",
+    )
+
+    q["otlpjson_metrics_roundtrip"] = Query(
+        metrics_roundtrip_q, q["otlpjson_metrics"].oracle
     )
 
     # --- transformprocessor over the span context --------------------------
