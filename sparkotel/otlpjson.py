@@ -254,7 +254,10 @@ def to_otlp_traces_json(df: DataFrame) -> DataFrame:
     """Flat span rows (parse_otlp_traces shape) → one ``line`` per
     resource identity, each a full ExportTraceServiceRequest JSON — the
     fileexporter JSON-lines traces arm, same batchperresourceattr
-    grouping/determinism contract as ``to_otlp_logs_json``."""
+    grouping/determinism contract as ``to_otlp_logs_json``.  Span
+    EVENTS are not carried: the flat span frame drops them at parse
+    (they live in the separate spanevent frame), so the round-trip
+    guarantee covers the span-level fields."""
     rec = F.struct(
         F.when(F.col("trace_id") != "", F.col("trace_id")).alias("traceId"),
         F.when(F.col("span_id") != "", F.col("span_id")).alias("spanId"),
