@@ -288,6 +288,7 @@ FROM res""",
         # new query over multi-round-green count machinery (agg_count_*
         # has r1+r2 rows); the spans variant is parity-test evidenced
         "agg_count_spans",
+        "agg_count_spanevents",
         "sink_errors_other",
         "sink_other",
         "sink_de_copy",
@@ -2220,6 +2221,37 @@ WHERE event_id % 3 = 0 AND event_id % 6 = 3 AND user_id % 4 <> 2
   'span.count.db_clients' AS metric_name
 FROM events WHERE event_id % 6 = 3
 GROUP BY 1, 2, 3""",
+    )
+
+    # countconnector over SPAN EVENTS (connector.go ConsumeTraces event
+    # branch: per-event counting with event-attr dims)
+    def count_spanevents_q(spark, sf):
+        se = parse_otlp_spanevents(_conn_trace_lines(spark, sf)).select(
+            "ts",
+            F.col("event_name"),
+            F.col("resource")["service.name"].alias("svc"),
+            F.col("attributes")["exception.type"].alias("exc_type"),
+        )
+        return A.connector_metric(
+            se,
+            A.MetricDef(
+                name="spanevent.count.exceptions",
+                conditions=("event_name = 'exception'",),
+                dims=("svc", "exc_type"),
+            ),
+            ts_col="ts",
+        )
+
+    q["agg_count_spanevents"] = Query(
+        count_spanevents_q,
+        f"""SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS svc,
+  'E' || CAST({_K_SQL} % 7 AS VARCHAR) AS exc_type,
+  count(*) AS value,
+  min(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS start_ts,
+  max(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS end_ts,
+  'spanevent.count.exceptions' AS metric_name
+FROM events WHERE event_type = 'error'
+GROUP BY 1, 2""",
     )
 
     def exc_logs_q(spark, sf):
