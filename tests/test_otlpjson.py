@@ -358,3 +358,56 @@ def test_marshal_no_wide_shuffle_before_group(spark):
     src = _records(spark)
     plan = to_otlp_logs_json(src)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_marshal_plans_are_bounded(spark):
+    """each signal marshal is a metadata-width fold: hash exchanges
+    only (resource/scope grouping), no sort-merge join, no Python."""
+    import io
+    from contextlib import redirect_stdout
+
+    from sparkotel.otlpjson import (
+        parse_otlp_logs,
+        parse_otlp_metrics,
+        parse_otlp_traces,
+        to_otlp_logs_json,
+        to_otlp_metrics_json,
+        to_otlp_traces_json,
+    )
+
+    log_line = (
+        '{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":['
+        '{"scope":{"name":"s"},"logRecords":[{"timeUnixNano":"1","body":{"stringValue":"b"}}]}]}]}'
+    )
+    trace_line = (
+        '{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":['
+        '{"scope":{"name":"s"},"spans":[{"traceId":"t","spanId":"s","name":"n","kind":1,'
+        '"startTimeUnixNano":"1","endTimeUnixNano":"2","status":{"code":0}}]}]}]}'
+    )
+    metric_line = (
+        '{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":['
+        '{"scope":{"name":"s"},"metrics":[{"name":"m","gauge":{"dataPoints":['
+        '{"timeUnixNano":"1","asDouble":1.0}]}}]}]}]}'
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for line, parse, marshal, max_shuffles in [
+        (log_line, parse_otlp_logs, to_otlp_logs_json, 2),
+        (trace_line, parse_otlp_traces, to_otlp_traces_json, 2),
+        (metric_line, parse_otlp_metrics, to_otlp_metrics_json, 3),
+    ]:
+        df = spark.createDataFrame([(line,)], "line string")
+        plan = plan_of(marshal(parse(df)))
+        n = sum(
+            1
+            for l in plan.splitlines()
+            if l.strip().startswith("(") and ") Exchange" in l and "Broadcast" not in l
+        )
+        assert n <= max_shuffles, plan
+        assert "SortMergeJoin" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
