@@ -139,3 +139,65 @@ def test_stateful_recombine_across_microbatches(spark, tmp_path):
     assert rows[1]["n_lines"] == 3
     # record B has no terminating boundary -> still buffered, not emitted
     assert 4 not in rows
+
+
+def test_streaming_otlpjson_source_equals_batch(spark, tmp_path):
+    """the OTLP/JSON parse is stateless column logic, so it runs
+    unchanged over a file stream (the otlpjsonfilereceiver's tail-mode
+    analogue): readStream.text -> parse_otlp_logs -> watermarked
+    windowed severity counts == the same aggregation over a batch read."""
+    from pyspark.sql import functions as F
+
+    from sparkotel.otlpjson import parse_otlp_logs
+
+    src = str(tmp_path / "otlp_in")
+    P.load_tables(spark, SF_DIR, ["events"])
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    lines = spark.table("events").select(
+        F.format_string(
+            '{"resourceLogs":[{"resource":{"attributes":[]},"scopeLogs":['
+            '{"scope":{"name":"g"},"logRecords":[{"timeUnixNano":"%d",'
+            '"severityNumber":%d,"body":{"stringValue":"evt %d"}}]}]}]}',
+            tus * 1000,
+            (F.col("event_id") % 3 + 1) * 5,
+            F.col("event_id"),
+        ).alias("value")
+    )
+    # single time-ordered file: unordered multi-file input would make
+    # the watermark drop genuinely-late rows (correct stream semantics,
+    # but then stream != batch by design)
+    lines.coalesce(1).write.mode("overwrite").text(src)
+
+    def agg(df):
+        return (
+            parse_otlp_logs(df, line_col="value")
+            .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_tz", "2 hours")
+            .groupBy(F.window("ts_tz", "6 hours"), "severity_number")
+            .count()
+        )
+
+    stream = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(src)
+    assert stream.isStreaming
+    out = str(tmp_path / "otlp_out")
+    q = (
+        agg(stream)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "otlp_ck"))
+        .outputMode("append")
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["window"]["start"], r["severity_number"]): r["count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["window"]["start"], r["severity_number"]): r["count"]
+        for r in agg(spark.read.text(src)).collect()
+    }
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly
+    assert got and all(want[k] == v for k, v in got.items())
