@@ -90,3 +90,51 @@ def split_lines(
     if trim is not None:
         out = out.withColumn("line", line)
     return out
+
+
+def split_by_pattern(
+    df: DataFrame,
+    text_col: str = "text",
+    line_start_pattern: str | None = None,
+    line_end_pattern: str | None = None,
+    omit_pattern: bool = False,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Pattern-based tokenization (pkg/stanza/split/split.go Config:
+    exactly one of line_start_pattern / line_end_pattern; omit_pattern
+    drops the matched delimiter from the token).
+
+    - line_end_pattern: a token ends AT THE END of each match
+      (LineEndSplitFunc); a trailing remainder is the flush-at-EOF
+      token — a batch table is always "at EOF".
+    - line_start_pattern: a token runs from one match start to the
+      next (LineStartSplitFunc); a non-matching prefix before the
+      first match flushes as its own token.
+
+    Implementation: one regexp_replace pass inserts a NUL sentinel at
+    each boundary, one split + posexplode emits tokens — scan-speed,
+    no UDF.  Multiline mode ((?m)) like the reference's compile.
+    Caveat: source text containing NUL bytes would split spuriously
+    (NUL never appears in line-oriented logs).
+    """
+    if (line_start_pattern is None) == (line_end_pattern is None):
+        raise ValueError(
+            "exactly one of line_start_pattern or line_end_pattern must be set"
+        )
+    keep = keep or [c for c in df.columns if c != text_col]
+    src = F.col(text_col)
+    if line_end_pattern is not None:
+        pat = f"(?m)({line_end_pattern})"
+        marked = F.regexp_replace(src, pat, "" if omit_pattern else "$1" + "\x00")
+        if omit_pattern:
+            marked = F.regexp_replace(src, pat, "\x00")
+    else:
+        pat = f"(?m)({line_start_pattern})"
+        marked = F.regexp_replace(src, pat, "\x00" + ("" if omit_pattern else "$1"))
+    out = df.select(
+        *keep, F.posexplode(F.split(marked, "\x00")).alias("token_offset", "line")
+    )
+    # empty artifacts: a leading boundary (start-pattern at position 0)
+    # or a trailing boundary (end-pattern at end of text) yields an
+    # empty token — the reference emits neither
+    return out.where(F.col("line") != "")

@@ -439,3 +439,37 @@ def test_exponential_histogram(spark):
     assert dp["count_value"] == 5 and dp["zero_count"] == 1
     assert dp["min_value"] == -4.0 and dp["max_value"] == 5.0
     assert dp["sum_value"] == 6.0 and dp["scale"] == 3
+
+
+def test_split_by_pattern(spark):
+    """split.go Config semantics: end-pattern tokens end at match end
+    (+ EOF flush of the remainder), start-pattern tokens run between
+    match starts (+ prefix flush), omit_pattern drops the delimiter."""
+    from sparkotel.operators.recombine import split_by_pattern
+
+    df = spark.createDataFrame([(1, "aENDbENDc")], "id long, text string")
+    tok = lambda out: [r["line"] for r in out.orderBy("token_offset").collect()]
+    assert tok(split_by_pattern(df, line_end_pattern="END")) == ["aEND", "bEND", "c"]
+    assert tok(
+        split_by_pattern(df, line_end_pattern="END", omit_pattern=True)
+    ) == ["a", "b", "c"]
+
+    df2 = spark.createDataFrame([(1, "xSTARTaSTARTb")], "id long, text string")
+    assert tok(split_by_pattern(df2, line_start_pattern="START")) == [
+        "x", "STARTa", "STARTb",
+    ]
+    assert tok(
+        split_by_pattern(df2, line_start_pattern="START", omit_pattern=True)
+    ) == ["x", "a", "b"]
+
+    # multiline anchors work ((?m) like the reference's compile)
+    df3 = spark.createDataFrame([(1, "one\nTWO three\nTWO four")], "id long, t string")
+    assert tok(
+        split_by_pattern(df3, text_col="t", line_start_pattern="^TWO")
+    ) == ["one\n", "TWO three\n", "TWO four"]
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        split_by_pattern(df)
+    with _p.raises(ValueError):
+        split_by_pattern(df, line_start_pattern="a", line_end_pattern="b")
