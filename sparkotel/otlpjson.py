@@ -438,6 +438,102 @@ def to_otlp_metrics_json(df: DataFrame) -> DataFrame:
     return per_res.select(F.to_json(req).alias("line"))
 
 
+def to_otlp_exp_histograms_json(df: DataFrame) -> DataFrame:
+    """Flat exponential-histogram point rows (parse_otlp_exp_histograms
+    shape) → one ``line`` per resource identity, each a full
+    ExportMetricsServiceRequest — the fileexporter JSON-lines metrics
+    arm for the exponentialHistogram oneof
+    (exporter/fileexporter/file_exporter.go JSON marshal of
+    pdata.Metrics).  uint64 fields marshal as strings per proto3-JSON;
+    a zero-value Buckets half (offset 0, no counts) is omitted,
+    matching proto3-JSON default omission, and re-ingests as the same
+    normalized (0, []) pair."""
+    def _half(off: str, cnts: str) -> Column:
+        return F.when(
+            (F.col(off) != 0) | (F.size(F.col(cnts)) > 0),
+            F.struct(
+                F.col(off).alias("offset"),
+                F.when(
+                    F.size(F.col(cnts)) > 0,
+                    F.transform(F.col(cnts), lambda c: c.cast("string")),
+                ).alias("bucketCounts"),
+            ),
+        )
+
+    dp = F.struct(
+        F.when(
+            F.col("start_ts").isNotNull(),
+            (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("startTimeUnixNano"),
+        F.when(
+            F.col("ts").isNotNull(),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("timeUnixNano"),
+        F.col("count").cast("string").alias("count"),
+        F.col("sum").alias("sum"),
+        F.col("min").alias("min"),
+        F.col("max").alias("max"),
+        F.col("scale").alias("scale"),
+        F.col("zero_count").cast("string").alias("zeroCount"),
+        F.when(F.col("zero_threshold") != 0.0, F.col("zero_threshold")).alias(
+            "zeroThreshold"
+        ),
+        _half("positive_offset", "positive_bucket_counts").alias("positive"),
+        _half("negative_offset", "negative_bucket_counts").alias("negative"),
+        F.when(F.size(F.map_entries("attributes")) > 0, _str_kvs(F.col("attributes")))
+        .alias("attributes"),
+    )
+    sort_key = F.struct(
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(0)).alias("t"),
+        F.to_json(F.array_sort(F.map_entries("attributes"))).alias("a"),
+        dp.alias("dp"),
+    )
+    per_metric = df.groupBy(
+        F.array_sort(F.map_entries("resource")).alias("_res"),
+        F.col("metric_name").alias("_mn"),
+        F.col("aggregation_temporality").alias("_at"),
+    ).agg(F.array_sort(F.collect_list(sort_key)).alias("_keyed"))
+    metric_entry = F.struct(
+        F.col("_mn").alias("name"),
+        F.struct(
+            F.transform(F.col("_keyed"), lambda k: k.getField("dp")).alias(
+                "dataPoints"
+            ),
+            F.col("_at").alias("aggregationTemporality"),
+        ).alias("exponentialHistogram"),
+    )
+    per_res = per_metric.groupBy("_res").agg(
+        F.array_sort(F.collect_list(metric_entry)).alias("_metrics")
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                F.struct(
+                    F.when(
+                        F.size("_res") > 0,
+                        F.transform(
+                            F.col("_res"),
+                            lambda e: F.struct(
+                                e.getField("key").alias("key"),
+                                F.struct(e.getField("value").alias("stringValue")).alias("value"),
+                            ),
+                        ),
+                    ).alias("attributes")
+                ).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.lit(None).cast("string").alias("name"),
+                        ).alias("scope"),
+                        F.col("_metrics").alias("metrics"),
+                    )
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return per_res.select(F.to_json(req).alias("line"))
+
+
 def write_otlp_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """fileexporter JSON-lines mode: marshal then write text lines."""
     to_otlp_logs_json(df).write.mode(mode).text(path)
@@ -560,6 +656,16 @@ _SUMM_DP = (
     "quantileValues:array<struct<quantile:double,value:double>>,"
     f"attributes:{_KVLIST},flags:int>"
 )
+# ExponentialHistogramDataPoint (metrics.proto) — proto3-JSON uint64
+# fields arrive as strings; positive/negative are Buckets{offset,counts}
+_EXP_BUCKETS = "struct<offset:int,bucketCounts:array<string>>"
+_EXP_DP = (
+    "struct<startTimeUnixNano:string,timeUnixNano:string,"
+    "count:string,sum:double,scale:int,zeroCount:string,"
+    f"positive:{_EXP_BUCKETS},negative:{_EXP_BUCKETS},"
+    "min:double,max:double,zeroThreshold:double,"
+    f"attributes:{_KVLIST},flags:int>"
+)
 OTLP_METRICS_DDL = (
     "struct<resourceMetrics:array<struct<"
     f"resource:struct<attributes:{_KVLIST},droppedAttributesCount:int>,"
@@ -569,6 +675,7 @@ OTLP_METRICS_DDL = (
     f"gauge:struct<dataPoints:array<{_NUM_DP}>>,"
     f"sum:struct<dataPoints:array<{_NUM_DP}>,aggregationTemporality:int,isMonotonic:boolean>,"
     f"histogram:struct<dataPoints:array<{_HIST_DP}>,aggregationTemporality:int>,"
+    f"exponentialHistogram:struct<dataPoints:array<{_EXP_DP}>,aggregationTemporality:int>,"
     f"summary:struct<dataPoints:array<{_SUMM_DP}>>>>,"
     "schemaUrl:string>>,"
     "schemaUrl:string>>>"
@@ -583,8 +690,8 @@ def parse_otlp_metrics(df: DataFrame, line_col: str = "line") -> DataFrame:
     struct fields in the static schema; a number row carries which arm
     it came from (``metric_type``), the sum arm's temporality and
     monotonicity, and the point value as double (``asInt`` int64-string
-    cast per proto3-JSON).  Exponential histogram / summary arms are
-    outside the schema (unused by the ported connectors' inputs).
+    cast per proto3-JSON).  Histogram / exponentialHistogram / summary
+    arms explode via their own parsers below.
     """
     rec = (
         _metric_base(df, line_col)
@@ -654,6 +761,65 @@ def parse_otlp_histograms(df: DataFrame, line_col: str = "line") -> DataFrame:
         dp.getField("max").alias("max"),
         F.transform(dp.getField("bucketCounts"), lambda c: c.cast("long")).alias("bucket_counts"),
         dp.getField("explicitBounds").alias("explicit_bounds"),
+        _kv_to_map(dp.getField("attributes")).alias("attributes"),
+        _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
+    )
+
+
+def parse_otlp_exp_histograms(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """ExponentialHistogram data points from OTLP/JSON metrics lines:
+    one row per point, in the same flat column shape the engine's own
+    exp-histogram producers use (aggregate.py spanmetrics /
+    signaltometrics) so ingested points feed
+    ``metricfuncs.convert_exponential_hist_to_explicit_hist`` directly.
+
+    Mirrors pdata ``ExponentialHistogramDataPoint`` as consumed by
+    connector/spanmetricsconnector/connector.go (exponential branch)
+    and processor/transformprocessor/internal/metrics/
+    func_convert_exponential_hist_to_explicit_hist.go: scale, zeroCount,
+    zeroThreshold, and the positive/negative Buckets{offset,
+    bucketCounts} halves (uint64 strings → long per proto3-JSON).
+    Absent halves normalize to offset 0 / empty counts — pdata's
+    zero-value Buckets."""
+    rec = (
+        _metric_base(df, line_col)
+        .where(F.col("m").getField("exponentialHistogram").isNotNull())
+        .select(
+            "*",
+            F.explode(
+                F.col("m").getField("exponentialHistogram").getField("dataPoints")
+            ).alias("dp"),
+        )
+    )
+    dp = F.col("dp")
+    rec = rec.withColumns({
+        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
+        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+    })
+    _counts = lambda half: F.coalesce(
+        F.transform(dp.getField(half).getField("bucketCounts"),
+                    lambda c: c.cast("long")),
+        F.array().cast("array<long>"),
+    )
+    return rec.select(
+        F.col("m").getField("name").alias("metric_name"),
+        F.coalesce(
+            F.col("m").getField("exponentialHistogram").getField("aggregationTemporality"),
+            F.lit(0),
+        ).alias("aggregation_temporality"),
+        F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
+        F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
+        dp.getField("count").cast("long").alias("count"),
+        dp.getField("sum").alias("sum"),
+        dp.getField("min").alias("min"),
+        dp.getField("max").alias("max"),
+        F.coalesce(dp.getField("scale"), F.lit(0)).alias("scale"),
+        F.coalesce(dp.getField("zeroCount").cast("long"), F.lit(0)).alias("zero_count"),
+        F.coalesce(dp.getField("zeroThreshold"), F.lit(0.0)).alias("zero_threshold"),
+        F.coalesce(dp.getField("positive").getField("offset"), F.lit(0)).alias("positive_offset"),
+        _counts("positive").alias("positive_bucket_counts"),
+        F.coalesce(dp.getField("negative").getField("offset"), F.lit(0)).alias("negative_offset"),
+        _counts("negative").alias("negative_bucket_counts"),
         _kv_to_map(dp.getField("attributes")).alias("attributes"),
         _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
     )
@@ -738,5 +904,6 @@ def route_otlpjson_bodies(df: DataFrame, body_col: str = "body") -> dict:
         "logs": parse_otlp_logs(sel("logs")),
         "metrics": parse_otlp_metrics(sel("metrics")),
         "histograms": parse_otlp_histograms(sel("metrics")),
+        "exp_histograms": parse_otlp_exp_histograms(sel("metrics")),
         "traces": parse_otlp_traces(sel("traces")),
     }

@@ -767,6 +767,190 @@ FROM events""",
         metrics_roundtrip_q, q["otlpjson_metrics"].oracle
     )
 
+    # --- metrics signal: exponentialHistogram data points ------------------
+    # proto3-JSON ExponentialHistogramDataPoint (metrics.proto): uint64
+    # fields as strings, positive/negative Buckets halves; the negative
+    # half appears only on error rows so absent-half normalization
+    # (offset 0 / empty counts) is exercised on the rest.
+    _EXPH_FMT = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"e.latency","unit":"ms","exponentialHistogram":'
+        '{"aggregationTemporality":1,"dataPoints":['
+        '{"startTimeUnixNano":"%d","timeUnixNano":"%d",'
+        '"count":"%d","sum":%s,"min":%s,"max":%s,'
+        '"scale":%d,"zeroCount":"%d","zeroThreshold":%s,'
+        '"positive":{"offset":%d,"bucketCounts":["%d","%d","%d"]}%s,'
+        '"attributes":[{"key":"k","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+
+    def _exph_lines(spark, sf):
+        from sparkotel.otlpjson import parse_otlp_exp_histograms
+
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        neg = F.when(
+            F.col("event_type") == "error",
+            F.format_string(
+                ',"negative":{"offset":%d,"bucketCounts":["%d"]}',
+                F.col("user_id") % 3,
+                F.col("event_id") % 2 + 1,
+            ),
+        ).otherwise(F.lit(""))
+        lines = ev.select(
+            F.format_string(
+                _EXPH_FMT,
+                F.col("user_id") % 7,
+                (tus - 1_000_000) * 1000,
+                tus * 1000,
+                F.col("event_id") % 10,
+                F.col("value").cast("string"),
+                (F.col("value") - 1).cast("string"),
+                (F.col("value") + 1).cast("string"),
+                F.col("user_id") % 4 - 1,
+                F.col("user_id") % 3,
+                ((F.col("event_id") % 2).cast("double") / 2).cast("string"),
+                F.col("event_id") % 6 - 1,
+                F.col("event_id") % 4,
+                F.col("user_id") % 5,
+                F.col("event_id") % 3,
+                neg,
+                F.col("event_type"),
+            ).alias("line")
+        )
+        return parse_otlp_exp_histograms(lines)
+
+    def _exph_flat(m):
+        return m.select(
+            "metric_name",
+            "aggregation_temporality",
+            "start_ts",
+            "ts",
+            "count",
+            "sum",
+            "min",
+            "max",
+            "scale",
+            "zero_count",
+            "zero_threshold",
+            "positive_offset",
+            F.array_join(
+                F.col("positive_bucket_counts").cast("array<string>"), ","
+            ).alias("positive_counts"),
+            "negative_offset",
+            F.array_join(
+                F.col("negative_bucket_counts").cast("array<string>"), ","
+            ).alias("negative_counts"),
+            F.col("attributes")["k"].alias("attr_k"),
+            F.col("resource")["host.name"].alias("host_name"),
+        )
+
+    _EXPH_ORACLE = """SELECT 'e.latency' AS metric_name,
+  CAST(1 AS INT) AS aggregation_temporality,
+  ts - INTERVAL 1 SECOND AS start_ts,
+  ts,
+  CAST(event_id % 10 AS BIGINT) AS count,
+  value AS sum,
+  value - 1 AS min,
+  value + 1 AS max,
+  CAST(user_id % 4 - 1 AS INT) AS scale,
+  CAST(user_id % 3 AS BIGINT) AS zero_count,
+  CAST(event_id % 2 AS DOUBLE) / 2 AS zero_threshold,
+  CAST(event_id % 6 - 1 AS INT) AS positive_offset,
+  CAST(event_id % 4 AS VARCHAR) || ',' || CAST(user_id % 5 AS VARCHAR) || ',' ||
+    CAST(event_id % 3 AS VARCHAR) AS positive_counts,
+  CAST(CASE WHEN event_type = 'error' THEN user_id % 3 ELSE 0 END AS INT)
+    AS negative_offset,
+  CASE WHEN event_type = 'error' THEN CAST(event_id % 2 + 1 AS VARCHAR)
+       ELSE '' END AS negative_counts,
+  event_type AS attr_k,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name
+FROM events"""
+
+    def exph_ingest_q(spark, sf):
+        return _exph_flat(_exph_lines(spark, sf))
+
+    q["otlpjson_exp_histogram"] = Query(exph_ingest_q, _EXPH_ORACLE)
+
+    def exph_roundtrip_q(spark, sf):
+        from sparkotel.otlpjson import (
+            parse_otlp_exp_histograms,
+            to_otlp_exp_histograms_json,
+        )
+
+        m = parse_otlp_exp_histograms(
+            to_otlp_exp_histograms_json(_exph_lines(spark, sf))
+        )
+        return _exph_flat(m)
+
+    q["otlpjson_exp_roundtrip"] = Query(exph_roundtrip_q, _EXPH_ORACLE)
+
+    # --- ingested exp-histogram points feeding the transformprocessor
+    # exp→explicit converter (func_convert_exponential_hist_to_explicit_
+    # hist.go) — the full source→transform path, per-row varying scale.
+    # Oracle mirrors metric_exphist_convert's unrolled midpoint CASE but
+    # generalizes the bucket-edge factor to ln(2)·2^-scale; the inner
+    # parens mirror the engine's factor grouping (scaling by a power of
+    # two is exact, so the grouping is rounding-neutral — kept identical
+    # anyway).  Bounds sit far from every base-2/4/√2/⁴√2 bucket edge in
+    # the generated scale range [-1,2] so 1-ulp exp() differences
+    # between engines cannot flip a comparison.
+    _EXPH_TGT_S = """CASE
+      WHEN exp((off + {i}) * (ln(2) * power(2.0, -s))) > 7.7 THEN 3
+      WHEN exp((off + {i}) * (ln(2) * power(2.0, -s))) > 0.0
+           AND exp((off + {i} + 1) * (ln(2) * power(2.0, -s))) <= 1.5 THEN 0
+      WHEN exp((off + {i}) * (ln(2) * power(2.0, -s))) > 1.5
+           AND exp((off + {i} + 1) * (ln(2) * power(2.0, -s))) <= 3.3 THEN 1
+      WHEN exp((off + {i}) * (ln(2) * power(2.0, -s))) > 3.3
+           AND exp((off + {i} + 1) * (ln(2) * power(2.0, -s))) <= 7.7 THEN 2
+      WHEN (exp((off + {i}) * (ln(2) * power(2.0, -s)))
+            + exp((off + {i} + 1) * (ln(2) * power(2.0, -s)))) / 2 <= 1.5 THEN 0
+      WHEN (exp((off + {i}) * (ln(2) * power(2.0, -s)))
+            + exp((off + {i} + 1) * (ln(2) * power(2.0, -s)))) / 2 <= 3.3 THEN 1
+      WHEN (exp((off + {i}) * (ln(2) * power(2.0, -s)))
+            + exp((off + {i} + 1) * (ln(2) * power(2.0, -s)))) / 2 <= 7.7 THEN 2
+      ELSE 3 END"""
+
+    def exph_ingest_convert_q(spark, sf):
+        from sparkotel.operators import metricfuncs as MF
+
+        out = MF.convert_exponential_hist_to_explicit_hist(
+            _exph_lines(spark, sf), "midpoint", [0.0, 1.5, 3.3, 7.7]
+        )
+        return out.select(
+            "metric_name",
+            "ts",
+            F.array_join(F.col("bucket_counts").cast("array<string>"), ",").alias(
+                "buckets"
+            ),
+            F.col("attributes")["k"].alias("attr_k"),
+        )
+
+    q["otlpjson_exp_convert"] = Query(
+        exph_ingest_convert_q,
+        f"""WITH e AS (
+  SELECT ts, event_type AS attr_k,
+    CAST(user_id % 4 - 1 AS INT) AS s,
+    CAST(event_id % 6 - 1 AS INT) AS off,
+    CAST(event_id % 4 AS BIGINT) AS b0, CAST(user_id % 5 AS BIGINT) AS b1,
+    CAST(event_id % 3 AS BIGINT) AS b2, CAST(user_id % 3 AS BIGINT) AS zc
+  FROM events),
+t AS (SELECT *, {_EXPH_TGT_S.format(i=0)} AS t0, {_EXPH_TGT_S.format(i=1)} AS t1,
+  {_EXPH_TGT_S.format(i=2)} AS t2 FROM e)
+SELECT 'e.latency' AS metric_name, ts,
+  CAST(zc + CASE WHEN t0=0 THEN b0 ELSE 0 END + CASE WHEN t1=0 THEN b1 ELSE 0 END
+       + CASE WHEN t2=0 THEN b2 ELSE 0 END AS VARCHAR) || ',' ||
+  CAST(CASE WHEN t0=1 THEN b0 ELSE 0 END + CASE WHEN t1=1 THEN b1 ELSE 0 END
+       + CASE WHEN t2=1 THEN b2 ELSE 0 END AS VARCHAR) || ',' ||
+  CAST(CASE WHEN t0=2 THEN b0 ELSE 0 END + CASE WHEN t1=2 THEN b1 ELSE 0 END
+       + CASE WHEN t2=2 THEN b2 ELSE 0 END AS VARCHAR) || ',' ||
+  CAST(CASE WHEN t0=3 THEN b0 ELSE 0 END + CASE WHEN t1=3 THEN b1 ELSE 0 END
+       + CASE WHEN t2=3 THEN b2 ELSE 0 END AS VARCHAR) AS buckets,
+  attr_k
+FROM t""",
+    )
+
     # --- transformprocessor over the span context --------------------------
     # ottlspan paths (pkg/ottl/contexts/ottlspan/span.go: status.code,
     # status.message, instrumentation_scope.name two-segment paths) via
@@ -1928,7 +2112,7 @@ def _add_signaltometrics_queries(q: dict[str, Query]) -> None:
     CASE user_id % 4 WHEN 0 THEN 'mysql' WHEN 1 THEN 'postgresql'
          WHEN 2 THEN 'redis' ELSE 'mongodb' END
   ELSE 'none' END AS "db_system_name",
-  sum(CAST(trunc({_S2M_V}) AS BIGINT)) AS value
+  CAST(sum(CAST(trunc({_S2M_V}) AS BIGINT)) AS BIGINT) AS value
 FROM events WHERE event_type = 'error' OR event_id % 6 = 3
 GROUP BY 1, 2, 3""",
     )

@@ -411,3 +411,86 @@ def test_marshal_plans_are_bounded(spark):
         assert n <= max_shuffles, plan
         assert "SortMergeJoin" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+EXPH_LINE = (
+    '{"resourceMetrics":[{"resource":{"attributes":[{"key":"host","value":{"stringValue":"h1"}}]},'
+    '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+    '{"name":"e.lat","exponentialHistogram":{"aggregationTemporality":1,"dataPoints":['
+    '{"startTimeUnixNano":"1728069266547395000","timeUnixNano":"1728069266547395000",'
+    '"count":"7","sum":3.5,"min":0.1,"max":9.0,"scale":-1,"zeroCount":"2","zeroThreshold":0.25,'
+    '"positive":{"offset":-2,"bucketCounts":["1","0","4"]},'
+    '"negative":{"offset":3,"bucketCounts":["2"]},'
+    '"attributes":[{"key":"k","value":{"stringValue":"a"}}]},'
+    '{"timeUnixNano":"1728069266547395000","count":"0","scale":0,"zeroCount":"0"}'
+    ']}}]}]}]}'
+)
+
+
+def test_parse_exp_histograms_golden(spark):
+    """ExponentialHistogramDataPoint arm (metrics.proto oneof): scale /
+    zeroCount / zeroThreshold / both Buckets halves; a point with
+    absent halves normalizes to pdata's zero-value Buckets (offset 0,
+    empty counts)."""
+    from sparkotel.otlpjson import parse_otlp_exp_histograms
+
+    df = spark.createDataFrame([(EXPH_LINE,)], "line string")
+    rows = sorted(parse_otlp_exp_histograms(df).collect(), key=lambda r: r["count"])
+    assert len(rows) == 2
+    empty, full = rows
+    assert full["metric_name"] == "e.lat" and full["aggregation_temporality"] == 1
+    assert full["count"] == 7 and full["sum"] == 3.5
+    assert full["scale"] == -1 and full["zero_count"] == 2
+    assert full["zero_threshold"] == 0.25
+    assert full["positive_offset"] == -2
+    assert full["positive_bucket_counts"] == [1, 0, 4]
+    assert full["negative_offset"] == 3 and full["negative_bucket_counts"] == [2]
+    assert full["resource"] == {"host": "h1"} and full["attributes"] == {"k": "a"}
+    assert empty["count"] == 0 and empty["start_ts"] is None
+    assert empty["positive_offset"] == 0 and empty["positive_bucket_counts"] == []
+    assert empty["negative_offset"] == 0 and empty["negative_bucket_counts"] == []
+    assert empty["zero_threshold"] == 0.0 and empty["min"] is None
+
+
+def test_exp_histogram_marshal_roundtrip(spark):
+    """parse → to_otlp_exp_histograms_json → parse is lossless, and the
+    marshal omits zero-value Buckets halves (proto3-JSON default
+    omission)."""
+    import json as _json
+
+    from sparkotel.otlpjson import (
+        parse_otlp_exp_histograms,
+        to_otlp_exp_histograms_json,
+    )
+
+    df = spark.createDataFrame([(EXPH_LINE,)], "line string")
+    first = parse_otlp_exp_histograms(df)
+    lines = to_otlp_exp_histograms_json(first)
+    (line,) = lines.collect()
+    obj = _json.loads(line["line"])
+    dps = obj["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0][
+        "exponentialHistogram"]["dataPoints"]
+    flat = {d["count"]: d for d in dps}
+    assert "negative" not in flat["0"] and "positive" not in flat["0"]
+    assert "zeroThreshold" not in flat["0"]
+    again = parse_otlp_exp_histograms(lines)
+    key = lambda r: (r["count"], r["ts"])
+    assert sorted(first.collect(), key=key) == sorted(again.collect(), key=key)
+
+
+def test_exp_histogram_marshal_plan_bounded(spark):
+    """marshal = the two metadata-width hash folds, no sort-merge join,
+    no Python."""
+    from sparkotel.otlpjson import (
+        parse_otlp_exp_histograms,
+        to_otlp_exp_histograms_json,
+    )
+
+    df = spark.createDataFrame([(EXPH_LINE,)], "line string")
+    plan = (
+        to_otlp_exp_histograms_json(parse_otlp_exp_histograms(df))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
