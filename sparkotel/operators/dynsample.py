@@ -26,17 +26,18 @@ table does, so steps 1-3 are free):
   TraceState ``ot=th:<hex>`` annotation (threshold hex, trailing
   zeros trimmed, ``0`` = always sample).
 
-Spark shape: ONE groupBy(trace_id) computes every rule's flags, rates
-for the adaptive samplers come from window counts over (rule, key) —
-tiny cardinality — and the per-span annotation is a broadcast-style
-join back on trace_id.  No Python, no state.
+Spark shape: ONE groupBy(trace_id) computes every rule's flags; the
+adaptive samplers' per-rule scalars AND per-(rule, key) counts are both
+map-side-combined aggregates broadcast-joined back (never a window over
+a raw attribute key — hot keys would straggler); the per-span
+annotation is a join back on trace_id.  No Python, no state.
 """
 
 from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 RULE_ATTR = "otelcol.processor.dynamic_sampling.rule"
@@ -156,6 +157,39 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
             F.broadcast(scalars), traces["_rule"] == scalars["_rule_s"], "left"
         ).drop("_rule_s")
 
+        # per-(rule, key) trace counts the same scale-safe way: a
+        # map-side-combined groupBy plus a broadcast join.  A window
+        # partitioned on (rule, key) — the previous form — funnels every
+        # trace of one key into ONE task; keys are attribute values
+        # (service/route names), exactly the skewed-key shape, so a hot
+        # key at 10^9 traces is a guaranteed straggler.  The counts
+        # frame is one row per distinct key — the same cardinality bound
+        # _nkeys already assumes (adaptive goals are meaningless when
+        # keys are near-unique) — so broadcasting it is safe and leaves
+        # the trace frame unshuffled.
+        key_expr = F.lit(None).cast("string")
+        for ri, (_, _, sampler) in enumerate(parsed):
+            if sampler["type"] not in ("dynamic", "throughput"):
+                continue
+            kf = sampler.get("key_fields", []) or []
+            key = F.concat_ws(
+                "\x01", *[F.col(f"_k_{ri}_{i}") for i in range(len(kf))]
+            )
+            key_expr = F.when(F.col("_rule") == ri, key).otherwise(key_expr)
+        traces = traces.withColumn("_key", key_expr)
+        key_counts = (
+            traces.where(F.col("_key").isNotNull())
+            .groupBy("_rule", "_key")
+            .agg(F.count(F.lit(1)).alias("_count_k"))
+            .withColumnsRenamed({"_rule": "_rule_k", "_key": "_key_k"})
+        )
+        traces = traces.join(
+            F.broadcast(key_counts),
+            (traces["_rule"] == key_counts["_rule_k"])
+            & (traces["_key"] == key_counts["_key_k"]),
+            "left",
+        ).drop("_rule_k", "_key_k")
+
     # per-rule 1-in-N rate
     rate = F.lit(None).cast("double")
     for ri, (_, _, sampler) in enumerate(parsed):
@@ -168,15 +202,8 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
                 raise ValueError("sampling_percentage must be in (0, 100]")
             n = F.lit(100.0 / pct)
         elif stype in ("dynamic", "throughput"):
-            kf = sampler.get("key_fields", []) or []
-            key = F.concat_ws(
-                "\x01", *[F.col(f"_k_{ri}_{i}") for i in range(len(kf))]
-            )
-            in_rule = F.col("_rule") == ri
-            # per-key counts partition on (rule, key): every trace lands
-            # in its own rule's partition, so no null-bucket collapse
-            wk = Window.partitionBy(F.col("_rule"), key)
-            count_k = F.count(F.when(in_rule, F.lit(1))).over(wk)
+            # per-key counts joined in above (broadcast, no key shuffle)
+            count_k = F.col("_count_k")
             if stype == "dynamic":
                 g = float(sampler["goal_sampling_percentage"])
                 share = (F.col("_total") * F.lit(g / 100.0)) / F.col("_nkeys")

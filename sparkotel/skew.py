@@ -17,7 +17,7 @@ straggler partitions.  Two layers of defense:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,15 +27,17 @@ def heavy_hitters_frame(
     """Keys owning more than ``threshold_fraction`` of rows, as a frame.
 
     SINGLE pass over the input: one map-side-combined groupBy; the grand
-    total comes from a window over the (already tiny) aggregate rather
-    than a second ``df.count()`` scan.  The unpartitioned window runs on
-    the aggregate, not the input — fine for grouping keys like ``host``;
-    for a near-unique key, pre-sample (``df.sample(0.01)``) before
-    calling.
+    total comes from a two-level aggregate over the per-key counts — a
+    map-side-combined ``agg(sum)`` down to ONE row, broadcast cross-joined
+    back — never an unpartitioned window.  (The window form would funnel
+    the whole per-key frame into one task: harmless for grouping keys
+    like ``host``, a silent single-partition sort for a near-unique key
+    passed by a future caller.)
     """
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("count"))
+    total = counts.agg(F.sum("count").alias("_total"))
     return (
-        counts.withColumn("_total", F.sum("count").over(Window.partitionBy()))
+        counts.join(F.broadcast(total))
         .filter(F.col("count") > F.col("_total") * threshold_fraction)
         .drop("_total")
     )

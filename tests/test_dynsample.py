@@ -128,9 +128,10 @@ def test_validation(spark):
 
 
 def test_adaptive_plan_has_no_global_window(spark):
-    """the per-rule totals come from a broadcast scalar aggregate, not a
-    single-partition window holding every in-rule trace; the per-key
-    window partitions on (rule, key)."""
+    """the per-rule totals AND the per-(rule, key) counts come from
+    map-side-combined aggregates broadcast-joined back — no window at
+    all in the plan (a window over a raw attribute key funnels every
+    trace of a hot key into one task)."""
     import io
     from contextlib import redirect_stdout
 
@@ -148,6 +149,7 @@ def test_adaptive_plan_has_no_global_window(spark):
     plan = buf.getvalue()
     assert "BroadcastExchange" in plan
     assert "collect_set" not in plan
+    assert "Window" not in plan
     # the only SinglePartition exchange feeds the one-row scalar agg,
     # never a Window
     for i, line in enumerate(plan.splitlines()):

@@ -96,13 +96,20 @@ def test_heavy_hitters_and_salted_count(spark):
 
 def test_heavy_hitters_single_scan(spark):
     """heavy-hitter detection scans the input exactly once (no separate
-    df.count() pass) — the 10^12-row-input contract."""
+    df.count() pass) — the 10^12-row-input contract.  The grand total
+    branch must reuse the per-key groupBy exchange (ReusedExchange), and
+    no unpartitioned window may appear (it would funnel the whole
+    per-key frame into one task for a near-unique key)."""
     df = P.pages(spark, SF_DIR).select("url", "host")
-    plan = SK.heavy_hitters_frame(df, "host", 0.05)._jdf.queryExecution().optimizedPlan().toString()
+    hh = SK.heavy_hitters_frame(df, "host", 0.05)
+    hh.collect()  # finalize the adaptive plan so exchange reuse is visible
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final
     import re as _re
 
-    scans = len(_re.findall(r"Relation|LogicalRDD", plan))
-    assert scans == 1, plan
+    scans = len(_re.findall(r"Scan parquet|Scan ExistingRDD", final))
+    assert scans == 1 and "ReusedExchange" in final, final
 
 
 def test_lsh_degenerate_bucket_capped(spark):
