@@ -866,6 +866,16 @@ class Compiler:
 
             ldt, rdt = _dt(left, node.left), _dt(right, node.right)
             if isinstance(ldt, ints) and isinstance(rdt, ints):
+                # Documented divergence (error form, not value): the
+                # reference errors on x/0 wherever it occurs.  Plan-time
+                # constant folding mirrors that exactly (ZeroDivisionError
+                # at compile); a RUNTIME zero divisor yields NULL — the
+                # engine's per-row error form (non-ANSI Spark `/`), the
+                # same form every other per-row OTTL error takes here.
+                # NULL then propagates/drops per the statement's error
+                # mode, matching the reference's ignore/silent modes;
+                # callers needing propagate-parity run under ANSI mode
+                # (spark.sql.ansi.enabled), which raises instead.
                 return (lc / rc).cast("long")
         return _COLOPS[node.op](lc, rc)
 

@@ -115,7 +115,12 @@ def split_by_pattern(
     each boundary, one split + posexplode emits tokens — scan-speed,
     no UDF.  Multiline mode ((?m)) like the reference's compile.
     Caveat: source text containing NUL bytes would split spuriously
-    (NUL never appears in line-oriented logs).
+    (NUL never appears in line-oriented logs).  Documented divergence:
+    two IMMEDIATELY adjacent start-pattern matches (zero bytes between
+    them) emit two tokens here, where the reference's LineStartSplitFunc
+    merges them into one — the blanket empty-token filter below drops
+    the zero-width token between the boundaries.  Real log corpora have
+    at least a newline between records, so the shapes agree in practice.
     """
     if (line_start_pattern is None) == (line_end_pattern is None):
         raise ValueError(
@@ -125,9 +130,7 @@ def split_by_pattern(
     src = F.col(text_col)
     if line_end_pattern is not None:
         pat = f"(?m)({line_end_pattern})"
-        marked = F.regexp_replace(src, pat, "" if omit_pattern else "$1" + "\x00")
-        if omit_pattern:
-            marked = F.regexp_replace(src, pat, "\x00")
+        marked = F.regexp_replace(src, pat, "\x00" if omit_pattern else "$1" + "\x00")
     else:
         pat = f"(?m)({line_start_pattern})"
         marked = F.regexp_replace(src, pat, "\x00" + ("" if omit_pattern else "$1"))

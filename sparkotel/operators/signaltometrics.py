@@ -147,16 +147,25 @@ def signal_to_metrics(
     if d.error_mode in ("ignore", "silent"):
         base = base.where(F.col("_value").isNotNull() & F.col("_count").isNotNull())
     elif d.error_mode == "propagate":
-        # a per-record extraction error is NULL in columnar form; Spark
-        # aggregates skip NULLs implicitly for sum/gauge, but the
-        # histogram arms would count the record without bucketing it
-        # (count ≠ Σ bucket_counts).  Drop NULL extractions uniformly so
-        # every arm stays internally consistent; truly malformed
-        # EXPRESSIONS still fail at analysis time.
-        if d.metric_type in ("histogram", "exponential_histogram"):
-            base = base.where(
-                F.col("_value").isNotNull() & F.col("_count").isNotNull()
+        # README "Error Handling": propagate (the default) FAILS the
+        # pipeline when a value/count expression errors on a record.  A
+        # per-record extraction error is NULL in columnar form; letting
+        # NULL-skipping aggregates drop it would silently vanish records
+        # in the mode that promises loudness.  Surface it as a task
+        # failure: both checked columns guard on BOTH nullities so the
+        # check survives column pruning (sum/gauge never read _count).
+        ok = F.col("_value").isNotNull() & F.col("_count").isNotNull()
+        err = F.raise_error(
+            F.lit(
+                f"signaltometrics {d.name}: value/count expression produced "
+                "NULL for a record (error_mode=propagate); set "
+                "error_mode='ignore' to drop such records"
             )
+        )
+        base = base.withColumns({
+            "_value": F.when(ok, F.col("_value")).otherwise(err),
+            "_count": F.when(ok, F.col("_count")).otherwise(err).cast("long"),
+        })
     else:
         raise ValueError(f"unknown error_mode: {d.error_mode}")
     key_names = [c for c in base.columns if c not in ("_value", "_count", "_order")]

@@ -69,6 +69,11 @@ def _to_attributes_fn(rules: Sequence[str], keep_original_name: bool, break_afte
                         continue
                     sb, idx = [], 0
                     for i in range(1, rule.groups + 1):
+                        if m.start(i) == -1:
+                            # non-participating group (e.g. (?P<x>a)?b):
+                            # no submatch to extract or splice — Go's
+                            # ReplaceAllString skips -1 index pairs too
+                            continue
                         gname = rnames[i]
                         extracted[gname] = m.group(i) or ""
                         sb.append(name[idx : m.start(i)] + "{" + gname + "}")

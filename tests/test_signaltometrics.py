@@ -227,8 +227,8 @@ def test_error_mode_ignore_skips_bad_records(spark):
 
 
 def test_histogram_null_value_consistency(spark):
-    """a record whose value extraction fails (NULL) must not inflate
-    the histogram count without landing in a bucket."""
+    """in ignore mode, a record whose value extraction fails (NULL)
+    must not inflate the histogram count without landing in a bucket."""
     rows = [
         ("a", {"n": "5"}, 100, None),
         ("a", {}, 100, None),  # Int(missing) → NULL
@@ -239,6 +239,43 @@ def test_histogram_null_value_consistency(spark):
         value='Int(attributes["n"])',
         buckets=(2.0, 10.0),
         include_resource_attributes=(Attr("service.name"),),
+        error_mode="ignore",
     )
     r = signal_to_metrics(_spans(spark, rows), d).collect()[0]
     assert r["count"] == sum(r["bucket_counts"]) == 1
+
+
+def test_error_mode_propagate_fails_on_null_extraction(spark):
+    """README error handling: propagate (the default) fails the
+    pipeline on a record whose value expression errors, rather than
+    silently dropping it through NULL-skipping aggregates."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [
+        ("a", {"n": "5"}, 100, None),
+        ("a", {}, 100, None),  # Int(missing) → NULL
+    ]
+    for mt, extra in [
+        ("sum", {}),
+        ("gauge", {}),
+        ("histogram", {"buckets": (2.0, 10.0)}),
+    ]:
+        d = MetricDef(
+            name="m",
+            metric_type=mt,
+            value='Int(attributes["n"])',
+            include_resource_attributes=(Attr("service.name"),),
+            **extra,
+        )
+        with pytest.raises(SparkRuntimeException, match="error_mode=propagate"):
+            signal_to_metrics(_spans(spark, rows), d).collect()
+    # clean input under propagate still succeeds
+    d = MetricDef(
+        name="m",
+        metric_type="sum",
+        value='Int(attributes["n"])',
+        include_resource_attributes=(Attr("service.name"),),
+    )
+    out = signal_to_metrics(_spans(spark, [("a", {"n": "5"}, 100, None)]), d)
+    assert out.collect()[0]["value"] == 5

@@ -64,6 +64,25 @@ def test_to_attributes_rule_chain_and_break(spark):
     assert r["attributes"] == {"a": "123", "b": "xx"}
 
 
+def test_to_attributes_optional_group_not_participating(spark):
+    # a named group that doesn't participate in the match (optional
+    # group) must be skipped entirely — not extracted, not spliced
+    # (m.start(i) == -1 would otherwise corrupt the rewritten name)
+    df = _spans(spark, [("bar-77", {})])
+    r = span_name_to_attributes(
+        df, [r"^(?P<opt>foo)?bar-(?P<id>\d+)$"]
+    ).collect()[0]
+    assert r["name"] == "bar-{id}"
+    assert r["attributes"] == {"id": "77"}
+    # participating run of the same rule still extracts both
+    df2 = _spans(spark, [("foobar-9", {})])
+    r2 = span_name_to_attributes(
+        df2, [r"^(?P<opt>foo)?bar-(?P<id>\d+)$"]
+    ).collect()[0]
+    assert r2["name"] == "{opt}bar-{id}"
+    assert r2["attributes"] == {"opt": "foo", "id": "9"}
+
+
 def test_to_attributes_no_match_is_noop(spark):
     df = _spans(spark, [("nope", {"k": "v"})])
     r = span_name_to_attributes(df, [r"(?P<n>\d+)"]).collect()[0]
