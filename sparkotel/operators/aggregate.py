@@ -26,6 +26,7 @@ map-column hash — sidestepping the reference's content-hash grouping
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
 
@@ -303,28 +304,244 @@ def delta_to_rate(
     return df.withColumn(out, F.when(dt > 0, F.col(value_col) / dt))
 
 
+_MT_AGGS = {
+    "sum": lambda c: F.sum(c),
+    "mean": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "median": lambda c: F.median(c),
+    "count": lambda c: F.count(c).cast("double"),
+}
+
+
+def _mt_rewrite_entries(attrs_col: str, fn) -> Column:
+    """Rebuild the attribute map entry-by-entry via ``fn(entry) ->
+    struct(key, value)`` — the columnar form of a label edit."""
+    return F.map_from_entries(F.transform(F.map_entries(attrs_col), fn))
+
+
+def _mt_merge(
+    d: DataFrame,
+    agg: str,
+    metric_col: str,
+    value_col: str,
+    attrs_col: str,
+) -> DataFrame:
+    """Merge points that collide on full identity minus value — the
+    reference's dataPointHashKey (aggregateutil/aggregate.go) over a
+    flat frame: every non-value column is a group key, the attribute
+    map keyed by its canonical sorted-entries string.  One map-side-
+    combined hash aggregate; matched rows only (caller splits)."""
+    if agg not in _MT_AGGS:
+        raise ValueError(
+            f"invalid aggregation_type: {agg!r}, one of {sorted(_MT_AGGS)}"
+        )
+    canon = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(attrs_col),
+                lambda e: F.concat_ws("\x01", e.getField("key"), e.getField("value")),
+            )
+        ),
+        "\x02",
+    )
+    others = [c for c in d.columns if c not in (value_col, attrs_col)]
+    return (
+        d.groupBy(*others, canon.alias("_mt_canon"))
+        .agg(
+            _MT_AGGS[agg](value_col).alias(value_col),
+            F.first(attrs_col).alias(attrs_col),
+        )
+        .drop("_mt_canon")
+        .select(*d.columns)
+    )
+
+
 def metrics_transform(
     df: DataFrame,
     rules: Sequence[dict],
     metric_col: str = "metric",
     value_col: str = "value",
+    attrs_col: str = "attributes",
 ) -> DataFrame:
-    """metricstransformprocessor subset: ordered rename / scale rules
-    (processor/metricstransformprocessor/ metric_name update +
-    experimental_scale_value).  Each rule:
-    ``{"match": name, "new_name": str?}`` or
-    ``{"match": name, "scale": factor?}``."""
-    metric = F.col(metric_col)
-    value = F.col(value_col)
+    """metricstransformprocessor over a flat point frame
+    (processor/metricstransformprocessor/config.go transforms;
+    metrics_transform_processor_otlp.go:536-580 transformMetric).
+
+    Each rule: ``{"action": "update" | "insert" | "combine",
+    "match": name-or-regex, "match_labels": {k: v}?, "new_name": str?,
+    "operations": [...]}``; the legacy shorthand ``{"match", "new_name"?,
+    "scale"?}`` still works (action defaults to update).  Rules apply IN
+    ORDER, each seeing the previous rule's output (the reference's
+    transform loop); within a rule the rename lands first, then the
+    operations in order (transformMetric).  Operations:
+
+    - ``add_label`` (label, new_value)
+    - ``update_label`` (label, new_label?, value_actions: [{value,
+      new_value}]?)
+    - ``delete_label_value`` (label, label_value) — drops matching points
+    - ``experimental_scale_value`` (scale)
+    - ``aggregate_labels`` (label_set, aggregation_type) — keep only the
+      named labels, merge colliding points
+    - ``aggregate_label_values`` (label, aggregated_values, new_value,
+      aggregation_type) — fold the named values into one, merge
+    - ``toggle_scalar_data_type`` — int↔double flip; a no-op here (the
+      flat frame carries one double value column), kept for config parity
+
+    ``insert`` copies the matched points, renames/transforms the copy,
+    and appends it (the original passes through untouched).  ``combine``
+    matches ``match`` as an anchored regex; named capture groups become
+    labels on the combined points and the metric is renamed to
+    ``new_name`` (README combine semantics; submatch labels via
+    regexp_extract, plan-time group table from the compiled pattern).
+    ``group`` (resource-level regrouping) is out of scope for a flat
+    frame — documented divergence.
+
+    Everything except the two aggregate_* merges is pure column math;
+    the merges are one map-side-combined hash aggregate over matched
+    rows each (unmatched rows bypass via union), so a hot metric name
+    never single-tasks.
+    """
+    out = df
+    cols = list(df.columns)
     for r in rules:
-        cond = F.col(metric_col) == r["match"]
-        if "scale" in r:
-            value = F.when(cond, value * F.lit(r["scale"])).otherwise(value)
-        if "new_name" in r:
-            metric = F.when(cond, F.lit(r["new_name"])).otherwise(metric)
-    # one withColumns: both expressions (and their match conditions)
-    # resolve against the ORIGINAL metric names, not the renamed ones
-    return df.withColumns({metric_col: metric, value_col: value})
+        action = r.get("action", "update")
+        ops = list(r.get("operations") or [])
+        if "scale" in r:  # legacy shorthand
+            ops.append(
+                {"action": "experimental_scale_value", "scale": r["scale"]}
+            )
+
+        if action == "combine":
+            # Python re for the plan-time group-name table; the same
+            # pattern goes to the JVM with (?P<n> → (?<n> (Java named-
+            # group syntax) — submatch extraction itself uses indices,
+            # valid in both engines.  Anchored full match.
+            pat = re.compile(r["match"])
+            jpat = f"^(?:{r['match'].replace('(?P<', '(?<')})$"
+            m = F.col(metric_col).rlike(jpat)
+            attrs = F.col(attrs_col)
+            for gname, gidx in pat.groupindex.items():
+                val = F.regexp_extract(metric_col, jpat, gidx)
+                attrs = F.map_concat(
+                    F.map_filter(attrs, lambda k, _: k != F.lit(gname)),
+                    F.map_from_arrays(F.array(F.lit(gname)), F.array(val)),
+                )
+            work = out.where(m).withColumns(
+                {attrs_col: attrs, metric_col: F.lit(r["new_name"])}
+            )
+            passthrough = out.where(~m)
+        else:
+            m = F.col(metric_col) == r["match"]
+            for k, v in (r.get("match_labels") or {}).items():
+                m = m & F.coalesce(F.col(attrs_col)[k] == v, F.lit(False))
+
+            if action == "insert":
+                work = out.where(m)
+                passthrough = out
+            elif action == "update":
+                work = out.where(m)
+                passthrough = out.where(~m)
+            else:
+                raise ValueError(f"unknown action: {action!r}")
+
+            if r.get("new_name"):
+                work = work.withColumn(metric_col, F.lit(r["new_name"]))
+
+        for op in ops:
+            a = op["action"]
+            if a == "experimental_scale_value":
+                work = work.withColumn(
+                    value_col, F.col(value_col) * F.lit(float(op["scale"]))
+                )
+            elif a == "add_label":
+                work = work.withColumn(
+                    attrs_col,
+                    F.map_concat(
+                        F.map_filter(
+                            attrs_col, lambda k, _: k != F.lit(op["label"])
+                        ),
+                        F.map_from_arrays(
+                            F.array(F.lit(op["label"])),
+                            F.array(F.lit(op["new_value"])),
+                        ),
+                    ),
+                )
+            elif a == "update_label":
+                label = op["label"]
+                new_label = op.get("new_label") or label
+                vmap = {
+                    va["value"]: va["new_value"]
+                    for va in op.get("value_actions") or []
+                }
+
+                def _ent(e):
+                    val = e.getField("value")
+                    for old, new in vmap.items():
+                        val = F.when(
+                            (e.getField("key") == label) & (val == old),
+                            F.lit(new),
+                        ).otherwise(val)
+                    return F.struct(
+                        F.when(e.getField("key") == label, F.lit(new_label))
+                        .otherwise(e.getField("key"))
+                        .alias("key"),
+                        val.alias("value"),
+                    )
+
+                work = work.withColumn(
+                    attrs_col, _mt_rewrite_entries(attrs_col, _ent)
+                )
+            elif a == "delete_label_value":
+                work = work.where(
+                    ~F.coalesce(
+                        F.col(attrs_col)[op["label"]] == op["label_value"],
+                        F.lit(False),
+                    )
+                )
+            elif a == "aggregate_labels":
+                keep_arr = F.array(*[F.lit(k) for k in op["label_set"]])
+                work = work.withColumn(
+                    attrs_col,
+                    F.map_filter(
+                        attrs_col, lambda k, _: F.array_contains(keep_arr, k)
+                    ),
+                )
+                work = _mt_merge(
+                    work, op.get("aggregation_type", "sum"),
+                    metric_col, value_col, attrs_col,
+                )
+            elif a == "aggregate_label_values":
+                vals = F.array(*[F.lit(v) for v in op["aggregated_values"]])
+
+                label, new_value = op["label"], op["new_value"]
+
+                def _fold(e):
+                    return F.struct(
+                        e.getField("key").alias("key"),
+                        F.when(
+                            (e.getField("key") == label)
+                            & F.array_contains(vals, e.getField("value")),
+                            F.lit(new_value),
+                        )
+                        .otherwise(e.getField("value"))
+                        .alias("value"),
+                    )
+
+                work = work.withColumn(
+                    attrs_col, _mt_rewrite_entries(attrs_col, _fold)
+                )
+                work = _mt_merge(
+                    work, op.get("aggregation_type", "sum"),
+                    metric_col, value_col, attrs_col,
+                )
+            elif a == "toggle_scalar_data_type":
+                pass  # documented no-op: flat frame has one double column
+            else:
+                raise ValueError(f"unknown operation action: {a!r}")
+
+        out = passthrough.select(*cols).unionByName(work.select(*cols))
+    return out
 
 
 def metrics_generate(

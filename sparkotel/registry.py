@@ -2635,6 +2635,114 @@ def _add_operator_queries(q: dict[str, Query]) -> None:
         "FROM events",
     )
 
+    # --- metricstransform label operations ----------------------------------
+    # update_label (+value_actions) → aggregate_labels(sum);
+    # delete_label_value → add_label → aggregate_labels(mean);
+    # combine with a submatch label → aggregate_labels(count);
+    # unmatched metrics (signup) pass through untouched.
+    def mtrans_labels(spark, sf):
+        df = _events(spark, sf).select(
+            F.col("event_type").alias("metric"),
+            F.col("value"),
+            F.create_map(
+                F.lit("svc"),
+                F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string")),
+                F.lit("host"),
+                F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")),
+                F.lit("state"),
+                F.when(F.col("event_id") % 2 == 0, "used").otherwise("free"),
+            ).alias("attributes"),
+        )
+        out = A.metrics_transform(
+            df,
+            [
+                {
+                    "match": "view",
+                    "new_name": "views_by_svc",
+                    "operations": [
+                        {
+                            "action": "update_label",
+                            "label": "state",
+                            "new_label": "status",
+                            "value_actions": [
+                                {"value": "used", "new_value": "busy"}
+                            ],
+                        },
+                        {
+                            "action": "aggregate_labels",
+                            "label_set": ["svc", "status"],
+                            "aggregation_type": "sum",
+                        },
+                    ],
+                },
+                {
+                    "match": "error",
+                    "operations": [
+                        {
+                            "action": "delete_label_value",
+                            "label": "state",
+                            "label_value": "used",
+                        },
+                        {"action": "add_label", "label": "env", "new_value": "prod"},
+                        {
+                            "action": "aggregate_labels",
+                            "label_set": ["env", "host"],
+                            "aggregation_type": "mean",
+                        },
+                    ],
+                },
+                {
+                    "action": "combine",
+                    "match": r"(?P<kind>click|purchase)",
+                    "new_name": "interaction",
+                    "operations": [
+                        {
+                            "action": "aggregate_labels",
+                            "label_set": ["kind", "svc"],
+                            "aggregation_type": "count",
+                        }
+                    ],
+                },
+            ],
+        )
+        a = F.col("attributes")
+        return out.select(
+            "metric",
+            F.round("value", 6).alias("value"),
+            a["svc"].alias("svc"),
+            a["status"].alias("status"),
+            a["host"].alias("host"),
+            a["env"].alias("env"),
+            a["kind"].alias("kind"),
+        )
+
+    q["metrics_transform_labels"] = Query(
+        mtrans_labels,
+        """WITH base AS (
+  SELECT event_type AS metric, value,
+    'svc-' || CAST(user_id % 5 AS VARCHAR) AS svc,
+    'h' || CAST(user_id % 7 AS VARCHAR) AS host,
+    CASE WHEN event_id % 2 = 0 THEN 'used' ELSE 'free' END AS state
+  FROM events)
+SELECT 'views_by_svc' AS metric, round(sum(value), 6) AS value, svc,
+  CASE WHEN state = 'used' THEN 'busy' ELSE state END AS status,
+  CAST(NULL AS VARCHAR) AS host, CAST(NULL AS VARCHAR) AS env,
+  CAST(NULL AS VARCHAR) AS kind
+FROM base WHERE metric = 'view' GROUP BY svc, status
+UNION ALL
+SELECT 'error', round(avg(value), 6), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), host, 'prod', CAST(NULL AS VARCHAR)
+FROM base WHERE metric = 'error' AND state != 'used' GROUP BY host
+UNION ALL
+SELECT 'interaction', CAST(count(*) AS DOUBLE), svc, CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), metric
+FROM base WHERE metric IN ('click', 'purchase') GROUP BY svc, metric
+UNION ALL
+SELECT metric, round(value, 6), svc, CAST(NULL AS VARCHAR), host,
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM base WHERE metric = 'signup'""",
+    )
+
     # --- metricsgenerationprocessor (derived ratio metric) ------------------
     def mgen(spark, sf):
         df = _events(spark, sf).select(
