@@ -2853,8 +2853,95 @@ def apply_statement(
     raise NameError(f"OTTL editor not implemented: {name}")
 
 
+# Context inference (pkg/ottl/context_inferrer.go): the lower the index,
+# the higher the priority.  Only the contexts the engine has a path
+# table for are *selectable*; metric-rooted paths select the datapoint
+# table (the point frame carries the enclosing metric header).
+_INFER_PRIORITY = {
+    name: i
+    for i, name in enumerate([
+        "log", "exemplar", "datapoint", "metric", "spanevent", "span",
+        "profile", "scope", "instrumentation_scope", "resource",
+    ])
+}
+_INFER_TABLE = {
+    "log": "log",
+    "datapoint": "datapoint",
+    "metric": "datapoint",
+    "spanevent": "spanevent",
+    "span": "span",
+}
+
+
+def _walk_paths(node, out: list) -> None:
+    if isinstance(node, Path):
+        out.append(node)
+    elif isinstance(node, Statement):
+        _walk_paths(node.editor, out)
+        if node.where is not None:
+            _walk_paths(node.where, out)
+    elif isinstance(node, Call):
+        for a in node.args:
+            _walk_paths(a, out)
+        for v in node.kwargs.values():
+            _walk_paths(v, out)
+    elif isinstance(node, BinOp):
+        _walk_paths(node.left, out)
+        _walk_paths(node.right, out)
+    elif isinstance(node, Not):
+        _walk_paths(node.operand, out)
+    elif isinstance(node, ListLit):
+        for x in node.items:
+            _walk_paths(x, out)
+    elif isinstance(node, Index):
+        _walk_paths(node.target, out)
+        _walk_paths(node.key, out)
+    elif isinstance(node, MapLit):
+        for _, v in node.entries:
+            _walk_paths(v, out)
+    elif isinstance(node, Lambda):
+        _walk_paths(node.body, out)
+    # Lit carries no paths
+
+
+def infer_context(
+    statements: list[str] | tuple = (), conditions: list[str] | tuple = ()
+) -> str | None:
+    """Pick the narrowest OTTL context from the paths used, so configs
+    can omit the explicit context argument (pkg/ottl/context_inferrer.go
+    newPriorityContextInferrer: every path's leading segment that names
+    a known context is a candidate; the one with the highest priority —
+    lowest index in defaultContextInferPriority — wins).
+
+    Returns the ENGINE table name (``log`` / ``span`` / ``datapoint`` /
+    ``spanevent``); ``metric.*``-rooted paths infer the datapoint table.
+    Returns ``None`` when nothing pins a signal table: bare paths, or
+    paths rooted only at resource / scope / instrumentation_scope (every
+    signal frame here carries those columns, so they don't discriminate)
+    — callers apply their own fallback, mirroring the routingconnector's
+    retry with resource semantics (routingconnector/router.go:248-259).
+    The reference's function/enum-support validation pass is a no-op
+    here: the engine has ONE function registry shared by all contexts.
+    Unknown leading segments (the reference's "non-prioritized contexts")
+    are not selectable — there is no table to select."""
+    paths: list[Path] = []
+    for s in statements:
+        _walk_paths(parse_statement(s), paths)
+    for c in conditions:
+        _walk_paths(parse_expr(c), paths)
+    best: tuple[int, str] | None = None
+    for p in paths:
+        head = p.parts[0] if p.parts else None
+        if not isinstance(head, str):
+            continue
+        pr = _INFER_PRIORITY.get(head)
+        if pr is not None and (best is None or pr < best[0]):
+            best = (pr, head)
+    return _INFER_TABLE.get(best[1]) if best else None
+
+
 def apply_statements(
-    df: DataFrame, statements: list[str], ctx: str = "log"
+    df: DataFrame, statements: list[str], ctx: str | None = "log"
 ) -> DataFrame:
     """transformprocessor: ordered statement sequence
     (processor/transformprocessor/internal/logs/processor.go:53-67).
@@ -2862,7 +2949,17 @@ def apply_statements(
     ``span`` (trace pipelines, ottlspan paths over parse_otlp_traces'
     frame), ``datapoint`` (metric pipelines, ottldatapoint paths over
     parse_otlp_metrics' frame), or ``spanevent`` (ottlspanevent paths
-    over parse_otlp_spanevents' frame, span.* parent paths included)."""
+    over parse_otlp_spanevents' frame, span.* parent paths included).
+    ``ctx=None`` infers the context from the statements' paths
+    (``infer_context``); statements whose paths don't pin a context
+    need the explicit argument."""
+    if ctx is None:
+        ctx = infer_context(statements)
+        if ctx is None:
+            raise ValueError(
+                "cannot infer OTTL context: no path names a known context "
+                "(log/span/datapoint/metric/spanevent) — pass ctx= explicitly"
+            )
     for s in statements:
         df = apply_statement(df, s, ctx=ctx)
     return df

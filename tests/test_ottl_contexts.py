@@ -263,3 +263,62 @@ def test_parse_otlp_spanevents(spark):
     assert rows[0]["attributes"] == {"k": "v"}
     assert rows[0]["span_name"] == "op" and rows[0]["status_code"] == 1
     assert rows[0]["resource"] == {"service.name": "svc"}
+
+
+def test_infer_context_priority_table(spark):
+    """mirror of pkg/ottl/context_inferrer_test.go rows that map onto
+    the engine's selectable tables (log/span/datapoint/spanevent):
+    highest-priority path context wins; metric.* infers datapoint;
+    bare or resource-only paths leave the context undetermined."""
+    from sparkotel.expr import infer_context
+
+    # spanevent outranks span and resource (test row 55-56)
+    assert (
+        infer_context(["set(span.foo, resource.value) where spanevent.bar == true"])
+        == "spanevent"
+    )
+    # same-context statements (row 91-92)
+    assert infer_context(["set(span.foo, true) where span.bar == true"]) == "span"
+    # metric paths select the datapoint table (rows 97-103)
+    assert (
+        infer_context(['set(metric.is_foo, true) where metric.name == "foo"'])
+        == "datapoint"
+    )
+    # datapoint outranks metric and span
+    assert (
+        infer_context(["set(datapoint.value_double, 1.0) where span.kind == 2"])
+        == "datapoint"
+    )
+    # log outranks everything
+    assert infer_context(["set(log.body, span.name)"]) == "log"
+    # bare paths: no candidate (row 74-75)
+    assert infer_context(["set(foo, true) where bar == true"]) is None
+    # resource/scope-only paths don't pin a signal table (engine scoping;
+    # the reference would select the resource context itself)
+    assert infer_context(['set(resource.attributes["a"], "b")']) is None
+    # conditions-only inference (inferFromConditions)
+    assert infer_context(conditions=["span.status.code == 2"]) == "span"
+    # paths inside converter args and list literals are seen
+    assert (
+        infer_context(['set(log.attributes["x"], Concat([span.name, "a"], "-"))'])
+        == "log"
+    )
+
+
+def test_apply_statements_infers_context(spark):
+    """ctx=None end-to-end: the span table is inferred and the existing
+    explicit-ctx result is reproduced; uninferrable statements raise."""
+    import pytest
+
+    from sparkotel.expr import apply_statements
+
+    df = spark.createDataFrame(
+        [("s1", 2, {"k": "v"})],
+        "name string, kind int, attributes map<string,string>",
+    )
+    stmts = ['set(span.name, "renamed") where span.kind == 2']
+    inferred = apply_statements(df, stmts, ctx=None).collect()
+    explicit = apply_statements(df, stmts, ctx="span").collect()
+    assert inferred == explicit and inferred[0]["name"] == "renamed"
+    with pytest.raises(ValueError, match="cannot infer OTTL context"):
+        apply_statements(df, ['set(attributes["a"], "b")'], ctx=None)
