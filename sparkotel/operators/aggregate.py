@@ -101,6 +101,15 @@ def connector_metrics_single_pass(
     post-aggregation) was tried and measured 2-3x SLOWER at local[32]
     (wider structs + wider hash keys beat the per-row concat cost), so
     the per-row canonical string stays.
+
+    Profiled again round 4 (bench's flat "aggregates" stage): over the
+    recomputed pipeline at local[32]/500k docs, route-only = 1.04 s,
+    this aggregate = 1.27 s — marginal cost ≈ 0.23 s; an int-def-index
+    variant (struct carries an int, sink/metric names broadcast-joined
+    back post-agg) measured 1.53 s, SLOWER — the two literal-string key
+    columns are effectively free in the hash aggregate while the extra
+    join is not.  The stage's apparent flatness across rounds is the
+    deliberate no-cache pipeline recompute, not aggregate cost.
     """
     copy_conds = copy_conds or {}
     entries = []

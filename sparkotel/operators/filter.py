@@ -44,6 +44,28 @@ def filter_drop(df: DataFrame, conditions: Sequence[Column | str]) -> DataFrame:
     return df.filter(~F.coalesce(drop, F.lit(False)))
 
 
+def stanza_filter(
+    df: DataFrame,
+    condition: Column | str,
+    drop_ratio: float = 1.0,
+    key: str = "doc_id",
+) -> DataFrame:
+    """stanza filter transformer: DROP entries matching the expression;
+    with ``drop_ratio`` < 1 only that fraction of matching entries drops
+    (operator/transformer/filter/transformer.go:26-99 —
+    ``rand.Float64() < dropCutoff``).  The rand draw is a deterministic
+    Weyl-multiplier bucket on ``key`` here, reproducible across runs and
+    cluster sizes (and in the DuckDB oracle); NULL conditions keep the
+    row (expr-error → no-drop)."""
+    if not 0.0 < drop_ratio <= 1.0:
+        raise ValueError(f"drop_ratio must be in (0, 1]: {drop_ratio}")
+    cond = F.coalesce(_cond(df, condition), F.lit(False))
+    if drop_ratio >= 1.0:
+        return df.filter(~cond)
+    bucket = F.pmod(F.col(key) * F.lit(2654435761), F.lit(10000))
+    return df.filter(~(cond & (bucket < F.lit(int(drop_ratio * 10000)))))
+
+
 def filter_min_severity(df: DataFrame, min_severity: int, col: str = "severity_number") -> DataFrame:
     """Legacy include-matcher min-severity (filterprocessor severity_number)."""
     return df.filter(F.col(col) >= F.lit(min_severity))

@@ -473,3 +473,31 @@ def test_split_by_pattern(spark):
         split_by_pattern(df)
     with _p.raises(ValueError):
         split_by_pattern(df, line_start_pattern="a", line_end_pattern="b")
+
+
+def test_stanza_filter_drop_ratio(spark):
+    """transformer.go:26-99: matching entries drop; drop_ratio < 1 drops
+    only the (deterministic-hash) fraction; NULL condition keeps."""
+    import pytest
+
+    from sparkotel.operators.filter import stanza_filter
+
+    df = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "error").otherwise("ok").alias("event_type"),
+    )
+    # ratio 1.0: every matching row drops
+    full = stanza_filter(df, 'event_type == "error"', key="event_id")
+    assert full.count() == 500
+    assert full.where(F.col("event_type") == "error").count() == 0
+    # ratio 0.5: roughly half the matching rows drop, non-matching all kept
+    half = stanza_filter(df, 'event_type == "error"', drop_ratio=0.5, key="event_id")
+    kept_err = half.where(F.col("event_type") == "error").count()
+    assert 150 < kept_err < 350
+    assert half.where(F.col("event_type") == "ok").count() == 500
+    # deterministic: same rows every run
+    assert sorted(r["event_id"] for r in half.collect()) == sorted(
+        r["event_id"] for r in half.collect()
+    )
+    with pytest.raises(ValueError, match="drop_ratio"):
+        stanza_filter(df, 'event_type == "error"', drop_ratio=0.0)
