@@ -201,3 +201,67 @@ def test_streaming_otlpjson_source_equals_batch(spark, tmp_path):
     # append mode emits only watermark-closed windows; every emitted
     # window must match the batch result exactly
     assert got and all(want[k] == v for k, v in got.items())
+
+
+def test_streaming_exp_histogram_source_equals_batch(spark, tmp_path):
+    """the exponentialHistogram ingest arm is the same stateless
+    from_json + explode shape, so it runs unchanged over a file stream:
+    readStream.text -> parse_otlp_exp_histograms -> watermarked windowed
+    bucket-mass sums == the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from sparkotel.otlpjson import parse_otlp_exp_histograms
+
+    src = str(tmp_path / "exph_in")
+    P.load_tables(spark, SF_DIR, ["events"])
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    lines = spark.table("events").select(
+        F.format_string(
+            '{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":['
+            '{"scope":{"name":"g"},"metrics":[{"name":"e.lat",'
+            '"exponentialHistogram":{"aggregationTemporality":1,"dataPoints":['
+            '{"timeUnixNano":"%d","count":"%d","scale":1,"zeroCount":"%d",'
+            '"positive":{"offset":0,"bucketCounts":["%d","%d"]}}]}}]}]}]}',
+            tus * 1000,
+            F.col("event_id") % 7,
+            F.col("user_id") % 3,
+            F.col("event_id") % 4,
+            F.col("user_id") % 5,
+        ).alias("value")
+    )
+    lines.coalesce(1).write.mode("overwrite").text(src)
+
+    def agg(df):
+        return (
+            parse_otlp_exp_histograms(df, line_col="value")
+            .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_tz", "2 hours")
+            .groupBy(F.window("ts_tz", "6 hours"), "scale")
+            .agg(
+                F.sum("zero_count").alias("zeros"),
+                F.sum(F.aggregate(
+                    "positive_bucket_counts",
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )).alias("mass"),
+            )
+        )
+
+    stream = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(src)
+    out = str(tmp_path / "exph_out")
+    q = (
+        agg(stream)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "exph_ck"))
+        .outputMode("append")
+        .format("parquet")
+        .start(out)
+    )
+    q.awaitTermination(300)
+    key = lambda r: (r["window"]["start"], r["scale"])
+    got = {key(r): (r["zeros"], r["mass"]) for r in spark.read.parquet(out).collect()}
+    want = {key(r): (r["zeros"], r["mass"]) for r in agg(spark.read.text(src)).collect()}
+    # append mode emits only watermark-closed windows; every emitted
+    # window must match the batch result exactly
+    assert got and all(want[k] == v for k, v in got.items())
+    assert len(got) >= len(want) - 1  # at most the unclosed tail window differs
