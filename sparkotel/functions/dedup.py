@@ -319,3 +319,157 @@ SELECT p.id_a, p.id_b,
         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
 FROM pairs p JOIN sets a ON p.id_a = a.doc_id JOIN sets b ON p.id_b = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# standalone n-gram Jaccard near-dup join (prefix filtering, exact)
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold as a rational num/den so the prefix length and the
+# final >= comparison are INTEGER-exact in both engines (0.6*n style
+# float math can disagree between Spark and DuckDB at representation
+# edges).
+JACCARD_NUM = 1
+JACCARD_DEN = 2  # threshold = 0.5
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num: int = JACCARD_NUM,
+    den: int = JACCARD_DEN,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08 — public algorithm).
+
+    Unlike ``minhash_lsh_pairs`` (probabilistic candidates) this is an
+    EXACT similarity self-join: for Jaccard(a, b) >= t, a and b must
+    share at least one n-gram inside each other's prefix of length
+    ``|s| - ceil(t*|s|) + 1`` when every set is ordered by one global
+    total order — ascending document frequency (rarest first), ties by
+    the gram itself.  So candidates come from an equi-join on PREFIX
+    grams only; everything else is provably below threshold.  No false
+    negatives (up to the degenerate-bucket cap, same documented trade
+    as LSH).
+
+    Scale shape:
+    - ONE groupBy(gram) for global document frequencies (map-side
+      combinable), one shuffle join to attach them, one per-doc
+      row_number window (partitioned by doc id — doc-level parallelism,
+      n-grams per doc bounded, no skew);
+    - prefix grams are the ONLY thing that self-matches; the rarest-
+      first order drives candidate buckets toward size 1-2, and the
+      ``max_bucket`` window cap bounds a degenerate corpus exactly like
+      minhash_lsh_pairs does;
+    - pair generation is per-bucket array combinatorics on the
+      collect_list'd (id, n) structs — the groupBy reuses the cap
+      window's partitioning, so no extra Exchange and no self-join
+      re-scan;
+    - verification joins the (id -> gram set) table only for surviving
+      candidates, never all-pairs.
+
+    Reference anchor: the logdedup/minhash family has no exact-join
+    counterpart in the reference — this is a brief-mandated
+    training-data extension (SURVEY 2.16).
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(F.array_distinct(shingles(F.col(text_col)))).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tok = sets.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("dfq"))
+    ranked = tok.join(dfreq, "g").withColumn(
+        "rk", F.row_number().over(Window.partitionBy("id").orderBy("dfq", "g"))
+    )
+    # prefix length = n - ceil(t*n) + 1; ceil(num*n/den) via integer DIV
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr(f"(({num} * n + {den} - 1) DIV {den})") + 1
+    ).select("id", "n", "g")
+    w = Window.partitionBy("g")
+    capped = (
+        prefix.withColumn("_b", F.count(F.lit(1)).over(w))
+        .filter((F.col("_b") <= max_bucket) & (F.col("_b") > 1))
+        .drop("_b")
+    )
+    members = F.array_sort(F.collect_list(F.struct("id", "n")))
+    buckets = capped.groupBy("g").agg(members.alias("ms"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    y.getField("id").alias("id_b"),
+                    x.getField("n").alias("n_a"),
+                    y.getField("n").alias("n_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        # length filter: Jaccard >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+        .filter(
+            F.lit(num) * F.greatest("p.n_a", "p.n_b")
+            <= F.lit(den) * F.least("p.n_a", "p.n_b")
+        )
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size(F.array_union("a.sh", "b.sh"))
+    return (
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
+        .filter(F.lit(den) * inter >= F.lit(num) * union)
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+    )
+
+
+def duck_ngram_jaccard_pairs(
+    table: str = "documents",
+    num: int = JACCARD_NUM,
+    den: int = JACCARD_DEN,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> str:
+    return f"""
+WITH sets AS (
+  SELECT doc_id AS id, list_sort(list_distinct({duck_shingles()})) AS sh
+  FROM {table}
+  WHERE len(list_distinct({duck_shingles()})) > 0
+),
+tok AS (SELECT id, len(sh) AS n, unnest(sh) AS g FROM sets),
+dfreq AS (SELECT g, count(*) AS dfq FROM tok GROUP BY g),
+ranked AS (
+  SELECT id, n, g,
+         row_number() OVER (PARTITION BY id ORDER BY dfq, g) AS rk
+  FROM tok JOIN dfreq USING (g)
+),
+prefix AS (
+  SELECT id, n, g FROM ranked
+  WHERE rk <= n - (({num} * n + {den} - 1) // {den}) + 1
+),
+capped AS (
+  SELECT id, n, g FROM (
+    SELECT *, count(*) OVER (PARTITION BY g) AS b FROM prefix
+  ) WHERE b <= {max_bucket} AND b > 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b
+    ON a.g = b.g AND a.id < b.id
+   AND {num} * greatest(a.n, b.n) <= {den} * least(a.n, b.n)
+)
+SELECT c.id_a, c.id_b,
+  round(len(list_intersect(x.sh, y.sh)) /
+        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE), 6) AS jaccard
+FROM cand c JOIN sets x ON c.id_a = x.id JOIN sets y ON c.id_b = y.id
+WHERE {den} * len(list_intersect(x.sh, y.sh)) >=
+      {num} * len(list_distinct(list_concat(x.sh, y.sh)))
+"""

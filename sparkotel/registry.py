@@ -264,7 +264,7 @@ FROM res""",
         "s2m_exp_histogram",
         "dynamic_sampling",
         "span_name_ops",
-        "recombine",
+        "dedup_ngram_jaccard",
         # B: never driver-checked before r4
         "otlpjson_metrics_roundtrip",
         "agg_count_spans",
@@ -3706,6 +3706,13 @@ FROM qv""",
         ),
         D.duck_jaccard_pairs(),
     )
+    # standalone EXACT similarity self-join (PPJoin prefix filtering) —
+    # the brief's "n-gram Jaccard" dedup arm as a first-class operator,
+    # distinct from the probabilistic MinHash-LSH candidate path
+    q["dedup_ngram_jaccard"] = Query(
+        lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
+        D.duck_ngram_jaccard_pairs(),
+    )
     q["ann_cosine_topk"] = Query(
         lambda spark, sf: SIM.brute_force_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),
         SIM.duck_brute_force_topk([0, 1, 2, 3, 4]),
@@ -3733,15 +3740,36 @@ FROM qv""",
         ),
         SIM.duck_ivf_kmeans_topk([0, 1, 2, 3, 4], iters=2),
     )
-    # multimodal plumbing: binary column + mapInPandas — rows-only check
-    # (DuckDB can't replay the Arrow-batch stub path).  The features
-    # array is JSON-serialized: the driver's rows-only canonicalizer
-    # sorts in pandas, which cannot hash list cells.
+    # multimodal plumbing: binary column + mapInPandas.  The stub codec's
+    # fake features are deterministic byte math on the (ASCII) synthetic
+    # payload — [len, sum(prefix64) % 997, first byte, last byte of
+    # prefix] — so DuckDB CAN replay them from the text column, turning
+    # the r1-r3 rows-only check into a full value-hash oracle.  The
+    # feature vector is projected to scalar double columns (array cells
+    # don't hash portably across the pandas canonicalizer).
     q["multimodal_features"] = Query(
-        lambda spark, sf: MM.extract_features(P.pages(spark, sf)).withColumn(
-            "features", F.to_json("features")
+        lambda spark, sf: MM.extract_features(P.pages(spark, sf)).select(
+            "url",
+            "media_type",
+            "n_bytes",
+            F.col("features")[0].alias("f_len"),
+            F.col("features")[1].alias("f_sum"),
+            F.col("features")[2].alias("f_first"),
+            F.col("features")[3].alias("f_last"),
         ),
-        None,
+        f"""
+WITH p AS ({P.duckdb_pages_sql()}),
+s AS (SELECT url, '<html><body>' || text || '</body></html>' AS s FROM p)
+SELECT url, 'html' AS media_type,
+  CAST(length(s) AS BIGINT) AS n_bytes,
+  CAST(length(s) AS DOUBLE) AS f_len,
+  CAST(list_sum(list_transform(range(1, least(length(s), 64) + 1),
+                               i -> ascii(substring(s, CAST(i AS INT), 1)))) % 997
+       AS DOUBLE) AS f_sum,
+  CAST(ascii(substring(s, 1, 1)) AS DOUBLE) AS f_first,
+  CAST(ascii(substring(s, least(length(s), 64), 1)) AS DOUBLE) AS f_last
+FROM s
+""",
     )
     # magic-byte sniff + byte length: native expressions only, so DuckDB
     # can mirror it exactly on the same synthetic html payload

@@ -73,11 +73,18 @@ def test_runner_kill_resume(spark, tmp_path):
 
 def test_correctness_window_is_oracle_checked():
     """the driver records the first 50 registry queries; every one of
-    those slots must carry a DuckDB oracle (rows-only checks live at
-    the tail where the weaker check costs nothing)."""
+    those slots must carry a DuckDB oracle, except an explicit
+    allowlist of rows-only-BY-DESIGN queries rotated in so they get at
+    least one (weaker, rows-only) driver row — VERDICT r3 item #2.  A
+    typo'd window entry still fails loudly."""
     from sparkotel.registry import build_registry
 
+    # isolation_forest: model training, not SQL-expressible (iforest.py
+    # docstring); pytest carries determinism/recall evidence instead.
+    rows_only_by_design = {"isolation_forest"}
     reg = build_registry()
     window = list(reg)[:50]
-    missing = [n for n in window if reg[n].oracle is None]
+    missing = [
+        n for n in window if reg[n].oracle is None and n not in rows_only_by_design
+    ]
     assert not missing, missing

@@ -395,3 +395,59 @@ def test_quantize_int8_roundtrip(spark):
     assert max(abs(q) for q in r["q_vec"]) == 127
     for orig, q in zip([0.6, -0.8, 0.0, 0.0], r["q_vec"]):
         assert abs(q * r["q_scale"] - orig) <= r["q_scale"] / 2 + 1e-9
+
+
+def _py_shingles(text: str, w: int = 5) -> set[str]:
+    ws = text.split(" ")
+    if len(ws) < w:
+        return set()
+    return {" ".join(ws[i : i + w]) for i in range(len(ws) - w + 1)}
+
+
+def test_ngram_jaccard_exact_vs_brute_force(spark):
+    """prefix filtering is EXACT: operator output == brute-force
+    all-pairs Jaccard >= 1/2 on the same shingle definition (no false
+    negatives from the prefix, no false positives from the candidates)."""
+    from sparkotel.functions import dedup as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: base,
+        1: base,  # identical -> J=1
+        2: base + " lambda",  # high overlap
+        3: "alpha beta gamma delta epsilon " + "mu nu xi omicron pi rho",
+        4: "totally different words with no shared five gram at all here",
+        5: "alpha beta gamma delta epsilon zeta eta theta iota sigma",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    sets = {i: _py_shingles(t) for i, t in texts.items()}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.5:
+                    want[(a, b)] = round(j, 6)
+    assert got == want and want  # non-trivial expectation
+
+
+def test_ngram_jaccard_degenerate_bucket_capped(spark):
+    """identical-doc floods hit the bucket cap, not O(n^2) pairs."""
+    from sparkotel.functions import dedup as D
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears in every document here").alias("text"),
+    )
+    assert D.ngram_jaccard_pairs(docs, max_bucket=50).count() == 0
+    small = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text appears in every document here").alias("text"),
+    )
+    assert D.ngram_jaccard_pairs(small, max_bucket=50).count() == 28
