@@ -473,3 +473,121 @@ FROM cand c JOIN sets x ON c.id_a = x.id JOIN sets y ON c.id_b = y.id
 WHERE {den} * len(list_intersect(x.sh, y.sh)) >=
       {num} * len(list_distinct(list_concat(x.sh, y.sh)))
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster formation: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """large-star round: every node's strictly-larger neighbors attach
+    to the minimum of its closed neighborhood."""
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("src")).alias("m")
+    return (
+        sym.join(mins, "src")
+        .select(F.col("dst").alias("u"), m)
+        .filter(F.col("u") > F.col("m"))
+        .select(F.col("u").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """small-star round: orient larger→smaller; every node's smaller
+    neighbors (and the node) attach to the smallest of them."""
+    o = e.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    attach = o.join(mins, "u").select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    center = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return attach.union(center).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 30, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, root) for every node in ``edges``; root = component min.
+
+    Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm):
+    converges in O(log n) rounds on ANY graph shape, unlike naive
+    min-label propagation whose round count is the graph diameter (a
+    duplicate chain a~b~c~... would need O(n) rounds).  Each round is
+    two map-side-combinable groupBy(node) aggregates + a join — no
+    collect_list of whole components on one executor, so a 10^8-member
+    boilerplate cluster never materializes on a single task (its hub
+    edges spread across the star's HashAggregate partitions).
+
+    ``localCheckpoint`` after every round cuts the iterative lineage —
+    without it round k's plan re-derives rounds 1..k-1 and the job DAG
+    grows quadratically.  Convergence = edge set unchanged over a full
+    small+large round (set equality via EXCEPT both ways, metadata-cheap
+    at O(log n) total rounds).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nxt = _large_star(_small_star(e)).localCheckpoint()
+        changed = (
+            nxt.exceptAll(e).limit(1).count() > 0
+            or e.exceptAll(nxt).limit(1).count() > 0
+        )
+        e = nxt
+        if not changed:
+            break
+    # fixpoint is a disjoint union of stars centered at component minima
+    o = e.select(F.greatest("src", "dst").alias("node"), F.least("src", "dst").alias("root"))
+    centers = o.select(F.col("root").alias("node"), F.col("root").alias("root")).distinct()
+    return o.union(centers).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """every document labeled with its duplicate-cluster id (= min doc
+    id of the connected component of near-dup pairs; singletons are
+    their own cluster) and a keeper flag — the decision output a corpus
+    dedup pipeline feeds to the export stage."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    roots = connected_components(edges)
+    return (
+        df.select(F.col(id_col))
+        .join(roots, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("root", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def duck_dedup_clusters(table: str = "documents") -> str:
+    """oracle: min reachable id via a recursive CTE (terminates because
+    UNION deduplicates the (node, label) walk frontier)."""
+    return f"""
+WITH RECURSIVE pairs AS ({duck_minhash_lsh_pairs(table)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, lbl) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.node
+),
+roots AS (
+  SELECT node, least(min(lbl), node) AS root FROM walk GROUP BY node
+)
+SELECT d.doc_id,
+  coalesce(r.root, d.doc_id) AS cluster_id,
+  d.doc_id = coalesce(r.root, d.doc_id) AS is_keeper
+FROM {table} d LEFT JOIN roots r ON d.doc_id = r.node
+"""

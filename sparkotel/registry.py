@@ -290,7 +290,10 @@ FROM res""",
         "pack_sequences",
         "multimodal_frame_sample",
         "embedding_prep",
-        "dedup_minhash_signature",
+        # dedup_minhash_signature (double-green r1+r3) yields its slot to
+        # the new cluster-formation stage, which consumes the same
+        # signature/LSH path end-to-end
+        "dedup_clusters",
         "dedup_minhash_lsh_pairs",
         "ann_cosine_topk",
         "embedding_near_dup",
@@ -3712,6 +3715,14 @@ FROM qv""",
     q["dedup_ngram_jaccard"] = Query(
         lambda spark, sf: D.ngram_jaccard_pairs(_docs(spark, sf)),
         D.duck_ngram_jaccard_pairs(),
+    )
+    # cluster formation: large-star/small-star connected components over
+    # the LSH pairs, keeper = component-min doc; oracle = recursive CTE
+    q["dedup_clusters"] = Query(
+        lambda spark, sf: D.dedup_clusters(
+            _docs(spark, sf), D.minhash_lsh_pairs(_docs(spark, sf))
+        ),
+        D.duck_dedup_clusters(),
     )
     q["ann_cosine_topk"] = Query(
         lambda spark, sf: SIM.brute_force_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),

@@ -451,3 +451,47 @@ def test_ngram_jaccard_degenerate_bucket_capped(spark):
         F.lit("the same boilerplate text appears in every document here").alias("text"),
     )
     assert D.ngram_jaccard_pairs(small, max_bucket=50).count() == 28
+
+
+def test_connected_components_chain_logarithmic(spark):
+    """a 64-node path graph (diameter 63) converges inside the
+    star-round budget — evidence the alternation is O(log n) rounds,
+    not O(diameter) like naive label propagation."""
+    from sparkotel.functions import dedup as D
+
+    edges = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    roots = {r.node: r.root for r in D.connected_components(edges, max_iters=10).collect()}
+    assert roots == {i: 0 for i in range(64)}
+
+
+def test_connected_components_multi_component(spark):
+    """disjoint components each resolve to their own minimum; edge
+    direction and duplicates don't matter."""
+    from sparkotel.functions import dedup as D
+
+    raw = [(5, 3), (3, 5), (3, 8), (20, 21), (21, 20), (30, 31), (31, 32), (32, 30)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    roots = {r.node: r.root for r in D.connected_components(edges).collect()}
+    assert roots == {3: 3, 5: 3, 8: 3, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_dedup_clusters_keepers(spark):
+    """cluster id = component min; singletons keep themselves; exactly
+    one keeper per cluster."""
+    from sparkotel.functions import dedup as D
+
+    docs = spark.range(7).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 4), (4, 6), (1, 2)], "id_a long, id_b long"
+    )
+    rows = D.dedup_clusters(docs, pairs).collect()
+    got = {r.doc_id: (r.cluster_id, r.is_keeper) for r in rows}
+    assert got == {
+        0: (0, True), 4: (0, False), 6: (0, False),
+        1: (1, True), 2: (1, False),
+        3: (3, True), 5: (5, True),
+    }
+    keepers = [d for d, (c, k) in got.items() if k]
+    assert sorted(keepers) == sorted({c for c, _ in got.values()})
