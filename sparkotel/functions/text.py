@@ -289,3 +289,236 @@ SELECT doc_id,
   len(list_distinct(sh)) AS n_shingles
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (top-n-gram / duplicated-n-gram char fractions)
+# ---------------------------------------------------------------------------
+
+# the Gopher paper's repetition filters (Rae et al., "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", 2021 —
+# public): fraction of characters inside (a) the single most frequent
+# word n-gram for small n, (b) all word n-grams that occur more than
+# once for larger n.  Char count of a gram = its rendered length
+# including inter-word spaces; denominator = document char length.
+REP_TOP_NS = (2, 3, 4)
+REP_DUP_NS = (5, 10)
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, top{2,3,4}_char_frac, dup{5,10}_char_frac).
+
+    Scale shape: ONE explode producing (id, n, gram) tagged structs for
+    all five n in a single scan, then two map-side-combinable hash
+    aggregates — groupBy(id, n, gram) counts, groupBy(id, n) reductions
+    — and a 5-value pivot.  Gram keys are (doc-local x n-gram), so the
+    shuffle is uniformly distributed no matter how skewed the corpus;
+    nothing per-doc is quadratic (the naive per-row array approach is
+    O(grams^2) inside one task — this form is O(grams) per task and
+    parallel across docs).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("bigint")
+    ns = (*REP_TOP_NS, *REP_DUP_NS)
+    # NB: the tagging lambda must be unary — pyspark treats a 2-arg
+    # transform lambda as (element, index), so a `n=n` default would
+    # silently bind n to the array index
+    def _tag(n: int) -> Column:
+        return F.transform(
+            shingles(c, n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        )
+
+    tagged = F.flatten(F.array(*[_tag(n) for n in ns]))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        F.explode(tagged).alias("t"),
+    )
+    cnt = base.groupBy(
+        "id", "n_chars", F.col("t.n").alias("n"), F.col("t.g").alias("g")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        cnt.groupBy("id", "n_chars", "n")
+        .agg(
+            # lexicographic struct max = deterministic argmax by
+            # (count, length, gram); ties on (count, length) give equal
+            # char fractions whichever gram wins
+            F.max(
+                F.struct(F.col("cnt"), F.length("g").alias("l"), F.col("g"))
+            ).alias("top"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_chars"),
+        )
+        .select(
+            "id",
+            "n",
+            F.round(F.col("top.cnt") * F.col("top.l") / F.col("n_chars"), 6).alias(
+                "topf"
+            ),
+            F.round(F.col("dup_chars") / F.col("n_chars"), 6).alias("dupf"),
+        )
+    )
+    piv = (
+        per.groupBy("id")
+        .pivot("n", list(ns))
+        .agg(F.first("topf").alias("topf"), F.first("dupf").alias("dupf"))
+    )
+    out = df.select(F.col(id_col)).join(piv, F.col(id_col) == F.col("id"), "left")
+    sel = [F.col(id_col)]
+    for n in REP_TOP_NS:
+        sel.append(
+            F.coalesce(F.col(f"{n}_topf"), F.lit(0.0)).alias(f"top{n}_char_frac")
+        )
+    for n in REP_DUP_NS:
+        sel.append(
+            F.coalesce(F.col(f"{n}_dupf"), F.lit(0.0)).alias(f"dup{n}_char_frac")
+        )
+    return out.select(*sel)
+
+
+def duck_repetition(table: str = "documents") -> str:
+    ns = (*REP_TOP_NS, *REP_DUP_NS)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, n_chars, {n} AS n, unnest({duck_shingles('text', n)}) AS g "
+        f"FROM d"
+        for n in ns
+    )
+    tops = ",\n  ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN "
+        f"round(top.c * top.l / CAST(p.n_chars AS DOUBLE), 6) END), 0.0) "
+        f"AS top{n}_char_frac"
+        for n in REP_TOP_NS
+    )
+    dups = ",\n  ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN "
+        f"round(dup_chars / CAST(p.n_chars AS DOUBLE), 6) END), 0.0) "
+        f"AS dup{n}_char_frac"
+        for n in REP_DUP_NS
+    )
+    return f"""
+WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, text FROM {table}),
+g AS ({arms}),
+c AS (SELECT doc_id, n_chars, n, g, count(*) AS cnt FROM g GROUP BY doc_id, n_chars, n, g),
+p AS (
+  SELECT doc_id, n_chars, n,
+         max({{'c': cnt, 'l': length(g), 'g': g}}) AS top,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dup_chars
+  FROM c GROUP BY doc_id, n_chars, n
+)
+SELECT d.doc_id,
+  {tops},
+  {dups}
+FROM d LEFT JOIN p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-span scrubbing (ExactSubstr-flavored)
+# ---------------------------------------------------------------------------
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SHINGLE_W,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document boilerplate spans: any word w-gram present
+    in >= ``min_docs`` DISTINCT documents is treated as duplicated
+    training text (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22 — the suffix-array ExactSubstr idea
+    re-expressed as a distributed n-gram frequency join), and every
+    word covered by a flagged occurrence is dropped from the document.
+
+    Returns (id, clean_text, n_words_removed).
+
+    Scale shape: one explode to (id, pos, gram); distinct-doc counts
+    per gram are two combinable hash aggregates; flagged grams join
+    back by key (the flagged set is the OUTPUT of a frequency filter,
+    so a hot boilerplate gram costs one aggregate row — not a fan-out);
+    per-doc start positions are a bounded collect_list (<= grams per
+    doc); the rewrite is a pure projection (indexed array filter, JVM
+    codegen).  Grams shuffle as strings for oracle-exactness — swap
+    ``g`` for ``h60(g)`` to halve shuffle width when collisions are
+    acceptable.
+    """
+    ws = words(F.col(text_col))
+    empty = F.array().cast("array<struct<pos:int,g:string>>")
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.size(ws) >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - (w - 1)),
+                    lambda i: F.struct(
+                        i.cast("int").alias("pos"),
+                        F.concat_ws(" ", F.slice(ws, i, w)).alias("g"),
+                    ),
+                ),
+            ).otherwise(empty)
+        ).alias("t"),
+    ).select("id", "t.pos", "t.g")
+    flagged = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("g")
+    )
+    hits = (
+        grams.join(flagged, "g")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = df.join(hits, df[id_col] == hits["id"], "left")
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    # Spark's indexed lambda i is 0-based; starts are 1-based word
+    # positions covering [p, p + w - 1]
+    clean = F.filter(
+        ws,
+        lambda x, i: ~F.exists(
+            starts, lambda p: (p <= i + 1) & (i + 1 <= p + (w - 1))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", clean).alias("clean_text"),
+        (F.size(ws) - F.size(clean)).cast("bigint").alias("n_words_removed"),
+    )
+
+
+def duck_scrub_repeated_spans(
+    table: str = "documents", w: int = SHINGLE_W, min_docs: int = 2
+) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {table}),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws) - {w} + 2),
+           i -> {{'pos': i, 'gr': array_to_string(ws[i:i+{w - 1}], ' ')}})) AS t
+  FROM d
+),
+g2 AS (SELECT doc_id, t.pos AS pos, t.gr AS gr FROM g),
+fl AS (SELECT gr FROM g2 GROUP BY gr HAVING count(DISTINCT doc_id) >= {min_docs}),
+hits AS (
+  SELECT doc_id, list_sort(list(pos)) AS starts
+  FROM g2 JOIN fl USING (gr) GROUP BY doc_id
+),
+fin AS (
+  SELECT d.doc_id, ws,
+    list_filter(ws, (x, i) ->
+      len(list_filter(coalesce(starts, []),
+          p -> p <= i AND i <= p + {w - 1})) = 0) AS cl
+  FROM d LEFT JOIN hits USING (doc_id)
+)
+SELECT doc_id, coalesce(array_to_string(cl, ' '), '') AS clean_text,
+  CAST(len(ws) - len(cl) AS BIGINT) AS n_words_removed
+FROM fin
+"""

@@ -294,8 +294,12 @@ FROM res""",
         # the new cluster-formation stage, which consumes the same
         # signature/LSH path end-to-end
         "dedup_clusters",
-        "dedup_minhash_lsh_pairs",
-        "ann_cosine_topk",
+        # dedup_minhash_lsh_pairs (double-green r1+r3) and ann_cosine_topk
+        # (double-green r1+r3) yield their slots to the two new text ops;
+        # dedup_clusters' oracle recomputes the LSH pairs inside itself,
+        # so the pairs path still gets driver evidence every round
+        "text_repetition",
+        "text_scrub_spans",
         "embedding_near_dup",
         "ann_ivf_topk",
         "ann_ivf_kmeans_topk",
@@ -3522,6 +3526,19 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
             "doc_id", "fp_min", "fp_max", "n_shingles"
         ),
         TX.duck_fingerprint(),
+    )
+    # Gopher repetition rules: top-{2,3,4}-gram and duplicated-{5,10}-
+    # gram character fractions per document
+    q["text_repetition"] = Query(
+        lambda spark, sf: TX.repetition_features(_docs(spark, sf)),
+        TX.duck_repetition(),
+    )
+    # cross-document repeated-span scrubbing (ExactSubstr-flavored):
+    # w=4 so the synthetic corpus yields a non-trivial mix (some docs
+    # scrubbed, some untouched)
+    q["text_scrub_spans"] = Query(
+        lambda spark, sf: TX.scrub_repeated_spans(_docs(spark, sf), w=4),
+        TX.duck_scrub_repeated_spans(w=4),
     )
     # PII scrub over documents with deterministically injected PII
     # (docs have none natively): every doc_id % 3 == 0 row gains an

@@ -495,3 +495,50 @@ def test_dedup_clusters_keepers(spark):
     }
     keepers = [d for d, (c, k) in got.items() if k]
     assert sorted(keepers) == sorted({c for c, _ in got.values()})
+
+
+def test_repetition_features_hand_computed(spark):
+    """Gopher repetition fractions against hand math: doc 0 has 19
+    chars; its top 2-gram 'x y' occurs 3x (9 chars -> 0.473684) and its
+    top 3-gram 'x y x' occurs 2x (10 chars -> 0.526316); nothing long
+    enough duplicates at n=5/10."""
+    from sparkotel.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "x y x y x y z w q r"), (1, "a b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in T.repetition_features(docs).collect()}
+    r0 = rows[0]
+    assert r0.top2_char_frac == round(9 / 19, 6)
+    assert r0.top3_char_frac == round(10 / 19, 6)
+    assert r0.dup5_char_frac == 0.0  # all six 5-grams are distinct
+    assert r0.dup10_char_frac == 0.0
+    # doc 1 is too short for n >= 3: fractions coalesce to 0, row kept
+    r1 = rows[1]
+    assert r1.top2_char_frac == round(3 / 3, 6) and r1.top3_char_frac == 0.0
+
+
+def test_scrub_repeated_spans_cross_doc(spark):
+    """only w-grams shared by >= min_docs docs are scrubbed; covered
+    words drop from every doc; a doc can be fully emptied."""
+    from sparkotel.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "z a b c d y w v"),
+            (2, "p q r s t u"),
+            (3, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_words_removed)
+        for r in T.scrub_repeated_spans(docs, w=4, min_docs=2).collect()
+    }
+    assert got == {
+        0: ("e f g h", 4),
+        1: ("z y w v", 4),
+        2: ("p q r s t u", 0),
+        3: ("", 4),  # fully-boilerplate doc empties
+    }
