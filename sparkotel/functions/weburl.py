@@ -1,0 +1,129 @@
+"""URL canonicalization and crawl-snapshot dedup for web-page tables.
+
+A Common-Crawl-style corpus carries many fetches of the same logical
+page: host-case variants, default ports, tracking query params,
+fragments, and re-crawls at different ``warc_ts``.  These operators
+collapse them:
+
+- ``url_canonicalize`` — pure Column expression (RFC 3986 appendix-B
+  component regexes, identical strings in Spark and DuckDB so the
+  oracle replays them verbatim): lowercase scheme+authority, strip the
+  scheme's default port, empty path -> "/", strip trailing slashes on
+  non-root paths, drop the fragment, drop tracking params
+  (``utm_*``/``gclid``/``fbclid``), sort surviving params byte-wise.
+- ``crawl_latest`` — per canonical URL keep the latest snapshot
+  (max ``warc_ts``, doc-id tiebreak) plus the snapshot count.
+
+Reference anchor: the collector has no URL semantics beyond
+``uri_parser`` (pkg/stanza/operator/parser/uri — mirrored at
+operators/parse.py); these are brief-mandated web-corpus extensions
+(SURVEY 2.16).
+
+Scale shape: canonicalization is a projection (whole-stage codegen,
+scan-speed at 100 TB).  ``crawl_latest`` is ONE map-side-combinable
+groupBy(canonical_url) — max(struct) and count partials combine before
+the shuffle, so a page re-crawled 10^6 times costs one reduce row, and
+url keys are near-unique so the shuffle has no skew pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC 3986 appendix-B derived component patterns — kept as plain
+# strings so the DuckDB mirror uses the exact same regexes
+_SCHEME_RE = "^([^:/?#]+):"
+_AUTH_RE = "^[^:/?#]+://([^/?#]*)"
+_PATH_RE = "^[^:/?#]+://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+_TRACKING_RE = "^(gclid|fbclid)="
+
+
+def url_canonicalize(u: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    ).otherwise(auth)
+    auth = F.when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(F.length(path) > 1, F.regexp_replace(path, "/+$", "")).otherwise(
+        path
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)  # was all slashes
+    qs = F.regexp_extract(u, _QUERY_RE, 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qstr = F.concat_ws("&", params)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+
+
+def duck_url_canonicalize(u: str) -> str:
+    """the same canonicalization as a DuckDB SQL expression over ``u``"""
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    auth = f"lower(regexp_extract({u}, '{_AUTH_RE}', 1))"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '') "
+        f"ELSE {auth} END"
+    )
+    path = f"regexp_extract({u}, '{_PATH_RE}', 1)"
+    path = (
+        f"CASE WHEN {path} = '' THEN '/' "
+        f"WHEN length({path}) > 1 AND regexp_replace({path}, '/+$', '') = '' THEN '/' "
+        f"WHEN length({path}) > 1 THEN regexp_replace({path}, '/+$', '') "
+        f"ELSE {path} END"
+    )
+    qs = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({qs}, '&'), "
+        f"p -> p <> '' AND NOT starts_with(p, 'utm_') "
+        f"AND NOT regexp_matches(p, '{_TRACKING_RE}')))"
+    )
+    qstr = f"array_to_string({params}, '&')"
+    return (
+        f"({scheme} || '://' || {auth} || {path} || "
+        f"CASE WHEN {qstr} <> '' THEN '?' || {qstr} ELSE '' END)"
+    )
+
+
+def crawl_latest(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(canonical_url, warc_ts, doc_id, n_snapshots): the newest
+    snapshot per canonical URL (doc-id tiebreak on equal timestamps)."""
+    c = df.withColumn("_curl", url_canonicalize(F.col(url_col)))
+    return (
+        c.groupBy("_curl")
+        .agg(
+            F.max(
+                F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"))
+            ).alias("top"),
+            F.count(F.lit(1)).alias("n_snapshots"),
+        )
+        .select(
+            F.col("_curl").alias("canonical_url"),
+            F.col("top.ts").alias(ts_col),
+            F.col("top.id").alias(id_col),
+            "n_snapshots",
+        )
+    )

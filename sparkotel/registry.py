@@ -21,6 +21,7 @@ from sparkotel.functions import dedup as D
 from sparkotel.functions import multimodal as MM
 from sparkotel.functions import similarity as SIM
 from sparkotel.functions import text as TX
+from sparkotel.functions import weburl as WU
 from sparkotel.operators import aggregate as A
 from sparkotel.operators import parse as PR
 from sparkotel.operators import recombine as RC
@@ -281,8 +282,11 @@ FROM res""",
         "spanmetrics_exp_histogram",
         "syslog_rfc5424",
         "container_recombine",
-        "severity_full_table",
-        "delta_to_rate",
+        # severity_full_table / delta_to_rate (single r2 greens, stable
+        # code) yield their second-row slots to the two new url ops'
+        # first rows
+        "url_canonicalize",
+        "crawl_latest_snapshot",
         # D: flagship training-data family
         "route_resource_ctx",
         "text_pii_scrub",
@@ -3527,6 +3531,79 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
         ),
         TX.duck_fingerprint(),
     )
+    # URL canonicalization: pages urls deterministically decorated with
+    # the mess canonicalization exists for (host case, default port,
+    # trailing slash, tracking params, fragment); canonical must equal
+    # the clean original
+    def _messy(url_col):
+        return F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.regexp_extract(url_col, "^https://([^/]+)", 1)),
+            F.lit(":443"),
+            F.regexp_extract(url_col, "^https://[^/]+(/.*)$", 1),
+            F.lit("/?utm_source=feed&gclid=1#top"),
+        )
+
+    _DUCK_MESSY = (
+        "'HTTPS://' || upper(regexp_extract(url, '^https://([^/]+)', 1)) "
+        "|| ':443' || regexp_extract(url, '^https://[^/]+(/.*)$', 1) "
+        "|| '/?utm_source=feed&gclid=1#top'"
+    )
+
+    def urlc_q(spark, sf):
+        p = P.pages(spark, sf)
+        m = _messy(F.col("url"))
+        return p.select(
+            "doc_id",
+            m.alias("url_raw"),
+            WU.url_canonicalize(m).alias("url_canonical"),
+        )
+
+    q["url_canonicalize"] = Query(
+        urlc_q,
+        f"""WITH p AS ({P.duckdb_pages_sql()}),
+m AS (SELECT doc_id, {_DUCK_MESSY} AS url_raw FROM p)
+SELECT doc_id, url_raw, {WU.duck_url_canonicalize('url_raw')} AS url_canonical
+FROM m""",
+    )
+
+    # crawl-snapshot dedup: three deterministic snapshot generations per
+    # page (clean, decorated +1h, fbclid'd -2h on even ids) collapse to
+    # one canonical URL; keeper = the +1h generation everywhere
+    def crawl_q(spark, sf):
+        p = P.pages(spark, sf).select("doc_id", "url", "warc_ts")
+        v2 = p.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            _messy(F.col("url")).alias("url"),
+            (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        )
+        v3 = p.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("url"), F.lit("?fbclid=abc")).alias("url"),
+            (F.col("warc_ts") - F.expr("INTERVAL 2 HOUR")).alias("warc_ts"),
+        )
+        return WU.crawl_latest(p.unionByName(v2).unionByName(v3))
+
+    q["crawl_latest_snapshot"] = Query(
+        crawl_q,
+        f"""WITH p AS ({P.duckdb_pages_sql()}),
+snaps AS (
+  SELECT doc_id, url, warc_ts FROM p
+  UNION ALL
+  SELECT doc_id + 1000000, {_DUCK_MESSY}, warc_ts + INTERVAL 1 HOUR FROM p
+  UNION ALL
+  SELECT doc_id + 2000000, url || '?fbclid=abc', warc_ts - INTERVAL 2 HOUR
+  FROM p WHERE doc_id % 2 = 0
+),
+c AS (SELECT {WU.duck_url_canonicalize('url')} AS curl, warc_ts, doc_id FROM snaps),
+g AS (
+  SELECT curl, max({{'ts': warc_ts, 'id': doc_id}}) AS top, count(*) AS n_snapshots
+  FROM c GROUP BY curl
+)
+SELECT curl AS canonical_url, top.ts AS warc_ts, top.id AS doc_id, n_snapshots
+FROM g""",
+    )
+
     # Gopher repetition rules: top-{2,3,4}-gram and duplicated-{5,10}-
     # gram character fractions per document
     q["text_repetition"] = Query(

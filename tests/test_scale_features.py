@@ -542,3 +542,44 @@ def test_scrub_repeated_spans_cross_doc(spark):
         2: ("p q r s t u", 0),
         3: ("", 4),  # fully-boilerplate doc empties
     }
+
+
+def test_url_canonicalize_cases(spark):
+    """host case, default ports, trailing slashes, tracking params,
+    fragments, param ordering — and non-default ports/real params kept."""
+    from sparkotel.functions import weburl as W
+
+    cases = {
+        "HTTPS://Ex.COM:443/a/?utm_source=x&gclid=1#f": "https://ex.com/a",
+        "http://ex.com:80/": "http://ex.com/",
+        "http://ex.com:8080/a?b=2&a=1": "http://ex.com:8080/a?a=1&b=2",
+        "https://ex.com": "https://ex.com/",
+        "https://ex.com/a//": "https://ex.com/a",
+        "https://ex.com/?fbclid=z": "https://ex.com/",
+        "https://ex.com/p?keep=1&utm_medium=m": "https://ex.com/p?keep=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", W.url_canonicalize(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
+
+
+def test_crawl_latest_keeps_newest_snapshot(spark):
+    from sparkotel.functions import weburl as W
+
+    rows = [
+        (1, "https://ex.com/p", "2024-01-01 00:00:00"),
+        (2, "HTTPS://EX.COM/p/#x", "2024-01-02 00:00:00"),
+        (3, "https://ex.com/p?utm_source=s", "2024-01-01 12:00:00"),
+        (4, "https://ex.com/q", "2024-03-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, ts string").select(
+        "doc_id", "url", F.col("ts").cast("timestamp").alias("warc_ts")
+    )
+    got = {
+        r.canonical_url: (r.doc_id, r.n_snapshots)
+        for r in W.crawl_latest(df).collect()
+    }
+    assert got == {"https://ex.com/p": (2, 3), "https://ex.com/q": (4, 1)}
