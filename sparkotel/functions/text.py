@@ -439,7 +439,10 @@ def scrub_repeated_spans(
 
     Returns (id, clean_text, n_words_removed).
 
-    Scale shape: one explode to (id, pos, gram); distinct-doc counts
+    Scale shape: an explode to (id, pos, gram) — derived twice (once
+    under the frequency count, once under the hits join) because
+    re-deriving a projection at scan-speed beats materializing a
+    gram-per-word blowup of a 100 TB corpus; distinct-doc counts
     per gram are two combinable hash aggregates; flagged grams join
     back by key (the flagged set is the OUTPUT of a frequency filter,
     so a hot boilerplate gram costs one aggregate row — not a fan-out);

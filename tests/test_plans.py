@@ -158,3 +158,32 @@ def test_semconv_span_name_shuffle_free(spark):
     plan = plan_of(set_semconv_span_name(df, "1.40.0", "orig"))
     assert _count_shuffles(plan) == 0
     assert "EvalPython" not in plan, plan
+
+
+def test_crawl_latest_single_shuffle(spark):
+    """crawl-snapshot dedup = ONE map-side-combined shuffle on the
+    canonical url; a second Exchange or a sort-merge join would be a
+    plan regression."""
+    from sparkotel.functions import weburl as W
+
+    p = P.pages(spark, SF_DIR).select("doc_id", "url", "warc_ts")
+    plan = plan_of(W.crawl_latest(p))
+    ex = [l for l in plan.splitlines() if l.strip().endswith(")") and "Exchange (" in l]
+    assert len(ex) == 1, plan
+    assert "SortMergeJoin" not in plan
+    # partial aggregate below the exchange (map-side combine)
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+
+
+def test_repetition_and_scrub_plan_shape(spark):
+    """the corpus-quality ops must stay free of cartesian products and
+    unpartitioned windows (the two silent scale killers), and the
+    repetition join back to the doc list must broadcast."""
+    from sparkotel.functions import text as T
+
+    docs = P.pages(spark, SF_DIR).select("doc_id", "text")
+    rep = plan_of(T.repetition_features(docs))
+    assert "Cartesian" not in rep and "Window" not in rep
+    assert "BroadcastHashJoin" in rep and "SortMergeJoin" not in rep
+    scrub = plan_of(T.scrub_repeated_spans(docs, w=4))
+    assert "Cartesian" not in scrub and "Window" not in scrub
