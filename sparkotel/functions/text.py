@@ -525,3 +525,81 @@ SELECT doc_id, coalesce(array_to_string(cl, ' '), '') AS clean_text,
   CAST(len(ws) - len(cl) AS BIGINT) AS n_words_removed
 FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus keep/drop decision (the filter-stage composition)
+# ---------------------------------------------------------------------------
+
+
+def corpus_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.6,
+    max_top2: float = 0.11,
+    max_dup5: float = 0.3,
+) -> DataFrame:
+    """(id, drop_reason, keep): the per-document decision a training-
+    corpus filter stage exports — first failing rule wins, in the order
+    a real pipeline evaluates them (cheap and high-precision first):
+    exact duplicate (non-minimal id of an identical-text group) →
+    wrong language → low quality score → Gopher repetition rules.
+
+    Scale shape: one md5-keyed groupBy for exact-dup keepers (combinable;
+    identical-text floods cost one reduce row), the repetition
+    aggregates from ``repetition_features``, and everything else pure
+    projections; joins are id/hash equi-joins.
+    """
+    keepers = (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min(id_col).alias("keeper_id"))
+    )
+    base = lang_id(quality_score(df, text_col), text_col)
+    rep = repetition_features(df, id_col, text_col)
+    full = (
+        base.withColumn("h", F.md5(F.col(text_col)))
+        .join(keepers, "h")
+        .join(rep, id_col)
+    )
+    reason = (
+        F.when(F.col(id_col) != F.col("keeper_id"), F.lit("exact_dup"))
+        .when(F.col("lang_pred") != lang, F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .when(F.col("top2_char_frac") > max_top2, F.lit("top2_repetition"))
+        .when(F.col("dup5_char_frac") > max_dup5, F.lit("dup5_repetition"))
+    )
+    return full.select(
+        F.col(id_col),
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def duck_corpus_keep(
+    table: str = "documents",
+    lang: str = "en",
+    min_quality: float = 0.6,
+    max_top2: float = 0.11,
+    max_dup5: float = 0.3,
+) -> str:
+    reason = f"""CASE WHEN d.doc_id <> k.keeper_id THEN 'exact_dup'
+       WHEN l.lang_pred <> '{lang}' THEN 'lang'
+       WHEN q.quality < {min_quality} THEN 'quality'
+       WHEN r.top2_char_frac > {max_top2} THEN 'top2_repetition'
+       WHEN r.dup5_char_frac > {max_dup5} THEN 'dup5_repetition' END"""
+    return f"""
+WITH q AS ({duck_quality(table)}),
+l AS ({duck_lang_id(table)}),
+r AS ({duck_repetition(table)}),
+k AS (SELECT md5(text) AS h, min(doc_id) AS keeper_id FROM {table} GROUP BY md5(text))
+SELECT d.doc_id,
+  {reason} AS drop_reason,
+  ({reason}) IS NULL AS keep
+FROM {table} d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+JOIN r ON r.doc_id = d.doc_id
+JOIN k ON k.h = md5(d.text)
+"""

@@ -280,7 +280,9 @@ FROM res""",
         "dedup_jaccard_verify",
         "metrics_generate",
         "spanmetrics_exp_histogram",
-        "syslog_rfc5424",
+        # syslog_rfc5424 (single r2 green, stable code) yields its
+        # second-row slot to the new decision query's first row
+        "corpus_keep_decision",
         "container_recombine",
         # severity_full_table / delta_to_rate (single r2 greens, stable
         # code) yield their second-row slots to the two new url ops'
@@ -3602,6 +3604,36 @@ g AS (
 )
 SELECT curl AS canonical_url, top.ts AS warc_ts, top.id AS doc_id, n_snapshots
 FROM g""",
+    )
+
+    # corpus keep/drop decision: exact-dup keeper → lang → quality →
+    # repetition rules, first failing rule wins.  Exact duplicates are
+    # injected deterministically (doc_id % 25 in {7, 8} share one
+    # boilerplate text) since the synthetic corpus has none natively.
+    _BOILER = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on a mat"
+    )
+
+    def corpus_q(spark, sf):
+        d = _docs(spark, sf).withColumn(
+            "text",
+            F.when((F.col("doc_id") % 25).isin(7, 8), F.lit(_BOILER)).otherwise(
+                F.col("text")
+            ),
+        )
+        return TX.corpus_keep(d)
+
+    # splice docs2 in front of duck_corpus_keep's own WITH chain
+    _keep_sql = TX.duck_corpus_keep("docs2").lstrip()
+    assert _keep_sql.startswith("WITH ")
+    q["corpus_keep_decision"] = Query(
+        corpus_q,
+        f"""WITH docs2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 25 IN (7, 8) THEN '{_BOILER}' ELSE text END AS text,
+    lang
+  FROM documents
+), {_keep_sql[len("WITH "):]}""",
     )
 
     # Gopher repetition rules: top-{2,3,4}-gram and duplicated-{5,10}-

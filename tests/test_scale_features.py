@@ -583,3 +583,28 @@ def test_crawl_latest_keeps_newest_snapshot(spark):
         for r in W.crawl_latest(df).collect()
     }
     assert got == {"https://ex.com/p": (2, 3), "https://ex.com/q": (4, 1)}
+
+
+def test_corpus_keep_rule_precedence(spark):
+    """first failing rule wins: an exact dup that is also low-quality
+    reports exact_dup; the keeper of a dup group proceeds to the other
+    rules; clean docs keep."""
+    from sparkotel.functions import text as T
+
+    good = "the cat and a dog of the town go to the house and the " \
+           "garden of a friend to see the tree and a bird near the gate"
+    rows = [
+        (0, good),                      # keeper of the dup group, high quality
+        (5, good),                      # exact dup -> exact_dup
+        (1, "wort wort der die das und ein haus der die das und ein"),  # german
+        # identified as English (one stopword) but punct-heavy -> quality
+        (2, "the !!! ??? ;;; ### $$$ %%% ^^^ &&& *** ((( )))"),
+        (3, good + " " + good),         # repeated halves -> top2/dup5 high, quality fine
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.drop_reason, r.keep) for r in T.corpus_keep(df).collect()}
+    assert got[0] == (None, True)
+    assert got[5] == ("exact_dup", False)
+    assert got[1] == ("lang", False)
+    assert got[2] == ("quality", False)
+    assert got[3][1] is False and got[3][0] in ("top2_repetition", "dup5_repetition")
