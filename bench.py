@@ -115,8 +115,12 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
             best = dt if best is None or dt < best else best
         return best
 
+    from sparkotel.functions.text import corpus_keep, repetition_features
+
     return {
         "text_quality": best_of(lambda: _noop(quality_score(docs))),
+        "text_repetition": best_of(lambda: _noop(repetition_features(docs))),
+        "corpus_keep": best_of(lambda: _noop(corpus_keep(docs))),
         "dedup_minhash_lsh": best_of(lambda: _noop(minhash_lsh_pairs(docs))),
         "ann_cosine_topk": best_of(lambda: _noop(brute_force_topk(emb, [0, 1, 2, 3, 4]))),
     }

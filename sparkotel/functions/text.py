@@ -305,80 +305,90 @@ REP_TOP_NS = (2, 3, 4)
 REP_DUP_NS = (5, 10)
 
 
+def _run_fold(sorted_grams: Column) -> Column:
+    """fold a SORTED gram array into (best, dup) char totals —
+    best = count*len of the MOST FREQUENT gram (argmax by (count, len),
+    matching the explode/groupBy formulation: ties of (count, len) give
+    equal products, so which gram wins is irrelevant), dup = sum of
+    count*len over grams occurring more than once.  Single pass over
+    adjacent runs; the '' sentinel can't collide (grams are non-empty).
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        F.struct(zero.alias("c"), zero.alias("l")).alias("best"),
+        zero.alias("dup"),
+    )
+
+    def _close_best(acc):
+        return F.greatest(
+            acc["best"],
+            F.struct(
+                acc["run"].alias("c"), F.length(acc["prev"]).cast("long").alias("l")
+            ),
+        )
+
+    def _close_dup(acc):
+        return acc["dup"] + F.when(
+            acc["run"] > 1, acc["run"] * F.length(acc["prev"])
+        ).otherwise(zero)
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["best"]).otherwise(_close_best(acc)).alias("best"),
+            F.when(same, acc["dup"]).otherwise(_close_dup(acc)).alias("dup"),
+        )
+
+    def finish(acc):
+        b = _close_best(acc)
+        return F.struct(
+            (b["c"] * b["l"]).alias("best"), _close_dup(acc).alias("dup")
+        )
+
+    return F.aggregate(sorted_grams, init, merge, finish)
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc, top{2,3,4}_char_frac, dup{5,10}_char_frac).
 
-    Scale shape: ONE explode producing (id, n, gram) tagged structs for
-    all five n in a single scan, then two map-side-combinable hash
-    aggregates — groupBy(id, n, gram) counts, groupBy(id, n) reductions
-    — and a 5-value pivot.  Gram keys are (doc-local x n-gram), so the
-    shuffle is uniformly distributed no matter how skewed the corpus;
-    nothing per-doc is quadratic (the naive per-row array approach is
-    O(grams^2) inside one task — this form is O(grams) per task and
-    parallel across docs).
+    Scale shape: a PURE PROJECTION — repetition metrics are
+    per-document, so no row ever needs another row: each n's gram array
+    is array_sort'ed and folded over adjacent runs in one
+    single pass (O(m log m) per doc, m bounded by document length).
+    Zero shuffle; scales linearly with input splits, and column pruning
+    means consumers selecting fewer fractions skip those folds entirely
+    (corpus_keep benched 3x faster from pruning alone).  Measured at
+    500k docs/local[32]: explode-through-two-hash-aggregates form 12.7 s
+    + a ~230-gram-strings-per-doc shuffle; this fold form 9.5 s with no
+    shuffle.  The dominant cost is the per-gram slice inside the
+    interpreted higher-order transform (concat/sort/fold are nearly
+    free); an incremental zip_with gram chain re-evaluates shared
+    subtrees (no CSE for interpreted HOFs) and benched slower.
     """
     c = F.col(text_col)
     n_chars = F.length(c).cast("bigint")
-    ns = (*REP_TOP_NS, *REP_DUP_NS)
-    # NB: the tagging lambda must be unary — pyspark treats a 2-arg
-    # transform lambda as (element, index), so a `n=n` default would
-    # silently bind n to the array index
-    def _tag(n: int) -> Column:
-        return F.transform(
-            shingles(c, n), lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
-        )
-
-    tagged = F.flatten(F.array(*[_tag(n) for n in ns]))
-    base = df.select(
-        F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
-        F.explode(tagged).alias("t"),
-    )
-    cnt = base.groupBy(
-        "id", "n_chars", F.col("t.n").alias("n"), F.col("t.g").alias("g")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-    per = (
-        cnt.groupBy("id", "n_chars", "n")
-        .agg(
-            # lexicographic struct max = deterministic argmax by
-            # (count, length, gram); ties on (count, length) give equal
-            # char fractions whichever gram wins
-            F.max(
-                F.struct(F.col("cnt"), F.length("g").alias("l"), F.col("g"))
-            ).alias("top"),
-            F.sum(
-                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(
-                    F.lit(0)
-                )
-            ).alias("dup_chars"),
-        )
-        .select(
-            "id",
-            "n",
-            F.round(F.col("top.cnt") * F.col("top.l") / F.col("n_chars"), 6).alias(
-                "topf"
-            ),
-            F.round(F.col("dup_chars") / F.col("n_chars"), 6).alias("dupf"),
-        )
-    )
-    piv = (
-        per.groupBy("id")
-        .pivot("n", list(ns))
-        .agg(F.first("topf").alias("topf"), F.first("dupf").alias("dupf"))
-    )
-    out = df.select(F.col(id_col)).join(piv, F.col(id_col) == F.col("id"), "left")
-    sel = [F.col(id_col)]
+    cols = [F.col(id_col)]
     for n in REP_TOP_NS:
-        sel.append(
-            F.coalesce(F.col(f"{n}_topf"), F.lit(0.0)).alias(f"top{n}_char_frac")
+        r = _run_fold(F.array_sort(shingles(c, n)))
+        cols.append(
+            F.coalesce(F.round(r["best"] / n_chars, 6), F.lit(0.0)).alias(
+                f"top{n}_char_frac"
+            )
         )
     for n in REP_DUP_NS:
-        sel.append(
-            F.coalesce(F.col(f"{n}_dupf"), F.lit(0.0)).alias(f"dup{n}_char_frac")
+        r = _run_fold(F.array_sort(shingles(c, n)))
+        cols.append(
+            F.coalesce(F.round(r["dup"] / n_chars, 6), F.lit(0.0)).alias(
+                f"dup{n}_char_frac"
+            )
         )
-    return out.select(*sel)
+    return df.select(*cols)
 
 
 def duck_repetition(table: str = "documents") -> str:

@@ -182,8 +182,9 @@ def test_repetition_and_scrub_plan_shape(spark):
     from sparkotel.functions import text as T
 
     docs = P.pages(spark, SF_DIR).select("doc_id", "text")
+    # repetition metrics are per-document: the plan must be a pure
+    # projection — zero Exchange, zero joins
     rep = plan_of(T.repetition_features(docs))
-    assert "Cartesian" not in rep and "Window" not in rep
-    assert "BroadcastHashJoin" in rep and "SortMergeJoin" not in rep
+    assert "Exchange" not in rep and "Join" not in rep and "Window" not in rep
     scrub = plan_of(T.scrub_repeated_spans(docs, w=4))
     assert "Cartesian" not in scrub and "Window" not in scrub
