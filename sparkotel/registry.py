@@ -2605,6 +2605,57 @@ WHERE NOT (event_type = 'error' AND (event_id * 2654435761) % 10000 < 5000)""",
 WHERE word != ''""",
     )
 
+    # --- stanza router attach-attrs + assign_keys + noop ---------------------
+    # the three remaining pytest-only stanza transformers in one
+    # oracle-checked path: positional keys from the first three words,
+    # routed per-output with route-local attached attributes, noop'd.
+    def router_attrs(spark, sf):
+        from sparkotel.operators.route import Route, route_outputs
+        from sparkotel.operators.transform import assign_keys, noop
+
+        d = _docs(spark, sf).select(
+            "doc_id", "lang", F.slice(F.split(F.col("text"), " "), 1, 3).alias("_warr")
+        )
+        d = assign_keys(d, "_warr", ["w1", "w2", "w3"])
+        outs = route_outputs(
+            noop(d),
+            [
+                Route("lang = 'en'", "en_sink", "move", {"region": "us", "tier": "hot"}),
+                Route("w1 = 'the'", "the_sink", "move", {"tier": "cold"}),
+            ],
+        )
+        parts = []
+        for sink, part in outs.items():
+            for col in ("region", "tier"):
+                if col not in part.columns:
+                    part = part.withColumn(col, F.lit(None).cast("string"))
+            parts.append(
+                part.select("doc_id", "w1", "w2", "w3", "region", "tier",
+                            F.lit(sink).alias("sink"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    q["stanza_router_attrs"] = Query(
+        router_attrs,
+        """WITH d AS (
+  SELECT doc_id, lang,
+    string_split(text, ' ')[1] AS w1,
+    string_split(text, ' ')[2] AS w2,
+    string_split(text, ' ')[3] AS w3
+  FROM documents
+)
+SELECT doc_id, w1, w2, w3,
+  CASE WHEN lang = 'en' THEN 'us' END AS region,
+  CASE WHEN lang = 'en' THEN 'hot' WHEN w1 = 'the' THEN 'cold' END AS tier,
+  CASE WHEN lang = 'en' THEN 'en_sink'
+       WHEN w1 = 'the' THEN 'the_sink'
+       ELSE '__default__' END AS sink
+FROM d""",
+    )
+
     # --- roundrobinconnector --------------------------------------------------
     def rr(spark, sf):
         from sparkotel.operators.route import round_robin
