@@ -265,3 +265,58 @@ def test_streaming_exp_histogram_source_equals_batch(spark, tmp_path):
     # window must match the batch result exactly
     assert got and all(want[k] == v for k, v in got.items())
     assert len(got) >= len(want) - 1  # at most the unclosed tail window differs
+
+
+def test_streaming_crawl_latest_equals_batch(spark, tmp_path):
+    """weburl.crawl_latest is streaming-compatible AS-IS: the
+    canonicalization is a projection and the groupBy is an incremental
+    max/count, so the same function runs on a readStream frame.  Two
+    snapshot generations arrive as separate micro-batch files; the
+    complete-mode result equals the batch run over the union."""
+    from pyspark.sql import functions as F
+
+    from sparkotel.functions import weburl as W
+
+    p = P.pages(spark, SF_DIR).select("doc_id", "url", "warc_ts").limit(200)
+    messy = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.regexp_extract("url", "^https://([^/]+)", 1)),
+        F.lit(":443"),
+        F.regexp_extract("url", "^https://[^/]+(/.*)$", 1),
+        F.lit("?utm_source=x#f"),
+    )
+    v2 = p.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        messy.alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+    )
+    src = str(tmp_path / "snaps")
+    p.coalesce(1).write.mode("overwrite").parquet(src)
+    v2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    assert stream.isStreaming
+    out = W.crawl_latest(stream)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("crawl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.canonical_url: (r.doc_id, r.n_snapshots)
+        for r in spark.sql("SELECT * FROM crawl_stream").collect()
+    }
+    exp = {
+        r.canonical_url: (r.doc_id, r.n_snapshots)
+        for r in W.crawl_latest(p.unionByName(v2)).collect()
+    }
+    assert got == exp and len(got) == 200
+    # every keeper is the +1h generation
+    assert all(d >= 1000000 for d, _ in got.values())
