@@ -127,3 +127,44 @@ def crawl_latest(
             "n_snapshots",
         )
     )
+
+
+def host_quality(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    min_quality: float = 0.38,
+) -> DataFrame:
+    """(host, n_pages, mean_quality, blocked): the host-level spam
+    filter a crawl pipeline applies before document-level rules — a
+    host whose mean quality score falls below ``min_quality`` is
+    blocked wholesale.
+
+    Scale shape: quality is a projection; the host rollup is ONE
+    map-side-combinable groupBy.  The mean is computed over the
+    micro-unit integer sum (quality is already rounded to 1e-6, so
+    sum(round(q*1e6)) is exact) — float summation order differs
+    between engines/partitionings, an integer sum does not.
+    """
+    from sparkotel.functions.text import quality_score
+
+    q = quality_score(df, text_col)
+    q6 = F.round(F.col("quality") * 1000000, 0).cast("long")
+    return (
+        q.groupBy(host_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(q6).alias("_sq6"),
+        )
+        .select(
+            host_col,
+            "n_pages",
+            F.round(F.col("_sq6") / (F.col("n_pages") * 1e6), 6).alias(
+                "mean_quality"
+            ),
+            (
+                F.round(F.col("_sq6") / (F.col("n_pages") * 1e6), 6)
+                < F.lit(min_quality)
+            ).alias("blocked"),
+        )
+    )

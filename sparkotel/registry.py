@@ -3687,6 +3687,24 @@ FROM g""",
 ), {_keep_sql[len("WITH "):]}""",
     )
 
+    # host-level spam filtering: mean quality per host (integer-exact
+    # micro-unit sum) with a blocked flag
+    q["host_quality_filter"] = Query(
+        lambda spark, sf: WU.host_quality(P.pages(spark, sf)),
+        f"""WITH p AS ({P.duckdb_pages_sql()}),
+q AS ({TX.duck_quality('p')}),
+j AS (SELECT p.host, q.quality FROM p JOIN q ON p.doc_id = q.doc_id),
+g AS (
+  SELECT host, count(*) AS n_pages,
+    sum(CAST(round(quality * 1000000, 0) AS BIGINT)) AS sq6
+  FROM j GROUP BY host
+)
+SELECT host, n_pages,
+  round(sq6 / (n_pages * 1e6), 6) AS mean_quality,
+  round(sq6 / (n_pages * 1e6), 6) < 0.38 AS blocked
+FROM g""",
+    )
+
     # Gopher repetition rules: top-{2,3,4}-gram and duplicated-{5,10}-
     # gram character fractions per document
     q["text_repetition"] = Query(

@@ -608,3 +608,16 @@ def test_corpus_keep_rule_precedence(spark):
     assert got[1] == ("lang", False)
     assert got[2] == ("quality", False)
     assert got[3][1] is False and got[3][0] in ("top2_repetition", "dup5_repetition")
+
+
+def test_host_quality_blocks_low_mean(spark):
+    from sparkotel.functions import weburl as W
+
+    rows = [
+        ("a.com", "the cat and a dog of the town go to the house and garden"),
+        ("a.com", "the sun and a moon of the sky go to the sea and a coast"),
+        ("b.com", "x! y? z; q# w$ e% r^ t& u* i( o) p@ k! l?"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    got = {r.host: (r.n_pages, r.blocked) for r in W.host_quality(df).collect()}
+    assert got == {"a.com": (2, False), "b.com": (1, True)}
