@@ -278,12 +278,15 @@ FROM res""",
         "dedup_simhash",
         "ann_lsh_buckets",
         "dedup_jaccard_verify",
-        "metrics_generate",
+        # metrics_generate / container_recombine (single r2 greens,
+        # stable code) yield their second-row slots to the two newest
+        # r4 queries' first rows
+        "host_quality_filter",
+        "stanza_router_attrs",
         "spanmetrics_exp_histogram",
         # syslog_rfc5424 (single r2 green, stable code) yields its
         # second-row slot to the new decision query's first row
         "corpus_keep_decision",
-        "container_recombine",
         # severity_full_table / delta_to_rate (single r2 greens, stable
         # code) yield their second-row slots to the two new url ops'
         # first rows
