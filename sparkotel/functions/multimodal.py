@@ -29,6 +29,7 @@ MAGIC = {
     b"RIFF": "riff",
     b"<htm": "html",
     b"<HTM": "html",
+    b"<!DO": "html",  # doctype-prefixed pages (pages.html_body_expr)
 }
 
 FEATURE_DIM = 4

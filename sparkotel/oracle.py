@@ -101,3 +101,40 @@ def py_route(parsed: dict, geo_country: str) -> str:
     if s is not None and s >= 400:
         return "errors_other"
     return "other"
+
+
+# ---------------------------------------------------------------------------
+# html synthesis + main-content extraction twins (north-rule invariant:
+# byte-identical extracted text per url).  Patterns are imported from
+# functions/htmltext.py so the twins cannot drift from the Spark chain.
+# ---------------------------------------------------------------------------
+
+
+def py_html(page: dict) -> str:
+    """Python twin of pages.html_body_expr() — the page's html string."""
+    esc = (
+        page["text"].replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    return (
+        f"<!DOCTYPE html><html><head><title>{page['url']}</title>"
+        "<style>body{margin:0;font:14px sans-serif}</style>"
+        '<script>if(1<2&&init){track("&")}</script>'
+        f"</head><body><!-- crawl snapshot --><h1>{page['host']}</h1>"
+        '<nav><a href="/">home</a> <a href="/about">about</a></nav>'
+        f"<p>{esc}</p>"
+        f"<footer>&copy; {page['host']} &amp; co</footer></body></html>"
+    )
+
+
+def py_extract_text(html: str) -> str:
+    """Row-at-a-time twin of functions.htmltext.main_text."""
+    from sparkotel.functions import htmltext as H
+
+    s = re.sub(H.SCRIPT_RE, "", html)
+    s = re.sub(H.STYLE_RE, "", s)
+    s = re.sub(H.COMMENT_RE, "", s)
+    t = "\n".join(m.group(1) for m in re.finditer(H.PARA_RE, s))
+    t = re.sub(H.TAG_RE, "", t)
+    for ent, ch in H.ENTITIES:
+        t = t.replace(ent, ch)
+    return t

@@ -37,6 +37,32 @@ _BASE_TS = "2024-03-15 00:00:00"
 # ---------------------------------------------------------------------------
 
 
+def html_body_expr(text: str = "text", url: str = "url", host: str = "host") -> str:
+    """SQL (Spark ∩ DuckDB) for the page's html *string*.
+
+    A realistic Common-Crawl page shape: doctype, head with title /
+    style / script (the script legally contains raw ``<`` and ``&``),
+    a comment, nav/h1/footer boilerplate, and the document text
+    HTML-escaped inside the single ``<p>`` block.  The main-content
+    extractor (functions/htmltext.py) must invert this exactly — the
+    north-rule invariant "byte-identical extracted text per url" is
+    driver-checked by the ``html_extract_text`` query.
+    """
+    esc = (
+        f"replace(replace(replace({text}, '&', '&amp;'),"
+        " '<', '&lt;'), '>', '&gt;')"
+    )
+    return (
+        "'<!DOCTYPE html><html><head><title>' || " + url + " || '</title>'"
+        " || '<style>body{margin:0;font:14px sans-serif}</style>'"
+        " || '<script>if(1<2&&init){track(\"&\")}</script>'"
+        " || '</head><body><!-- crawl snapshot --><h1>' || " + host + " || '</h1>'"
+        " || '<nav><a href=\"/\">home</a> <a href=\"/about\">about</a></nav>'"
+        " || '<p>' || " + esc + " || '</p>'"
+        " || '<footer>&copy; ' || " + host + " || ' &amp; co</footer></body></html>'"
+    )
+
+
 def _tmpl(dialect: str, docs: str = "documents") -> str:
     """The pages SELECT in the given dialect ('spark' | 'duckdb').
 
@@ -47,11 +73,11 @@ def _tmpl(dialect: str, docs: str = "documents") -> str:
     if dialect == "spark":
         s = lambda x: f"CAST({x} AS STRING)"  # noqa: E731
         warc_ts = f"timestampadd(SECOND, off, timestamp'{_BASE_TS}')"
-        html = "CAST(concat('<html><body>', text, '</body></html>') AS BINARY)"
+        html = f"CAST(({html_body_expr()}) AS BINARY)"
     elif dialect == "duckdb":
         s = lambda x: f"CAST({x} AS VARCHAR)"  # noqa: E731
         warc_ts = f"TIMESTAMP '{_BASE_TS}' + to_seconds(off)"
-        html = "encode('<html><body>' || text || '</body></html>')"
+        html = f"encode({html_body_expr()})"
     else:  # pragma: no cover
         raise ValueError(dialect)
 

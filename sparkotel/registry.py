@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from sparkotel import pages as P
 from sparkotel import pipeline as PL
 from sparkotel.functions import dedup as D
+from sparkotel.functions import htmltext as HT
 from sparkotel.functions import multimodal as MM
 from sparkotel.functions import similarity as SIM
 from sparkotel.functions import text as TX
@@ -254,6 +255,8 @@ FROM res""",
     # those has at least one green driver row from r1-r3.
     window = [
         # A: new / changed this round
+        "html_extract_text",
+        "multimodal_sniff",
         "otlpjson_exp_histogram",
         "otlpjson_exp_roundtrip",
         "otlpjson_exp_convert",
@@ -310,9 +313,9 @@ FROM res""",
         "text_repetition",
         "text_scrub_spans",
         "embedding_near_dup",
-        "ann_ivf_topk",
+        # ann_ivf_topk / tailsampling_policies (r3-green, code unchanged)
+        # yield their slots to the two changed-html queries in A
         "ann_ivf_kmeans_topk",
-        "tailsampling_policies",
         # E: heavyweight r3 processors
         "span_pruning",
         "cardinality_guardian",
@@ -3968,7 +3971,7 @@ FROM qv""",
         ),
         f"""
 WITH p AS ({P.duckdb_pages_sql()}),
-s AS (SELECT url, '<html><body>' || text || '</body></html>' AS s FROM p)
+s AS (SELECT url, {P.html_body_expr()} AS s FROM p)
 SELECT url, 'html' AS media_type,
   CAST(length(s) AS BIGINT) AS n_bytes,
   CAST(length(s) AS DOUBLE) AS f_len,
@@ -3991,7 +3994,18 @@ FROM s
         ),
         f"""
 SELECT url, 'html' AS media_type,
-  CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) AS n_bytes
+  CAST(octet_length(encode({P.html_body_expr()})) AS BIGINT) AS n_bytes
 FROM ({P.duckdb_pages_sql()}) p
 """,
+    )
+    # main-content extraction (north-rule invariant: byte-identical
+    # extracted text per url).  The oracle returns the GROUND-TRUTH text
+    # column the synthesis escaped into the <p> block — the Spark side
+    # must invert the markup exactly (boilerplate drop + tag strip +
+    # entity decode, functions/htmltext.py) for the value hash to match.
+    q["html_extract_text"] = Query(
+        lambda spark, sf: P.pages(spark, sf).select(
+            "url", HT.main_text("html").alias("main_text")
+        ),
+        f"SELECT url, text AS main_text FROM ({P.duckdb_pages_sql()}) p",
     )

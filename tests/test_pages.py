@@ -38,8 +38,8 @@ def test_pages_shape(spark):
     bad = df.filter("text LIKE 'MALFORMED%'").count()
     assert 0.02 <= bad / total <= 0.04
     # html is real bytes
-    row = df.selectExpr("length(html) AS n", "substring(html, 1, 6) AS head").first()
-    assert row["n"] > 20 and bytes(row["head"]) == b"<html>"
+    row = df.selectExpr("length(html) AS n", "substring(html, 1, 9) AS head").first()
+    assert row["n"] > 20 and bytes(row["head"]) == b"<!DOCTYPE"
 
 
 def test_geo_cross_engine(spark, duck):
