@@ -116,8 +116,18 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
         return best
 
     from sparkotel.functions.text import corpus_keep, repetition_features
+    from sparkotel.functions.htmltext import main_text
+    from sparkotel.pages import pages
+
+    # WET-style main-content extraction over the full html column —
+    # scan + JVM regex chain, zero shuffle (the north-rule's
+    # byte-identical-extraction stage at bench scale)
+    html_pages = pages(spark, sf_dir).select("url", "html")
 
     return {
+        "html_extract": best_of(
+            lambda: _noop(html_pages.select("url", main_text("html").alias("t")))
+        ),
         "text_quality": best_of(lambda: _noop(quality_score(docs))),
         "text_repetition": best_of(lambda: _noop(repetition_features(docs))),
         "corpus_keep": best_of(lambda: _noop(corpus_keep(docs))),

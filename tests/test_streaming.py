@@ -320,3 +320,37 @@ def test_streaming_crawl_latest_equals_batch(spark, tmp_path):
     assert got == exp and len(got) == 200
     # every keeper is the +1h generation
     assert all(d >= 1000000 for d, _ in got.values())
+
+
+def test_streaming_html_extraction_equals_batch(spark, tmp_path):
+    """htmltext.main_text is streaming-compatible AS-IS: a stateless
+    projection (regexp/replace chain over the html binary), so the same
+    Column expression runs on a readStream frame — the receive→extract
+    front of the WET pipeline as a stream.  Append mode, no state."""
+    from sparkotel.functions.htmltext import main_text
+
+    src = str(tmp_path / "html_in")
+    P.pages(spark, SF_DIR).select("url", "html", "text").repartition(
+        3
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("url string, html binary, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    assert stream.isStreaming
+    out = stream.select("url", "text", main_text("html").alias("got"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wet_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM wet_stream").collect()
+    batch_n = P.pages(spark, SF_DIR).count()
+    assert len(rows) == batch_n
+    # byte-identical extraction, per url, on every micro-batched row
+    assert all(r.got == r.text for r in rows)
