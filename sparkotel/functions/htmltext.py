@@ -20,16 +20,21 @@ mirrors the fileconsumer's split-then-trim shape
 (/root/reference/pkg/stanza/fileconsumer/internal/splitter — split on
 structure first, normalise after), applied to markup instead of lines.
 
-Scope (documented): entity decoding covers the named set below; numeric
-character references (``&#NNN;``/``&#xHH;``) pass through unchanged —
-decoding them needs a chr() inside a replace, which is not expressible
-as a JVM column op.  A corpus needing full entity fidelity can run the
-Arrow engine of the parse stage pattern (html.unescape in mapInPandas);
-the synthetic corpus never emits numeric references.
+Scope (documented): the default (``engine='native'``) entity decoding
+covers the named set below; numeric character references
+(``&#NNN;``/``&#xHH;``) pass through unchanged — decoding them needs a
+chr() inside a replace, which is not expressible as a JVM column op.
+``main_text(..., engine='pandas')`` is the full-fidelity arm (same
+boilerplate/tag pipeline, final decode via stdlib ``html.unescape`` in
+an Arrow-batched pandas UDF — the parse stage's dual-engine pattern):
+use it for corpora with numeric references or exotic named entities;
+the synthetic corpus never emits them, so both engines agree there
+(tests/test_htmltext.py differential-tests this).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -53,9 +58,24 @@ ENTITIES = [
 ]
 
 
-def main_text(html: Column | str, charset: str = "UTF-8") -> Column:
-    """Extracted main text (string Column) from an html binary column."""
+def main_text(
+    html: Column | str, charset: str = "UTF-8", engine: str = "native"
+) -> Column:
+    """Extracted main text (string Column) from an html binary column.
+
+    ``engine='native'``: JVM regexp/replace chain (zero UDF — default).
+    ``engine='pandas'``: Arrow-batched full-fidelity arm — same
+    boilerplate/paragraph/tag pipeline, entity decode via stdlib
+    ``html.unescape`` (numeric character references, the full named
+    table).  Divergence by design: unescape is spec-exact, so
+    ``&nbsp;`` becomes U+00A0 where the native arm normalizes to a
+    plain space.
+    """
     col = F.col(html) if isinstance(html, str) else html
+    if engine == "pandas":
+        return _pandas_extract(charset)(col)
+    if engine != "native":  # pragma: no cover
+        raise ValueError(engine)
     s = F.decode(col, charset)
     s = F.regexp_replace(s, SCRIPT_RE, "")
     s = F.regexp_replace(s, STYLE_RE, "")
@@ -66,3 +86,34 @@ def main_text(html: Column | str, charset: str = "UTF-8") -> Column:
     for ent, ch in ENTITIES:
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return t
+
+
+def _pandas_extract(charset: str):
+    """The full-fidelity extraction UDF (see main_text engine='pandas')."""
+    import html as _htmlmod
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    script = re.compile(SCRIPT_RE)
+    style = re.compile(STYLE_RE)
+    comment = re.compile(COMMENT_RE)
+    para = re.compile(PARA_RE)
+    tag = re.compile(TAG_RE)
+
+    @pandas_udf("string")
+    def extract(b: pd.Series) -> pd.Series:
+        def one(payload):
+            if payload is None:
+                return None
+            s = bytes(payload).decode(charset, errors="replace")
+            s = script.sub("", s)
+            s = style.sub("", s)
+            s = comment.sub("", s)
+            t = "\n".join(m.group(1) for m in para.finditer(s))
+            t = tag.sub("", t)
+            return _htmlmod.unescape(t)
+
+        return b.map(one)
+
+    return extract
