@@ -100,9 +100,8 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
     return df.withColumn(out, F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)), 6))
 
 
-def shingles(c: Column, w: int = SHINGLE_W) -> Column:
-    """word w-shingles as strings (empty array when fewer than w words)"""
-    ws = words(c)
+def shingles_of_words(ws: Column, w: int = SHINGLE_W) -> Column:
+    """word w-shingles from a pre-split word array (empty when < w)."""
     return F.when(
         F.size(ws) >= w,
         F.transform(
@@ -110,6 +109,11 @@ def shingles(c: Column, w: int = SHINGLE_W) -> Column:
             lambda i: F.concat_ws(" ", F.slice(ws, i, w)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(c: Column, w: int = SHINGLE_W) -> Column:
+    """word w-shingles as strings (empty array when fewer than w words)"""
+    return shingles_of_words(words(c), w)
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -365,30 +369,38 @@ def repetition_features(
     means consumers selecting fewer fractions skip those folds entirely
     (corpus_keep benched 3x faster from pruning alone).  Measured at
     500k docs/local[32]: explode-through-two-hash-aggregates form 12.7 s
-    + a ~230-gram-strings-per-doc shuffle; this fold form 9.5 s with no
-    shuffle.  The dominant cost is the per-gram slice inside the
-    interpreted higher-order transform (concat/sort/fold are nearly
-    free); an incremental zip_with gram chain re-evaluates shared
-    subtrees (no CSE for interpreted HOFs) and benched slower.
+    + a ~230-gram-strings-per-doc shuffle; the fold form with per-fold
+    re-split 8.6 s; this two-projection form (word array materialized
+    ONCE, the five folds read it as a bound attribute — interpreted
+    HOFs get no CSE, so inlining ``words(text)`` re-split the text in
+    every fold) 3.2 s, value-identical.  The remaining cost is the
+    per-gram slice+concat inside the interpreted transform; an
+    incremental zip_with gram chain re-evaluates shared subtrees and
+    benched slower.
     """
     c = F.col(text_col)
-    n_chars = F.length(c).cast("bigint")
+    base = df.select(
+        F.col(id_col),
+        F.length(c).cast("bigint").alias("_n_chars"),
+        words(c).alias("_words"),
+    )
+    ws, n_chars = F.col("_words"), F.col("_n_chars")
     cols = [F.col(id_col)]
     for n in REP_TOP_NS:
-        r = _run_fold(F.array_sort(shingles(c, n)))
+        r = _run_fold(F.array_sort(shingles_of_words(ws, n)))
         cols.append(
             F.coalesce(F.round(r["best"] / n_chars, 6), F.lit(0.0)).alias(
                 f"top{n}_char_frac"
             )
         )
     for n in REP_DUP_NS:
-        r = _run_fold(F.array_sort(shingles(c, n)))
+        r = _run_fold(F.array_sort(shingles_of_words(ws, n)))
         cols.append(
             F.coalesce(F.round(r["dup"] / n_chars, 6), F.lit(0.0)).alias(
                 f"dup{n}_char_frac"
             )
         )
-    return df.select(*cols)
+    return base.select(*cols)
 
 
 def duck_repetition(table: str = "documents") -> str:
