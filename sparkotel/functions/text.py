@@ -119,13 +119,20 @@ def shingles(c: Column, w: int = SHINGLE_W) -> Column:
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """winnowing-style rolling-hash fingerprint: the min/max 60-bit
     shingle hash + distinct shingle count per document.  One projection,
-    no shuffle; at 100 TB this runs scan-speed."""
-    sh = shingles(F.col(text_col))
+    no shuffle; at 100 TB this runs scan-speed.
+
+    The shingle array is materialized once and read as a bound
+    attribute — inlining it re-built the grams in each of the three
+    consumers (no CSE for interpreted HOFs): 2.97 s → 1.70 s at
+    500k docs/local[32], value-identical."""
+    base = df.withColumn("_sh", shingles_of_words(words(F.col(text_col))))
+    sh = F.col("_sh")
     hashes = F.transform(sh, h60)
     return (
-        df.withColumn("fp_min", F.array_min(hashes))
+        base.withColumn("fp_min", F.array_min(hashes))
         .withColumn("fp_max", F.array_max(hashes))
         .withColumn("n_shingles", F.size(F.array_distinct(sh)).cast("bigint"))
+        .drop("_sh")
     )
 
 
