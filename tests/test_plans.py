@@ -188,3 +188,18 @@ def test_repetition_and_scrub_plan_shape(spark):
     assert "Exchange" not in rep and "Join" not in rep and "Window" not in rep
     scrub = plan_of(T.scrub_repeated_spans(docs, w=4))
     assert "Cartesian" not in scrub and "Window" not in scrub
+
+
+def test_repetition_splits_text_once(spark):
+    """Guard the no-CSE fix: interpreted HOFs re-evaluate inlined
+    subtrees, so repetition_features materializes the word array in its
+    own projection.  If a future optimizer change collapses that
+    projection back (re-inlining words(text) into all five gram folds —
+    a measured 2.7x regression), this counts the split occurrences."""
+    from sparkotel.functions.text import repetition_features
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        repetition_features(docs)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
