@@ -178,6 +178,28 @@ def build_registry() -> dict[str, Query]:
         _stage("routed", ROUTED_COLS),
         f"{duck_pipeline_cte()} SELECT {sel(ROUTED_COLS)} FROM routed",
     )
+    # WET ingestion: the whole DAG from the RAW html bytes alone — the
+    # ground-truth text column is dropped, main-content extraction
+    # recovers it (byte-identical, functions/htmltext.py), then
+    # parse→enrich→route runs on the recovered text.  The oracle routes
+    # the ground-truth text: only byte-exact extraction makes the
+    # per-route counts match.
+    def _wet(spark: SparkSession, sf: str) -> DataFrame:
+        src = (
+            P.pages(spark, sf)
+            .drop("text")
+            .withColumn("text", HT.main_text("html"))
+            .drop("html")
+        )
+        routed = R.assign_routes(
+            PL.enrich_stage(spark, PL.parse_stage(src)), PL.ROUTES, "other"
+        )
+        return routed.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+    q["wet_route_counts"] = Query(
+        _wet,
+        f"{duck_pipeline_cte()} SELECT route, count(*) AS n FROM routed GROUP BY route",
+    )
     q["sink_errors_en"] = Query(_sink("errors_en"), _sink_sql("route = 'errors_en'"))
     q["sink_errors_other"] = Query(_sink("errors_other"), _sink_sql("route = 'errors_other'"))
     q["sink_other"] = Query(_sink("other"), _sink_sql("route = 'other'"))
@@ -256,6 +278,7 @@ FROM res""",
     window = [
         # A: new / changed this round
         "html_extract_text",
+        "wet_route_counts",
         "multimodal_sniff",
         "otlpjson_exp_histogram",
         "otlpjson_exp_roundtrip",
@@ -300,7 +323,8 @@ FROM res""",
         "text_pii_scrub",
         "text_chunks",
         "pack_sequences",
-        "multimodal_frame_sample",
+        # multimodal_frame_sample (r3-green, code unchanged) yields its
+        # slot to wet_route_counts' first driver row
         "embedding_prep",
         # dedup_minhash_signature (double-green r1+r3) yields its slot to
         # the new cluster-formation stage, which consumes the same
