@@ -632,3 +632,88 @@ JOIN l ON l.doc_id = d.doc_id
 JOIN r ON r.doc_id = d.doc_id
 JOIN k ON k.h = md5(d.text)
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train-test overlap detection)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    w: int = SHINGLE_W,
+    k: int = 2,
+) -> DataFrame:
+    """Flag corpus documents sharing ≥ ``k`` distinct word ``w``-shingles
+    with any document in the benchmark/eval set — the standard
+    decontamination pass before training (drop train rows that leak
+    test data).
+
+    Scale shape at 100 TB: the benchmark side is eval-suite-sized
+    (metadata), so its distinct shingle hashes BROADCAST; the corpus
+    side explodes its per-doc distinct shingles in the HASH domain
+    (8-byte longs, the same trim that made minhash scale) and
+    broadcast-inner-joins — non-matching grams vanish map-side, so the
+    only shuffled rows are actual matches (rare), and the final
+    per-doc hit count + left-join back is broadcast too.  The corpus
+    never shuffles.
+
+    Output: (id, n_hits, contaminated) for every corpus row.
+    """
+    bg = (
+        bench.select(
+            F.explode(
+                F.array_distinct(shingles_of_words(words(F.col(bench_text_col)), w))
+            ).alias("g")
+        )
+        .select(h60(F.col("g")).alias("_h"))
+        .distinct()
+    )
+    cg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_of_words(words(F.col(text_col)), w))
+        ).alias("g"),
+    ).select(id_col, h60(F.col("g")).alias("_h"))
+    hits = (
+        cg.join(F.broadcast(bg), "_h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_h").alias("n_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= k).alias("contaminated"),
+        )
+    )
+
+
+def duck_decontaminate(
+    bench_pred: str, table: str = "documents", w: int = SHINGLE_W, k: int = 2
+) -> str:
+    sh = duck_shingles("text", w)
+    return f"""
+WITH bg AS (
+  SELECT DISTINCT {duck_h60('g')} AS h
+  FROM (SELECT unnest(list_distinct({sh})) AS g FROM {table} WHERE {bench_pred}) b
+),
+cg AS (
+  SELECT doc_id, {duck_h60('g')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct({sh})) AS g FROM {table}) c
+),
+hits AS (
+  SELECT cg.doc_id, count(DISTINCT cg.h) AS n_hits
+  FROM cg JOIN bg ON cg.h = bg.h GROUP BY cg.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(h.n_hits, 0) >= {k} AS contaminated
+FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""

@@ -279,6 +279,7 @@ FROM res""",
         # A: new / changed this round
         "html_extract_text",
         "wet_route_counts",
+        "decontaminate",
         "multimodal_sniff",
         "otlpjson_exp_histogram",
         "otlpjson_exp_roundtrip",
@@ -323,9 +324,9 @@ FROM res""",
         "text_pii_scrub",
         "text_chunks",
         "pack_sequences",
-        # multimodal_frame_sample (r3-green, code unchanged) yields its
-        # slot to wet_route_counts' first driver row
-        "embedding_prep",
+        # multimodal_frame_sample / embedding_prep (r3-green, code
+        # unchanged) yield their slots to the first driver rows of
+        # wet_route_counts and decontaminate
         # dedup_minhash_signature (double-green r1+r3) yields its slot to
         # the new cluster-formation stage, which consumes the same
         # signature/LSH path end-to-end
@@ -3613,6 +3614,15 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
             "doc_id", "fp_min", "fp_max", "n_shingles"
         ),
         TX.duck_fingerprint(),
+    )
+    # benchmark decontamination: eval set = every 97th doc; those docs
+    # (and any document sharing >= 2 distinct 5-gram shingles with one)
+    # must be flagged before training
+    q["decontaminate"] = Query(
+        lambda spark, sf: TX.decontaminate(
+            _docs(spark, sf), _docs(spark, sf).filter("doc_id % 97 = 0")
+        ),
+        TX.duck_decontaminate("doc_id % 97 = 0"),
     )
     # URL canonicalization: pages urls deterministically decorated with
     # the mess canonicalization exists for (host case, default port,

@@ -621,3 +621,44 @@ def test_host_quality_blocks_low_mean(spark):
     df = spark.createDataFrame(rows, "host string, text string")
     got = {r.host: (r.n_pages, r.blocked) for r in W.host_quality(df).collect()}
     assert got == {"a.com": (2, False), "b.com": (1, True)}
+
+
+def test_decontaminate_threshold_and_hand_cases(spark):
+    """Hand-built contamination: k=2 distinct shared 5-gram shingles is
+    the flag line; 1 shared shingle stays clean; the benchmark doc
+    itself is maximally contaminated."""
+    from sparkotel.functions import text as T
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, bench_text),                                   # the benchmark doc
+        # shares the first TWO 5-gram shingles -> contaminated
+        (1, "alpha beta gamma delta epsilon zeta xx yy zz ww"),
+        # shares exactly ONE 5-gram shingle -> clean at k=2
+        (2, "alpha beta gamma delta epsilon qq rr ss tt uu"),
+        (3, "completely unrelated words with no overlap at all here"),
+        (4, "short"),                                      # < w words: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.filter("doc_id = 0")
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in
+           T.decontaminate(df, bench).collect()}
+    assert got[0][1] is True and got[0][0] == 6   # 10 words -> 6 shingles
+    assert got[1] == (2, True)
+    assert got[2] == (1, False)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+
+
+def test_decontaminate_plan_all_broadcast(spark):
+    """Scale gate: the corpus side never shuffles — both the gram match
+    and the flag-join-back are broadcast hash joins."""
+    from test_plans import plan_of
+
+    from sparkotel.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = T.decontaminate(docs, docs.filter("doc_id % 97 = 0"))
+    plan = plan_of(out)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
