@@ -717,3 +717,108 @@ SELECT d.doc_id,
   coalesce(h.n_hits, 0) >= {k} AS contaminated
 FROM {table} d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary + per-document keywords
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-wide token frequency table, top ``k`` by (count desc,
+    word asc).
+
+    Scale shape: explode → groupBy(word).count() is ONE shuffle with
+    map-side partial aggregation (Spark's hash aggregate combines
+    per-partition before the exchange, so the shuffled rows are
+    vocabulary-sized per partition, not corpus-sized); the top-k is a
+    TakeOrdered over the vocabulary — no global sort materialization.
+    """
+    return (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def duck_vocab_topk(table: str = "documents", k: int = 100) -> str:
+    return f"""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT {k}
+"""
+
+
+def doc_keywords(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-``k`` keywords per document by an integer-exact tf-rarity
+    score: ``score = tf * 1_000_000 / df`` (integer division; df = how
+    many documents contain the word).  The linear-rarity variant of
+    tf-idf — chosen over ``tf·ln(N/df)`` because it is bit-exact across
+    engines (no libm), and rank-equivalent for the common case where
+    one term's rarity dominates.
+
+    Scale shape: per-(doc, word) tf is one map-side-combined shuffle;
+    document frequencies aggregate to a VOCABULARY-sized table that
+    broadcasts back; the per-doc top-k window shuffles by doc only.
+    """
+    w = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+    ).filter(F.col("word") != "")
+    tf = w.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        w.select(id_col, "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # integer `div`, not double `/`+cast: bit-exact at any df magnitude
+    scored = tf.join(F.broadcast(dfreq), "word").withColumn(
+        "score", F.expr("CAST(tf * 1000000L div df AS BIGINT)")
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(
+            F.col("score").desc(), F.col("word")
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= k)
+        .select(id_col, "word", "tf", "df", "score", "rank")
+    )
+
+
+def duck_doc_keywords(table: str = "documents", k: int = 3) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM {table}
+),
+wn AS (SELECT doc_id, word FROM w WHERE word <> ''),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM wn GROUP BY doc_id, word),
+dfreq AS (
+  SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM wn)
+  GROUP BY word
+),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         CAST(tf.tf * 1000000 // dfreq.df AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (word)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word)
+         AS rank
+  FROM scored
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -300,10 +300,13 @@ FROM res""",
         "spanmetrics_exp_datapoint",
         "multimodal_features",
         "isolation_forest",
+        # A (cont.): the two new text ops' first driver rows take the
+        # second-row slots of dedup_simhash / ann_lsh_buckets (single
+        # r1 greens, stable code)
+        "vocab_topk",
+        "doc_keywords",
         # C: single-green, oldest evidence first
         "dedup_exact",
-        "dedup_simhash",
-        "ann_lsh_buckets",
         "dedup_jaccard_verify",
         # metrics_generate / container_recombine (single r2 greens,
         # stable code) yield their second-row slots to the two newest
@@ -3614,6 +3617,14 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
             "doc_id", "fp_min", "fp_max", "n_shingles"
         ),
         TX.duck_fingerprint(),
+    )
+    q["vocab_topk"] = Query(
+        lambda spark, sf: TX.vocab_topk(_docs(spark, sf)),
+        TX.duck_vocab_topk(),
+    )
+    q["doc_keywords"] = Query(
+        lambda spark, sf: TX.doc_keywords(_docs(spark, sf)),
+        TX.duck_doc_keywords(),
     )
     # benchmark decontamination: eval set = every 97th doc; those docs
     # (and any document sharing >= 2 distinct 5-gram shingles with one)
