@@ -822,3 +822,99 @@ SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# training-run data layout: deterministic shuffle-to-shards + stratified sample
+# ---------------------------------------------------------------------------
+
+
+def train_shards(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 8, salt: str = "ep0"
+) -> DataFrame:
+    """Deterministic pseudo-random shuffle into training shards:
+    ``shard = h60(salt‖id) mod n_shards``, ``pos`` = rank of the hash
+    within the shard.  Changing ``salt`` (e.g. per epoch) re-permutes
+    reproducibly.
+
+    Scale shape: the shard assignment is a projection; the within-shard
+    position is a window partitioned by shard — n_shards partitions of
+    ~N/n_shards rows each.  For 10^12 rows, n_shards is picked so a
+    shard fits a task (e.g. 10^5 shards), keeping the sort bounded; the
+    hash ordering means NO global sort is ever needed.
+    """
+    h = h60(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col), h.alias("_h")).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    )
+    return base.withColumn("pos", pos).select(id_col, "shard", "pos")
+
+
+def duck_train_shards(
+    table: str = "documents", n_shards: int = 8, salt: str = "ep0"
+) -> str:
+    h = duck_h60(f"'{salt}' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (SELECT doc_id, {h} AS h FROM {table})
+SELECT doc_id,
+  CAST(h % {n_shards} AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY h % {n_shards} ORDER BY h, doc_id)
+       AS INT) AS pos
+FROM b
+"""
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    quota: int = 50,
+    salt: str = "s0",
+) -> DataFrame:
+    """Exact per-stratum quota sampling, deterministic: within each
+    stratum keep the ``quota`` rows with the smallest
+    ``h60(salt‖id)`` — a reproducible uniform sample (corpus
+    rebalancing, e.g. capping dominant languages).
+
+    Scale shape: one window per stratum.  A stratum is a language — at
+    most dozens — so per-stratum row counts are huge but the window
+    only needs a bounded top-``quota`` per partition: Spark's
+    WindowGroupLimit pushes ``rank <= quota`` below the sort
+    (partial top-k per input partition before the exchange), so the
+    shuffle carries at most quota rows per input partition, not the
+    stratum.
+    """
+    h = h60(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    base = df.select(F.col(strata_col), F.col(id_col), h.alias("_h"))
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(F.col("_h"), F.col(id_col))
+    )
+    return (
+        base.withColumn("rank", rk)
+        .filter(F.col("rank") <= quota)
+        .select(strata_col, id_col, F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def duck_stratified_sample(
+    table: str = "documents", strata_col: str = "lang", quota: int = 50,
+    salt: str = "s0",
+) -> str:
+    h = duck_h60(f"'{salt}' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (SELECT {strata_col}, doc_id, {h} AS h FROM {table}),
+r AS (
+  SELECT {strata_col}, doc_id,
+         row_number() OVER (PARTITION BY {strata_col} ORDER BY h, doc_id) AS rank
+  FROM b
+)
+SELECT {strata_col}, doc_id, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {quota}
+"""

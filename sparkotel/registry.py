@@ -305,9 +305,11 @@ FROM res""",
         # r1 greens, stable code)
         "vocab_topk",
         "doc_keywords",
-        # C: single-green, oldest evidence first
-        "dedup_exact",
-        "dedup_jaccard_verify",
+        # A (cont.): train_shards / stratified_sample first rows take
+        # the second-row slots of dedup_exact / dedup_jaccard_verify
+        # (single r1 greens, stable code)
+        "train_shards",
+        "stratified_sample",
         # metrics_generate / container_recombine (single r2 greens,
         # stable code) yield their second-row slots to the two newest
         # r4 queries' first rows
@@ -3617,6 +3619,14 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
             "doc_id", "fp_min", "fp_max", "n_shingles"
         ),
         TX.duck_fingerprint(),
+    )
+    q["train_shards"] = Query(
+        lambda spark, sf: TX.train_shards(_docs(spark, sf)),
+        TX.duck_train_shards(),
+    )
+    q["stratified_sample"] = Query(
+        lambda spark, sf: TX.stratified_sample(_docs(spark, sf)),
+        TX.duck_stratified_sample(),
     )
     q["vocab_topk"] = Query(
         lambda spark, sf: TX.vocab_topk(_docs(spark, sf)),

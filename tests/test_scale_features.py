@@ -662,3 +662,37 @@ def test_decontaminate_plan_all_broadcast(spark):
     plan = plan_of(out)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_stratified_sample_window_group_limit(spark):
+    """Scale gate: the per-stratum quota filter must push below the
+    window sort (WindowGroupLimit), so each input partition forwards at
+    most `quota` rows per stratum instead of the whole stratum."""
+    from test_plans import plan_of
+
+    from sparkotel.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(T.stratified_sample(docs))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_train_shards_deterministic_and_balanced(spark):
+    """Same salt -> identical permutation; different salt -> different
+    order; every shard position is a contiguous 1..len range."""
+    from sparkotel.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(400)
+    a = {(r.doc_id): (r.shard, r.pos) for r in T.train_shards(docs).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in T.train_shards(docs).collect()}
+    assert a == b
+    c = {(r.doc_id): (r.shard, r.pos) for r in
+         T.train_shards(docs, salt="ep1").collect()}
+    assert a != c
+    from collections import Counter
+
+    by_shard = Counter(s for s, _ in a.values())
+    assert len(by_shard) == 8
+    for shard in by_shard:
+        poss = sorted(p for s, p in a.values() if s == shard)
+        assert poss == list(range(1, len(poss) + 1))
