@@ -310,12 +310,15 @@ FROM res""",
         # (single r1 greens, stable code)
         "train_shards",
         "stratified_sample",
+        # A (cont.): schema_migrate's first row takes the second-row
+        # slot of spanmetrics_exp_histogram (r2 green + r3 judge-green,
+        # emit-side code unchanged this round)
+        "schema_migrate",
         # metrics_generate / container_recombine (single r2 greens,
         # stable code) yield their second-row slots to the two newest
         # r4 queries' first rows
         "host_quality_filter",
         "stanza_router_attrs",
-        "spanmetrics_exp_histogram",
         # syslog_rfc5424 (single r2 green, stable code) yields its
         # second-row slot to the new decision query's first row
         "corpus_keep_decision",
@@ -3619,6 +3622,53 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
             "doc_id", "fp_min", "fp_max", "n_shingles"
         ),
         TX.duck_fingerprint(),
+    )
+    # schemaprocessor analogue: per-record schema version gates which
+    # revisions apply (records synthesized at 1.21.0 skip the 1.21.0
+    # method rename, records at 1.22.0 skip both), long-format output
+    def _schema_q(spark: SparkSession, sf: str) -> DataFrame:
+        from sparkotel.operators.schema import schema_transform
+
+        parsed = PL.parse_stage(P.pages(spark, sf).drop("html")).filter(
+            ~F.col("_error")
+        )
+        df = parsed.select(
+            "url",
+            F.create_map(
+                F.lit("http.method"), F.col("method"),
+                F.lit("http.status_code"), F.col("status").cast("string"),
+            ).alias("attrs"),
+            F.when(F.col("doc_id") % 3 == 0, "1.20.0")
+            .when(F.col("doc_id") % 3 == 1, "1.21.0")
+            .otherwise("1.22.0")
+            .alias("schema_version"),
+        )
+        out = schema_transform(
+            df,
+            versions=["1.20.0", "1.21.0", "1.22.0"],
+            revisions=[
+                ("1.21.0", {"http.method": "http.request.method"}),
+                ("1.22.0", {"http.status_code": "http.response.status_code"}),
+            ],
+            target="1.22.0",
+        )
+        return out.select("url", F.explode("attrs").alias("akey", "aval"))
+
+    q["schema_migrate"] = Query(
+        _schema_q,
+        f"""{duck_pipeline_cte()}
+SELECT url,
+  CASE WHEN doc_id % 3 = 0 THEN 'http.request.method'
+       ELSE 'http.method' END AS akey,
+  method AS aval
+FROM parsed WHERE NOT _error
+UNION ALL
+SELECT url,
+  CASE WHEN doc_id % 3 IN (0, 1) THEN 'http.response.status_code'
+       ELSE 'http.status_code' END AS akey,
+  CAST(status AS VARCHAR) AS aval
+FROM parsed WHERE NOT _error
+""",
     )
     q["train_shards"] = Query(
         lambda spark, sf: TX.train_shards(_docs(spark, sf)),
