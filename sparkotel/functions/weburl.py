@@ -168,3 +168,90 @@ def host_quality(
             ).alias("blocked"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization over parsed access logs
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "ip",
+    ts_col: str = "log_ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Classic web-log sessionization: per ``key_col``, order by time
+    and start a new session whenever the gap since the previous request
+    exceeds ``gap_minutes``.  Emits one row per session with request
+    count, bounds, and error count.
+
+    The lag→boundary→cumulative-sum form is engine-portable (the DuckDB
+    oracle mirrors it verbatim), deterministic (tie-broken by doc_id),
+    and equivalent to Spark's ``session_window`` for complete data.
+
+    Scale shape: one shuffle by ``key_col`` + per-key sort.  Keys are
+    visitor IPs — bounded per-key row counts (a single visitor emits
+    what one client can emit), so per-key sort memory is bounded; the
+    *number* of keys scales, which partitions handle.  Order-dependent
+    per-key logic cannot be salted, so a synthetic hot key (a load
+    balancer IP) should be pre-filtered — the same caveat the
+    servicegraph pairing documents.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("doc_id"))
+    gap_s = gap_minutes * 60
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_s)
+    ).cast("bigint")
+    sess_idx = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col("doc_id"),
+        (F.col("status") >= 500).cast("bigint").alias("_err"),
+    ).withColumn("session_idx", sess_idx)
+    return (
+        base.groupBy(key_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.sum("_err").alias("n_errors"),
+        )
+        .withColumn("session_idx", F.col("session_idx").cast("int"))
+    )
+
+
+def duck_sessionize(gap_minutes: int = 30) -> str:
+    """DuckDB mirror over the pipeline CTE's ``parsed`` frame (callers
+    prepend the CTE and a WHERE NOT _error filter)."""
+    gap_s = gap_minutes * 60
+    return f"""
+b AS (
+  SELECT ip, log_ts, doc_id,
+         CASE WHEN status >= 500 THEN 1 ELSE 0 END AS err,
+         CASE WHEN lag(log_ts) OVER w IS NULL
+                OR epoch(log_ts) - epoch(lag(log_ts) OVER w) > {gap_s}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM parsed WHERE NOT _error
+  WINDOW w AS (PARTITION BY ip ORDER BY log_ts, doc_id)
+),
+s AS (
+  SELECT ip, log_ts, doc_id, err,
+         sum(new_sess) OVER (PARTITION BY ip ORDER BY log_ts, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM b
+)
+SELECT ip, CAST(session_idx AS INT) AS session_idx,
+  CAST(count(*) AS BIGINT) AS n_requests,
+  min(log_ts) AS session_start,
+  max(log_ts) AS session_end,
+  CAST(sum(err) AS BIGINT) AS n_errors
+FROM s GROUP BY ip, session_idx
+"""

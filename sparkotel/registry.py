@@ -354,7 +354,9 @@ FROM res""",
         "cardinality_guardian",
         "metric_start_time",
         "genai_normalize",
-        "exceptions_metrics",
+        # exceptions_metrics (r3-green, code unchanged) yields its slot
+        # to the new sessionization query's first row
+        "sessionize_ip",
         # F: pytest-only operators upgraded to oracle-checked queries
         # this round (the swapped-out r3-green rows keep their
         # cumulative driver coverage)
@@ -3748,6 +3750,16 @@ FROM m""",
         )
         return WU.crawl_latest(p.unionByName(v2).unionByName(v3))
 
+    # gap-based sessionization over the parsed access logs: per-ip
+    # sessions split on >30-min gaps, one row per session
+    q["sessionize_ip"] = Query(
+        lambda spark, sf: WU.sessionize(
+            PL.parse_stage(P.pages(spark, sf).drop("html")).filter(
+                ~F.col("_error")
+            )
+        ),
+        f"{duck_pipeline_cte()}, {WU.duck_sessionize()}",
+    )
     q["crawl_latest_snapshot"] = Query(
         crawl_q,
         f"""WITH p AS ({P.duckdb_pages_sql()}),

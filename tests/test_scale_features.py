@@ -696,3 +696,34 @@ def test_train_shards_deterministic_and_balanced(spark):
     for shard in by_shard:
         poss = sorted(p for s, p in a.values() if s == shard)
         assert poss == list(range(1, len(poss) + 1))
+
+
+def test_sessionize_gap_splits(spark):
+    """Hand-built timeline: 3 requests inside 30 min = one session;
+    a 31-min gap starts session 2; a second ip is independent."""
+    from datetime import datetime
+
+    from sparkotel.functions import weburl as W
+
+    t0 = datetime(2024, 3, 15, 10, 0, 0)
+
+    def at(minute):
+        return datetime(2024, 3, 15, 10, 0, 0).replace(minute=0) if minute == 0 else t0.replace(hour=10 + minute // 60, minute=minute % 60)
+
+    rows = [
+        ("1.1.1.1", at(0), 1, 200),
+        ("1.1.1.1", at(10), 2, 500),
+        ("1.1.1.1", at(29), 3, 200),
+        ("1.1.1.1", at(60), 4, 503),   # 31-min gap -> new session
+        ("2.2.2.2", at(5), 5, 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "ip string, log_ts timestamp, doc_id long, status int"
+    )
+    got = {
+        (r.ip, r.session_idx): (r.n_requests, r.n_errors)
+        for r in W.sessionize(df).collect()
+    }
+    assert got[("1.1.1.1", 1)] == (3, 1)
+    assert got[("1.1.1.1", 2)] == (1, 1)
+    assert got[("2.2.2.2", 1)] == (1, 0)
