@@ -918,3 +918,43 @@ r AS (
 SELECT {strata_col}, doc_id, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {quota}
 """
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language corpus datasheet: doc count, token/char totals,
+    mean quality.  All-integer output — quality is summed in micro-units
+    (its 6-dp rounding makes ``q·10⁶`` integral, so the sum is exact and
+    order-independent, unlike a float mean) and the mean is integer
+    division.  One map-side-combined shuffle to a languages-sized table.
+    """
+    q = quality_score(df, text_col)
+    micro = F.round(F.col("quality") * 1_000_000).cast("bigint")
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws(F.col(text_col))).alias("n_tokens"),
+            F.sum(F.length(F.col(text_col)).cast("bigint")).alias("n_chars"),
+            F.sum(micro).alias("_qsum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("CAST(_qsum div n_docs AS BIGINT)").alias("mean_quality_micro"),
+        )
+    )
+
+
+def duck_corpus_stats(table: str = "documents") -> str:
+    return f"""
+SELECT d.lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+  CAST(sum(length(d.text)) AS BIGINT) AS n_chars,
+  CAST(sum(CAST(round(q.quality * 1000000, 0) AS BIGINT))
+       // count(*) AS BIGINT) AS mean_quality_micro
+FROM {table} d JOIN ({duck_quality(table)}) q ON d.doc_id = q.doc_id
+GROUP BY d.lang
+"""

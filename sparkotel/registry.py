@@ -349,8 +349,9 @@ FROM res""",
         # ann_ivf_topk / tailsampling_policies (r3-green, code unchanged)
         # yield their slots to the two changed-html queries in A
         "ann_ivf_kmeans_topk",
-        # E: heavyweight r3 processors
-        "span_pruning",
+        # E: heavyweight r3 processors (span_pruning, r3-green and
+        # unchanged, yields its slot to corpus_stats' first row)
+        "corpus_stats",
         "cardinality_guardian",
         "metric_start_time",
         "genai_normalize",
@@ -3683,6 +3684,10 @@ FROM parsed WHERE NOT _error
     q["vocab_topk"] = Query(
         lambda spark, sf: TX.vocab_topk(_docs(spark, sf)),
         TX.duck_vocab_topk(),
+    )
+    q["corpus_stats"] = Query(
+        lambda spark, sf: TX.corpus_stats(_docs(spark, sf)),
+        TX.duck_corpus_stats(),
     )
     q["doc_keywords"] = Query(
         lambda spark, sf: TX.doc_keywords(_docs(spark, sf)),
