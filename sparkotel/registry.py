@@ -354,9 +354,10 @@ FROM res""",
         "corpus_stats",
         "cardinality_guardian",
         "metric_start_time",
-        "genai_normalize",
-        # exceptions_metrics (r3-green, code unchanged) yields its slot
-        # to the new sessionization query's first row
+        # genai_normalize / exceptions_metrics (r3-green, code
+        # unchanged) yield their slots to the first rows of the new
+        # composed corpus-prep and sessionization queries
+        "corpus_prep_shards",
         "sessionize_ip",
         # F: pytest-only operators upgraded to oracle-checked queries
         # this round (the swapped-out r3-green rows keep their
@@ -3688,6 +3689,34 @@ FROM parsed WHERE NOT _error
     q["corpus_stats"] = Query(
         lambda spark, sf: TX.corpus_stats(_docs(spark, sf)),
         TX.duck_corpus_stats(),
+    )
+
+    # end-to-end corpus prep: keep/drop decision → decontamination →
+    # deterministic shard assignment, one composed DAG (the flagship
+    # training-data pipeline as a single driver-checked query)
+    def _corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs(spark, sf)
+        keep = TX.corpus_keep(docs).filter("keep").select("doc_id")
+        clean = (
+            TX.decontaminate(docs, docs.filter("doc_id % 97 = 0"))
+            .filter(~F.col("contaminated"))
+            .select("doc_id")
+        )
+        kept = docs.select("doc_id").join(keep, "doc_id").join(clean, "doc_id")
+        return TX.train_shards(kept)
+
+    q["corpus_prep_shards"] = Query(
+        _corpus_prep,
+        f"""WITH kept AS (
+  SELECT d.doc_id FROM documents d
+  JOIN (SELECT doc_id FROM ({TX.duck_corpus_keep()}) WHERE keep) kq
+    USING (doc_id)
+  JOIN (SELECT doc_id FROM ({TX.duck_decontaminate("doc_id % 97 = 0")})
+        WHERE NOT contaminated) cq
+    USING (doc_id)
+)
+SELECT * FROM ({TX.duck_train_shards('kept')})
+""",
     )
     q["doc_keywords"] = Query(
         lambda spark, sf: TX.doc_keywords(_docs(spark, sf)),
