@@ -766,8 +766,12 @@ def doc_keywords(
     one term's rarity dominates.
 
     Scale shape: per-(doc, word) tf is one map-side-combined shuffle;
-    document frequencies aggregate to a VOCABULARY-sized table that
-    broadcasts back; the per-doc top-k window shuffles by doc only.
+    document frequencies aggregate to a vocabulary-sized table.  The
+    tf⋈df join is left UNHINTED on purpose: a 100 TB web corpus has a
+    vocabulary far too large to broadcast, and both sides are already
+    word-keyed, so AQE picks broadcast when the vocabulary is small and
+    a co-partitioned shuffle join when it is not.  The per-doc top-k
+    window shuffles by doc only.
     """
     w = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
@@ -780,7 +784,7 @@ def doc_keywords(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     # integer `div`, not double `/`+cast: bit-exact at any df magnitude
-    scored = tf.join(F.broadcast(dfreq), "word").withColumn(
+    scored = tf.join(dfreq, "word").withColumn(
         "score", F.expr("CAST(tf * 1000000L div df AS BIGINT)")
     )
     from pyspark.sql import Window
