@@ -727,3 +727,27 @@ def test_sessionize_gap_splits(spark):
     assert got[("1.1.1.1", 1)] == (3, 1)
     assert got[("1.1.1.1", 2)] == (1, 1)
     assert got[("2.2.2.2", 1)] == (1, 0)
+
+
+def test_decontaminate_boilerplate_shingle_not_enough(spark):
+    """Adversarial: one benchmark shingle appearing in EVERY corpus doc
+    (site boilerplate) gives everyone n_hits=1 — below k=2, nothing is
+    flagged except genuine overlap.  Also exercises the match-join on a
+    100%-hit gram (no pair explosion by construction: grams join to the
+    bench set, never doc-to-doc)."""
+    from sparkotel.functions import text as T
+
+    boiler = "all rights reserved site footer"  # 5 words -> ONE shingle
+    rows = [(i, f"unique{i} words{i} here{i} {boiler}") for i in range(20)]
+    # doc 19 IS the bench text: shares the boiler shingle plus its own
+    rows[19] = (19, f"bench only shingle text here {boiler}")
+    bench = spark.createDataFrame(
+        [(100, f"bench only shingle text here {boiler}")],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in
+           T.decontaminate(df, bench).collect()}
+    flagged = [d for d, (_, c) in got.items() if c]
+    assert flagged == [19]
+    assert all(h >= 1 for h, _ in got.values())  # boilerplate hits everyone
