@@ -100,6 +100,58 @@ def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -
     return df.withColumn(out, F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)), 6))
 
 
+def lang_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """lang_id + quality_score in ONE projection sharing a single
+    materialized word split (interpreted HOFs get no CSE, so the
+    separate stages re-split the text 7x): 1.03 s → 0.73 s at
+    500k docs/local[32], value-identical.  Formulas are the exact
+    twins of quality_features/quality_score/lang_id — both paths are
+    oracle-pinned (text_quality / corpus_keep_decision), so drift
+    fails the driver gate."""
+    c = F.col(text_col)
+    base = df.withColumn("_w", words(c))
+    ws = F.col("_w")
+    cols = {}
+    for lg in STOPWORDS:
+        arr = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        cols[f"hits_{lg}"] = F.size(
+            F.filter(ws, lambda t: F.array_contains(arr, t))
+        ).cast("bigint")
+    n_chars = F.length(c).cast("bigint")
+    n_tokens = F.size(ws).cast("bigint")
+    n_punct = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("bigint")
+    out = (
+        base.withColumns(cols)
+        .withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "n_tokens_bpe",
+            F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
+        .withColumn("stopword_ratio", F.round(F.col("hits_en") / n_tokens, 6))
+        .withColumn("mean_word_len", F.round((n_chars - n_tokens + 1) / n_tokens, 6))
+    )
+    raw = (
+        F.lit(0.5)
+        + F.col("stopword_ratio") * 2.0
+        - F.col("punct_ratio") * 4.0
+        - F.when(F.col("n_tokens") < 10, 0.25).otherwise(0.0)
+    )
+    out = out.withColumn(
+        "quality", F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), raw)), 6)
+    )
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in STOPWORDS])
+    expr = F.when(best == 0, F.lit("und"))
+    for lg in STOPWORDS:
+        expr = expr.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return out.withColumn("lang_pred", expr).drop("_w")
+
+
 def shingles_of_words(ws: Column, w: int = SHINGLE_W) -> Column:
     """word w-shingles from a pre-split word array (empty when < w)."""
     return F.when(
@@ -585,7 +637,7 @@ def corpus_keep(
         df.groupBy(F.md5(F.col(text_col)).alias("h"))
         .agg(F.min(id_col).alias("keeper_id"))
     )
-    base = lang_id(quality_score(df, text_col), text_col)
+    base = lang_quality(df, text_col)
     rep = repetition_features(df, id_col, text_col)
     full = (
         base.withColumn("h", F.md5(F.col(text_col)))
