@@ -96,3 +96,64 @@ def frame_sample_plan(df: DataFrame, bin_col: str = "video", every_n: int = 30) 
     n_frames = (F.length(F.col(bin_col)) / 1024).cast("int")  # fake frame count
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.withColumn("frame_idx", F.explode(idx))
+
+
+def image_patch_plan(
+    df: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    patch: int = 16,
+) -> DataFrame:
+    """ViT-style image patching plumbing: one row per (patch_idx, px,
+    py) over a ceil-divided patch grid.  The decode/resize is the
+    documented stub (no imaging libs here); the grid arithmetic,
+    explode shape, and per-image row fan-out are the real pipeline
+    parts — a 224x224 image at patch 16 emits 196 rows.
+
+    Pure generator (scan → explode → sink at 100 TB, no shuffle).
+    """
+    nx = F.ceil(F.col(width_col) / F.lit(patch)).cast("int")
+    ny = F.ceil(F.col(height_col) / F.lit(patch)).cast("int")
+    n = (nx * ny).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    out = df.withColumn("_nx", nx).withColumn(
+        "patch_idx", F.explode(idx)
+    )
+    return (
+        out.withColumn("px", (F.col("patch_idx") % F.col("_nx")).cast("int"))
+        .withColumn("py", (F.col("patch_idx") / F.col("_nx")).cast("int"))
+        .drop("_nx")
+    )
+
+
+def audio_window_plan(
+    df: DataFrame,
+    n_samples_col: str = "n_samples",
+    sample_rate: int = 16000,
+    win_ms: int = 25,
+    hop_ms: int = 10,
+) -> DataFrame:
+    """STFT-style audio framing plumbing: one row per analysis window
+    (start sample, end sample, t_ms) for win_ms windows advancing by
+    hop_ms at ``sample_rate`` — the frame layout every feature
+    extractor (fbank/MFCC) consumes.  Decode is the documented stub;
+    the window arithmetic is exact integer math.  Pure generator."""
+    win = sample_rate * win_ms // 1000
+    hop = sample_rate * hop_ms // 1000
+    n = F.col(n_samples_col).cast("bigint")
+    n_win = F.when(n >= win, ((n - win) / hop).cast("bigint") + 1).otherwise(
+        F.lit(0)
+    )
+    idx = F.when(
+        n_win > 0, F.sequence(F.lit(0).cast("bigint"), n_win - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    out = df.withColumn("win_idx", F.explode(idx))
+    start = F.col("win_idx") * hop
+    return (
+        out.withColumn("start_sample", start)
+        .withColumn("end_sample", start + win)
+        .withColumn(
+            "t_ms", (F.col("win_idx") * F.lit(hop_ms)).cast("bigint")
+        )
+        .withColumn("win_idx", F.col("win_idx").cast("int"))
+    )

@@ -349,11 +349,13 @@ FROM res""",
         # ann_ivf_topk / tailsampling_policies (r3-green, code unchanged)
         # yield their slots to the two changed-html queries in A
         "ann_ivf_kmeans_topk",
-        # E: heavyweight r3 processors (span_pruning, r3-green and
-        # unchanged, yields its slot to corpus_stats' first row)
+        # E: heavyweight r3 processors (span_pruning / cardinality_guardian
+        # / metric_start_time, all r3-green and unchanged, yield their
+        # slots to first rows of corpus_stats and the two new
+        # multimodal plumbing queries)
         "corpus_stats",
-        "cardinality_guardian",
-        "metric_start_time",
+        "multimodal_image_patches",
+        "multimodal_audio_windows",
         # genai_normalize / exceptions_metrics (r3-green, code
         # unchanged) yield their slots to the first rows of the new
         # composed corpus-prep and sessionization queries
@@ -3995,6 +3997,46 @@ FROM x""",
 SELECT doc_id,
   CAST(unnest(range(0, greatest(nf - 1, 0) + 1, 5)) AS INT) AS frame_idx
 FROM n""",
+    )
+    # ViT-style image patch grid: deterministic fake (width, height)
+    # metadata → one row per (patch_idx, px, py); codec stays stubbed,
+    # the grid/explode arithmetic is the oracle-checked part
+    q["multimodal_image_patches"] = Query(
+        lambda spark, sf: MM.image_patch_plan(
+            _docs(spark, sf).select(
+                "doc_id",
+                (64 + (F.col("doc_id") % 13) * 16).cast("int").alias("width"),
+                (64 + (F.col("doc_id") % 7) * 16).cast("int").alias("height"),
+            )
+        ).select("doc_id", "patch_idx", "px", "py"),
+        """WITH g AS (
+  SELECT doc_id,
+    CAST((64 + (doc_id % 13) * 16) // 16 AS INT) AS nx,
+    CAST((64 + (doc_id % 7) * 16) // 16 AS INT) AS ny
+  FROM documents)
+SELECT doc_id, CAST(u AS INT) AS patch_idx,
+  CAST(u % nx AS INT) AS px, CAST(u // nx AS INT) AS py
+FROM (SELECT doc_id, nx, unnest(range(0, greatest(nx * ny - 1, 0) + 1)) AS u
+      FROM g) t""",
+    )
+    # STFT-style audio window layout: fake n_samples = n_chars*20 at a
+    # 16 kHz / 25 ms / 10 ms config → (win_idx, start, end, t_ms)
+    q["multimodal_audio_windows"] = Query(
+        lambda spark, sf: MM.audio_window_plan(
+            _docs(spark, sf).select(
+                "doc_id", (F.col("n_chars") * 20).alias("n_samples")
+            )
+        ).select("doc_id", "win_idx", "start_sample", "end_sample", "t_ms"),
+        """WITH a AS (
+  SELECT doc_id, CAST(n_chars * 20 AS BIGINT) AS n FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN n >= 400 THEN (n - 400) // 160 + 1 ELSE 0 END AS nw
+      FROM a)
+SELECT doc_id, CAST(u AS INT) AS win_idx,
+  CAST(u * 160 AS BIGINT) AS start_sample,
+  CAST(u * 160 + 400 AS BIGINT) AS end_sample,
+  CAST(u * 10 AS BIGINT) AS t_ms
+FROM (SELECT doc_id, unnest(range(0, nw)) AS u FROM w WHERE nw > 0) t""",
     )
 
     # embedding vector prep: unit-norm + symmetric int8 quantization
