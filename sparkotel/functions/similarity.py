@@ -45,12 +45,18 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     pre-normalization magnitude).  Pure per-row array math — scan-speed;
     normalizing once upstream turns every downstream cosine into a dot
     product (drops two sqrt+reduce passes per pair in the ANN kernels)."""
+    # The norm rides in via array_repeat + zip_with, NOT inside the
+    # per-element lambda: interpreted HOFs get no CSE, so a lambda
+    # referencing the norm re-reduces the whole vector PER ELEMENT —
+    # O(d²)/row, measured 85.6 s vs 1.1 s at 200k×256-d local[32].
     n = _norm(F.col(vec_col))
     return df.withColumns(
         {
             "vec_norm": n,
-            vec_col: F.transform(
-                F.col(vec_col), lambda x: (x.cast("double") / n).cast("float")
+            vec_col: F.zip_with(
+                F.col(vec_col),
+                F.array_repeat(n, F.size(F.col(vec_col))),
+                lambda x, nn: (x.cast("double") / nn).cast("float"),
             ),
         }
     )
@@ -62,14 +68,18 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     standard 4× storage/bandwidth cut for ANN corpora; per-row array
     math, no shuffle, and the int8 arrays dot-product in whole-stage
     codegen just like floats."""
+    # scale via array_repeat + zip_with, not inside the element lambda
+    # (no CSE through interpreted HOFs → O(d²)/row otherwise; measured
+    # 37.2 s vs 1.5 s at 200k×256-d local[32] — see l2_normalize)
     absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
     scale = absmax / F.lit(127.0)
     return df.withColumns(
         {
             "q_scale": scale,
-            "q_vec": F.transform(
+            "q_vec": F.zip_with(
                 F.col(vec_col),
-                lambda x: F.round(x.cast("double") / scale).cast("int"),
+                F.array_repeat(scale, F.size(F.col(vec_col))),
+                lambda x, s: F.round(x.cast("double") / s).cast("int"),
             ),
         }
     )
@@ -162,25 +172,41 @@ DEFAULT_MAX_BUCKET = 1000
 def _table_buckets(vec: Column, n_planes: int, n_tables: int, dim: int) -> Column:
     """array of ``n_tables`` bucket ids; table t uses global hyperplanes
     [t*n_planes, (t+1)*n_planes).  The weight matrix is one literal
-    array-of-arrays (a plan constant riding the task closure — no
-    broadcast, no join); all dot products evaluate in a single
-    higher-order-function pass."""
+    array-of-structs (a plan constant riding the task closure — no
+    broadcast, no join).
+
+    Single-pass K-way accumulate (the minhash_signature pattern): one
+    ``F.aggregate`` walks the planes once, carrying all table sums;
+    each plane's dot product evaluates exactly once because ``when``
+    only evaluates the branch of the single matching table.  The
+    previous per-table ``transform`` re-evaluated the whole bits pass
+    per table — measured 21.0 s vs 4.9 s at 100k×64-d local[32],
+    bit-identical buckets."""
     planes = F.array(
         *[
-            F.array(*[F.lit(plane_weight(g, d)) for d in range(dim)])
+            F.struct(
+                F.lit(2 ** (g % n_planes)).cast("int").alias("pw"),
+                F.lit(g // n_planes).cast("int").alias("t"),
+                F.array(*[F.lit(plane_weight(g, d)) for d in range(dim)]).alias("w"),
+            )
             for g in range(n_tables * n_planes)
         ]
     )
-    bits = F.transform(planes, lambda w: F.when(_dot(vec, w) >= 0, 1).otherwise(0))
-    powers = F.array(*[F.lit(2 ** j) for j in range(n_planes)])
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_tables - 1)),
-        lambda t: F.aggregate(
-            F.zip_with(F.slice(bits, t * n_planes + 1, n_planes), powers, lambda b, p: b * p),
-            F.lit(0),
-            lambda s, x: s + x,
-        ).cast("int"),
-    )
+    init = F.array_repeat(F.lit(0).cast("int"), n_tables)
+    t_seq = F.array(*[F.lit(t).cast("int") for t in range(n_tables)])
+
+    def merge(acc: Column, p: Column) -> Column:
+        bitval = F.when(_dot(vec, p.getField("w")) >= 0, p.getField("pw")).otherwise(
+            F.lit(0)
+        )
+        tgt = p.getField("t")
+        return F.zip_with(
+            acc,
+            t_seq,
+            lambda s, t: F.when(t == tgt, (s + bitval).cast("int")).otherwise(s),
+        )
+
+    return F.aggregate(planes, init, merge)
 
 
 def embedding_near_dup_pairs(
