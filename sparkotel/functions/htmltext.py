@@ -30,6 +30,12 @@ an Arrow-batched pandas UDF — the parse stage's dual-engine pattern):
 use it for corpora with numeric references or exotic named entities;
 the synthetic corpus never emits them, so both engines agree there
 (tests/test_htmltext.py differential-tests this).
+
+Measured at 500k pages/local[32]: native 0.53 s, pandas 0.42 s —
+Python's regex edges out Java's on this chain, but native stays the
+default for the same reasons as the parse stage: zero Python worker
+processes (the scaling bench's thread budget stays honest) and a pure
+whole-stage-codegen plan.
 """
 
 from __future__ import annotations
