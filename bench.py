@@ -115,7 +115,11 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
             best = dt if best is None or dt < best else best
         return best
 
-    from sparkotel.functions.text import corpus_keep, repetition_features
+    from sparkotel.functions.text import (
+        corpus_keep,
+        decontaminate,
+        repetition_features,
+    )
     from sparkotel.functions.htmltext import main_text
     from sparkotel.pages import pages
 
@@ -132,6 +136,9 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
         "text_repetition": best_of(lambda: _noop(repetition_features(docs))),
         "corpus_keep": best_of(lambda: _noop(corpus_keep(docs))),
         "dedup_minhash_lsh": best_of(lambda: _noop(minhash_lsh_pairs(docs))),
+        "decontaminate": best_of(
+            lambda: _noop(decontaminate(docs, docs.filter("doc_id % 97 = 0")))
+        ),
         "ann_cosine_topk": best_of(lambda: _noop(brute_force_topk(emb, [0, 1, 2, 3, 4]))),
     }
 
