@@ -243,15 +243,21 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     Pure per-row array math — shuffle-free.
     """
     hs = F.transform(F.split(F.col(text_col), " "), h60)
-    # one expression: per-bit votes over the hash array, then pack —
-    # the token-hash pass is evaluated once, not SIMHASH_BITS times
-    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
-    votes = F.transform(
-        bits,
-        lambda j: F.aggregate(
-            hs,
-            F.lit(0),
-            lambda s, h: s
+    # Single-pass K-way accumulate (the minhash/_table_buckets pattern):
+    # ONE aggregate walks the token hashes carrying all per-bit vote
+    # counters.  The previous per-bit transform put ``hs`` inside the
+    # bit lambda — interpreted HOFs get no CSE, so the md5 token pass
+    # re-ran per bit (16×): measured 4.29 s vs 0.83 s at 500k
+    # docs/local[32], bit-identical.  (The aggregate's lambda variable
+    # ``h`` is a materialized slot — referencing it per bit is free.)
+    positions = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            positions,
+            lambda s, j: s
             + F.when(
                 F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1),
