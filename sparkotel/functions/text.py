@@ -152,15 +152,32 @@ def lang_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", expr).drop("_w")
 
 
+def let_(val: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``val`` ONCE per
+    row and pass the materialized value to ``body`` as a lambda
+    variable.  Interpreted higher-order functions get no CSE, so an
+    expression referenced inside a lambda re-evaluates per element —
+    ``transform`` over a one-element array turns it into a slot read
+    (one tiny array alloc per row).  Measured on shingles with inline
+    ``words(text)``: 1.35 s → 0.33 s at 500k docs/local[32]."""
+    return F.transform(F.array(val), body)[0]
+
+
 def shingles_of_words(ws: Column, w: int = SHINGLE_W) -> Column:
-    """word w-shingles from a pre-split word array (empty when < w)."""
-    return F.when(
-        F.size(ws) >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - (w - 1)),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, w)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """word w-shingles from a pre-split word array (empty when < w).
+
+    ``ws`` is let-bound, so passing an expression (e.g. ``words(c)``)
+    costs one evaluation per row, not one per gram."""
+    return let_(
+        ws,
+        lambda wsv: F.when(
+            F.size(wsv) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wsv) - (w - 1)),
+                lambda i: F.concat_ws(" ", F.slice(wsv, i, w)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def shingles(c: Column, w: int = SHINGLE_W) -> Column:
@@ -533,22 +550,23 @@ def scrub_repeated_spans(
     ``g`` for ``h60(g)`` to halve shuffle width when collisions are
     acceptable.
     """
-    ws = words(F.col(text_col))
     empty = F.array().cast("array<struct<pos:int,g:string>>")
+    gram_structs = let_(
+        words(F.col(text_col)),
+        lambda ws: F.when(
+            F.size(ws) >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (w - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.concat_ws(" ", F.slice(ws, i, w)).alias("g"),
+                ),
+            ),
+        ).otherwise(empty),
+    )
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.when(
-                F.size(ws) >= w,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - (w - 1)),
-                    lambda i: F.struct(
-                        i.cast("int").alias("pos"),
-                        F.concat_ws(" ", F.slice(ws, i, w)).alias("g"),
-                    ),
-                ),
-            ).otherwise(empty)
-        ).alias("t"),
+        F.explode(gram_structs).alias("t"),
     ).select("id", "t.pos", "t.g")
     flagged = (
         grams.groupBy("g")
@@ -562,6 +580,7 @@ def scrub_repeated_spans(
         .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
     )
     joined = df.join(hits, df[id_col] == hits["id"], "left")
+    ws = words(F.col(text_col))
     starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
     # Spark's indexed lambda i is 0-based; starts are 1-based word
     # positions covering [p, p + w - 1]
