@@ -115,7 +115,13 @@ def image_patch_plan(
     nx = F.ceil(F.col(width_col) / F.lit(patch)).cast("int")
     ny = F.ceil(F.col(height_col) / F.lit(patch)).cast("int")
     n = (nx * ny).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    # zero-area images (width or height 0) emit NO patch rows — same
+    # guard shape as audio_window_plan's n_win==0 arm; without it
+    # sequence(0, greatest(n-1, 0)) fabricates a phantom patch_idx=0
+    # with NULL px/py (mod/div by nx=0).
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     out = df.withColumn("_nx", nx).withColumn(
         "patch_idx", F.explode(idx)
     )

@@ -728,10 +728,14 @@ def decontaminate(
     (metadata), so its distinct shingle hashes BROADCAST; the corpus
     side explodes its per-doc distinct shingles in the HASH domain
     (8-byte longs, the same trim that made minhash scale) and
-    broadcast-inner-joins — non-matching grams vanish map-side, so the
-    only shuffled rows are actual matches (rare), and the final
-    per-doc hit count + left-join back is broadcast too.  The corpus
-    never shuffles.
+    broadcast-inner-joins — non-matching grams vanish map-side.  The
+    per-doc hit count and the join-back are left UNHINTED: ``hits``
+    has one row per corpus doc that shares ≥1 shingle with the eval
+    set, and a single boilerplate shingle in the benchmark makes that
+    corpus-sized (tests/test_scale_features.py exercises exactly this),
+    so forcing a broadcast there would be a driver OOM at scale.  AQE
+    broadcasts the join-back at runtime when ``hits`` is genuinely
+    small and falls back to a shuffled hash join when it isn't.
 
     Output: (id, n_hits, contaminated) for every corpus row.
     """
@@ -755,9 +759,12 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("_h").alias("n_hits"))
     )
+    # NOTE: no broadcast hint on `hits` — it is corpus-derived (one row
+    # per doc with any shared shingle) and can be corpus-sized; AQE
+    # decides at runtime.
     return (
         df.select(id_col)
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),

@@ -4001,23 +4001,30 @@ FROM n""",
     # ViT-style image patch grid: deterministic fake (width, height)
     # metadata → one row per (patch_idx, px, py); codec stays stubbed,
     # the grid/explode arithmetic is the oracle-checked part
+    # width floors at 64 except every 101st doc, which is a zero-width
+    # (zero-area) image — those must emit NO patch rows (the phantom
+    # patch_idx=0 guard in image_patch_plan).
     q["multimodal_image_patches"] = Query(
         lambda spark, sf: MM.image_patch_plan(
             _docs(spark, sf).select(
                 "doc_id",
-                (64 + (F.col("doc_id") % 13) * 16).cast("int").alias("width"),
+                F.when(F.col("doc_id") % 101 == 0, F.lit(0))
+                .otherwise(64 + (F.col("doc_id") % 13) * 16)
+                .cast("int")
+                .alias("width"),
                 (64 + (F.col("doc_id") % 7) * 16).cast("int").alias("height"),
             )
         ).select("doc_id", "patch_idx", "px", "py"),
         """WITH g AS (
   SELECT doc_id,
-    CAST((64 + (doc_id % 13) * 16) // 16 AS INT) AS nx,
+    CAST((CASE WHEN doc_id % 101 = 0 THEN 0
+               ELSE 64 + (doc_id % 13) * 16 END) // 16 AS INT) AS nx,
     CAST((64 + (doc_id % 7) * 16) // 16 AS INT) AS ny
   FROM documents)
 SELECT doc_id, CAST(u AS INT) AS patch_idx,
   CAST(u % nx AS INT) AS px, CAST(u // nx AS INT) AS py
-FROM (SELECT doc_id, nx, unnest(range(0, greatest(nx * ny - 1, 0) + 1)) AS u
-      FROM g) t""",
+FROM (SELECT doc_id, nx, unnest(range(0, nx * ny)) AS u
+      FROM g WHERE nx * ny > 0) t""",
     )
     # STFT-style audio window layout: fake n_samples = n_chars*20 at a
     # 16 kHz / 25 ms / 10 ms config → (win_idx, start, end, t_ms)

@@ -650,18 +650,26 @@ def test_decontaminate_threshold_and_hand_cases(spark):
     assert got[4] == (0, False)
 
 
-def test_decontaminate_plan_all_broadcast(spark):
-    """Scale gate: the corpus side never shuffles — both the gram match
-    and the flag-join-back are broadcast hash joins."""
+def test_decontaminate_plan_bench_broadcast_only(spark):
+    """Scale gate: the gram match broadcasts the BENCHMARK-side shingle
+    set (eval-suite-sized metadata) — but the join-back of the
+    corpus-derived `hits` frame must NOT be force-broadcast: one
+    boilerplate shingle shared with the benchmark makes `hits`
+    corpus-sized (test_decontaminate_boilerplate_shingle_not_enough
+    builds that case), so a forced broadcast there is a driver OOM at
+    10^12 docs.  Exactly ONE broadcast hint may appear in the analyzed
+    plan (the bench side); AQE decides the join-back at runtime."""
     from test_plans import plan_of
 
     from sparkotel.functions import text as T
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = T.decontaminate(docs, docs.filter("doc_id % 97 = 0"))
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+    # the gram match itself still broadcasts (the bench side)
     plan = plan_of(out)
-    assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastHashJoin" in plan
 
 
 def test_stratified_sample_window_group_limit(spark):
