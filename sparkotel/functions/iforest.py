@@ -131,6 +131,7 @@ def isolation_forest(
     score_col: str = SCORE_ATTR.replace(".", "_"),
     flag_col: str = FLAG_ATTR.replace(".", "_"),
     approx_threshold: bool = False,
+    rank_expr=None,
 ) -> DataFrame:
     """Score every row; ``mode="enrich"`` appends score + flag columns
     (the processor's score/classification attributes), ``mode="filter"``
@@ -142,6 +143,12 @@ def isolation_forest(
     standing in for the reference's "most recent window" (a batch table
     has no arrival order).  Groups are the ``group_by`` columns
     (``features:`` config); empty = one global model.
+
+    ``rank_expr`` optionally replaces the internal xxhash64 window rank
+    with a caller-supplied Column (e.g. ``md5(cast(id as string))``)
+    so the window selection is replayable outside Spark — the
+    golden-fixture oracle (sparkotel/golden.py) uses this to reproduce
+    the exact training window in a single-process twin.
     """
     if mode not in ("enrich", "filter", "both"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -150,7 +157,11 @@ def isolation_forest(
     gb = list(group_by)
 
     fcols = [F.col(c).cast("double") for c in features]
-    rank_hash = F.xxhash64(*features, *(gb or []), F.lit(seed))
+    rank_hash = (
+        rank_expr
+        if rank_expr is not None
+        else F.xxhash64(*features, *(gb or []), F.lit(seed))
+    )
     from pyspark.sql import Window
 
     base = df.select(

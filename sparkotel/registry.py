@@ -1416,9 +1416,14 @@ FROM spans sp JOIN g ON g.trace_id = sp.trace_id AND g.name = sp.name
 WHERE g.n < 5""",
     )
 
-    # --- isolationforestprocessor (rows-only: RNG-grown trees have no
-    # SQL mirror; determinism + planted-outlier recall are pytest-proven
-    # in tests/test_iforest.py) ----------------------------------------------
+    # --- isolationforestprocessor: RNG-grown trees have no SQL mirror,
+    # but the query is a deterministic pure function of the input, so
+    # the oracle is a golden fixture computed by a single-process
+    # python twin (sparkotel/golden.py — catches distribution bugs;
+    # algorithm-level recall/determinism evidence stays in
+    # tests/test_iforest.py).  The md5 window rank makes the training
+    # window replayable outside Spark.
+    from sparkotel import golden as G
     from sparkotel.functions.iforest import isolation_forest
 
     def iforest_q(spark, sf):
@@ -1433,13 +1438,18 @@ WHERE g.n < 5""",
         out = isolation_forest(
             pts, ["x", "y"], num_trees=50, subsample=128, seed=11,
             contamination_rate=0.02,
+            rank_expr=F.md5(F.col("event_id").cast("string")),
         )
+        G.iforest_golden(sf)  # expected output, written before the oracle runs
         return out.where(F.col("anomaly_is_anomaly")).select(
             "event_id", "x", "y",
             F.round("anomaly_isolation_score", 6).alias("score"),
         )
 
-    q["isolation_forest"] = Query(iforest_q, None)
+    q["isolation_forest"] = Query(
+        iforest_q,
+        f"SELECT event_id, x, y, score FROM read_parquet('{G.IFOREST_PARQUET}')",
+    )
 
     # --- cardinalityguardianprocessor (strip_and_reaggregate) ---------------
     # alternating hours explode the `path` label (one unique value per
@@ -3435,13 +3445,22 @@ SELECT key FROM b WHERE (h % 16384) < 4096""",
     )
 
     # --- full Drain tree (greedy similarity clustering; deterministic
-    # via lexicographic in-leaf order, but not SQL-expressible → the
-    # driver's rows-only check + tests/test_operators.py golden clusters)
+    # via lexicographic in-leaf order but not SQL-expressible — the
+    # oracle is a golden fixture from an independent python twin:
+    # py_page line generation + a reimplemented sequential clusterer,
+    # sparkotel/golden.py::drain_tree_golden)
+    from sparkotel import golden as G2
+
     def drain_tree_q(spark, sf):
         lines = P.pages(spark, sf).select(PR.first_line("text").alias("line"))
+        G2.drain_tree_golden(sf)
         return PR.drain_tree_templates(lines)
 
-    q["drain_tree_templates"] = Query(drain_tree_q, None)
+    q["drain_tree_templates"] = Query(
+        drain_tree_q,
+        "SELECT template, n, example FROM "
+        f"read_parquet('{G2.DRAIN_TREE_PARQUET}')",
+    )
 
     # --- spanmetricsconnector (R.E.D. metrics with explicit buckets) --------
     def spanmetrics(spark, sf):
