@@ -81,7 +81,9 @@ def _randomness() -> Column:
     return F.conv(F.substring(F.col("trace_id"), -14, 14), 16, 10).cast("long")
 
 
-def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
+def dynamic_sampling(
+    df: DataFrame, rules: list[dict], max_broadcast_keys: int = 1_000_000
+) -> DataFrame:
     """Sample the span frame trace-by-trace.  ``rules`` entries:
     ``name``, optional ``conditions`` (list of strings), ``sampler`` =
     ``{"type": "always_sample" | "deterministic" | "dynamic" |
@@ -89,7 +91,12 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
     ``goal_sampling_percentage`` + ``key_fields`` /
     ``goal_throughput_per_sec`` + ``interval_seconds`` + ``key_fields``.
     Returns the kept spans annotated with the matched rule and the
-    ``ot=th`` trace state."""
+    ``ot=th`` trace state.
+
+    ``max_broadcast_keys`` bounds the per-key counts frame that may be
+    broadcast: when the measured distinct-key total exceeds it the join
+    falls back to an unhinted equi-join (AQE plans it), so a miskeyed
+    config never force-broadcasts a huge frame."""
     if not rules:
         raise ValueError("at least one rule is required")
     parsed = []
@@ -153,8 +160,16 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
         )
         scalars = row if scalars is None else scalars.unionByName(row)
     if scalars is not None:
+        # materialize the per-rule scalars driver-side (≤ one row per
+        # rule) — the collected _nkeys then gates the key_counts
+        # broadcast below for free, instead of assuming key cardinality
+        # is small.  The literal frame joins back as a broadcast of a
+        # handful of rows.
+        scalar_rows = scalars.collect()
+        nkeys_total = sum((r["_nkeys"] or 0) for r in scalar_rows)
+        scalars_lit = df.sparkSession.createDataFrame(scalar_rows, scalars.schema)
         traces = traces.join(
-            F.broadcast(scalars), traces["_rule"] == scalars["_rule_s"], "left"
+            F.broadcast(scalars_lit), traces["_rule"] == scalars_lit["_rule_s"], "left"
         ).drop("_rule_s")
 
         # per-(rule, key) trace counts the same scale-safe way: a
@@ -163,10 +178,12 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
         # trace of one key into ONE task; keys are attribute values
         # (service/route names), exactly the skewed-key shape, so a hot
         # key at 10^9 traces is a guaranteed straggler.  The counts
-        # frame is one row per distinct key — the same cardinality bound
-        # _nkeys already assumes (adaptive goals are meaningless when
-        # keys are near-unique) — so broadcasting it is safe and leaves
-        # the trace frame unshuffled.
+        # frame is one row per distinct key; broadcasting it is safe
+        # only while keys are genuinely low-cardinality, so the hint is
+        # GATED on the measured _nkeys (collected above) — a miskeyed
+        # config (e.g. key_fields = a near-unique id) falls back to an
+        # unhinted equi-join AQE plans normally instead of a silent
+        # driver OOM.
         key_expr = F.lit(None).cast("string")
         for ri, (_, _, sampler) in enumerate(parsed):
             if sampler["type"] not in ("dynamic", "throughput"):
@@ -183,8 +200,10 @@ def dynamic_sampling(df: DataFrame, rules: list[dict]) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("_count_k"))
             .withColumnsRenamed({"_rule": "_rule_k", "_key": "_key_k"})
         )
+        if nkeys_total <= max_broadcast_keys:
+            key_counts = F.broadcast(key_counts)
         traces = traces.join(
-            F.broadcast(key_counts),
+            key_counts,
             (traces["_rule"] == key_counts["_rule_k"])
             & (traces["_key"] == key_counts["_key_k"]),
             "left",
