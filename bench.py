@@ -275,12 +275,22 @@ def run_dual() -> None:
             f"Per-stage timings at local[{hi}]: "
             f"`{json.dumps(best[hi]['queries'])}`\n\n"
             "Reference comparison (BASELINE.md at repo root): the\n"
-            "reference's standard testbed scenario sustains 10,000\n"
-            "items/s at GOMAXPROCS=2 (testbed/tests/scenarios.go); this\n"
-            f"engine's local[{lo}] run through the full\n"
-            f"parse→enrich→route→aggregate DAG is {thr_lo:.0f} docs/s —\n"
-            f"**{thr_lo / 10000:.1f}× the reference at the same core\n"
-            "count** (bar: match or beat).\n"
+            "reference's standard testbed scenario is CONFIGURED to\n"
+            "offer a 10,000 items/s load at GOMAXPROCS=2\n"
+            "(LoadOptions{DataItemsPerSecond: 10000},\n"
+            "testbed/tests/scenarios.go) — the published number the\n"
+            "collector passes at, not its measured maximum.\n"
+            + (
+                f"This engine's local[{lo}] run through the full\n"
+                f"parse→enrich→route→aggregate DAG is {thr_lo:.0f} docs/s —\n"
+                f"**{thr_lo / 10000:.1f}× that configured load at the same\n"
+                "core count** (bar: match or beat).\n"
+                if lo == 2
+                else f"This engine's local[{lo}] run through the full\n"
+                f"parse→enrich→route→aggregate DAG is {thr_lo:.0f} docs/s\n"
+                f"(core counts differ — {lo} vs the testbed's 2 — so no\n"
+                "same-core multiplier is claimed).\n"
+            )
         )
     summary = dict(best[hi])
     summary[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)

@@ -203,9 +203,12 @@ def sessionize(
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col("doc_id"))
     gap_s = gap_minutes * 60
     prev = F.lag(F.col(ts_col)).over(w)
+    # fractional-second epoch on BOTH engines (duck_sessionize uses
+    # epoch(); unix_timestamp would truncate to whole seconds and split
+    # sub-second gap-boundary sessions differently across engines)
     new_sess = (
         prev.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_s)
+        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_s)
     ).cast("bigint")
     sess_idx = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

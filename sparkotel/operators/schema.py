@@ -44,7 +44,20 @@ def _rank_expr(version_col: Column, versions: Sequence[str]) -> Column:
 def _apply_renames(
     attrs: Column, mapping: Mapping[str, str], copy_attributes: bool
 ) -> Column:
-    """One revision's rename set over a map<string,string> column."""
+    """One revision's rename set over a map<string,string> column.
+
+    Rename-vs-existing-key conflicts resolve renamed-wins (non-copy) /
+    keep-existing (copy mode), matching the reference's conflict rules;
+    two SOURCE keys renaming to the same target is a statically invalid
+    revision — validated here so a bad map raises a clear plan-time
+    error instead of a duplicate-map-key crash mid-job (the default
+    spark.sql.mapKeyDedupPolicy is EXCEPTION)."""
+    targets = [t for s, t in mapping.items() if s != t]
+    dup = {t for t in targets if targets.count(t) > 1}
+    if dup:
+        raise ValueError(
+            f"rename map sends multiple keys to the same target(s) {sorted(dup)}"
+        )
     lm = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
     entries = F.map_entries(attrs)
 

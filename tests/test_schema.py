@@ -5,6 +5,7 @@ attributes_test.go) plus version-chain iteration order
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkotel.operators.schema import schema_transform
@@ -187,3 +188,31 @@ def test_chain_is_pure_projection(spark):
     )
     plan = plan_of(schema_transform(df, **CHAIN))
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_duplicate_rename_target_raises_at_plan_time(spark):
+    """two source keys renaming to the same target would produce
+    duplicate map keys (a runtime crash under the default
+    mapKeyDedupPolicy=EXCEPTION) — the revision map is statically
+    invalid, so it must raise a clear error before any job runs."""
+    bad = dict(
+        versions=["1.20.0", "1.21.0"],
+        revisions=[("1.21.0", {"a": "x", "b": "x"})],
+        target="1.21.0",
+    )
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"}, "1.20.0")],
+        "attrs map<string,string>, schema_version string",
+    )
+    with pytest.raises(ValueError, match="same target"):
+        schema_transform(df, **bad)
+    # a rename CHAIN (a→x while x→y) is legal and collision-free
+    ok = dict(
+        versions=["1.20.0", "1.21.0"],
+        revisions=[("1.21.0", {"a": "x", "x": "y"})],
+        target="1.21.0",
+    )
+    r = schema_transform(df.withColumn(
+        "attrs", F.create_map(F.lit("a"), F.lit("1"), F.lit("x"), F.lit("2"))
+    ), **ok).first()
+    assert dict(r["attrs"]) == {"x": "1", "y": "2"}
