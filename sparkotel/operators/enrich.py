@@ -56,6 +56,88 @@ def lookup_enrich(
 
 
 # ---------------------------------------------------------------------------
+# geoip CIDR range semantics (SURVEY §2.5 escalation path)
+# ---------------------------------------------------------------------------
+
+
+def ipv4_long(col: Column) -> Column:
+    """Dotted-quad IPv4 string → its 32-bit value in a bigint.
+
+    Malformed input (wrong part count, non-numeric or out-of-range
+    octets) → NULL, which falls through every CIDR join to the miss
+    default — the reference's not-an-IP skip path
+    (processor/geoipprocessor/geoip_processor.go:83-90)."""
+    p = F.split(col, r"\.")
+    # F.get (not [i]): out-of-bounds → NULL instead of an ANSI error
+    octs = [F.get(p, i).try_cast("bigint") for i in range(4)]
+    ok = F.size(p) == 4
+    for o in octs:
+        ok = ok & o.isNotNull() & (o >= 0) & (o <= 255)
+    v = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    return F.when(ok, v)
+
+
+def geoip_cidr_enrich(
+    df: DataFrame,
+    cidr_df: DataFrame,
+    ip_col: str = "ip",
+    cidr_col: str = "cidr",
+    defaults: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """Resolve an IP *within* a CIDR block, longest prefix wins — the
+    mmdb lookup semantics of the reference's geoipprocessor
+    (processor/geoipprocessor/geoip_processor.go:57-126), where exact
+    host keys (``lookup_enrich``) are insufficient.
+
+    Spark-first: NOT a ``BETWEEN lo AND hi`` theta join (that plans as
+    a BroadcastNestedLoopJoin — O(rows × blocks), a scale killer for a
+    real mmdb with millions of blocks).  Instead, one **broadcast hash
+    equi-join per distinct prefix length**: for prefix length ``p`` the
+    join key is ``ip >> (32-p)`` on both sides, so each join is a plain
+    BroadcastHashJoin and the fact side never shuffles.  Longest prefix
+    wins by coalescing the per-length matches most-specific-first.  The
+    distinct-length collect is metadata-sized (≤ 33 values for IPv4 —
+    a hard bound, not an assumption).
+
+    ``cidr_df``: one row per block — ``cidr_col`` like ``"10.0.0.0/24"``
+    plus attribute columns; duplicate (plen, net) blocks are reduced
+    deterministically (min struct) before broadcasting.
+    """
+    attr_cols = [c for c in cidr_df.columns if c != cidr_col]
+    parts = F.split(F.col(cidr_col), "/")
+    dim = cidr_df.select(
+        parts[1].cast("int").alias("_plen"),
+        ipv4_long(parts[0]).alias("_net"),
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_attrs"),
+    )
+    plens = sorted(
+        r["_plen"] for r in dim.select("_plen").distinct().collect() if r["_plen"] is not None
+    )  # ≤ 33 rows: IPv4 prefix lengths are 0..32
+    out = df.withColumn("_ip_long", ipv4_long(F.col(ip_col)))
+    for p in plens:
+        # aligned network key at this prefix length; the shift also
+        # normalizes an unaligned cidr spec the way mmdb tooling does
+        blocks = (
+            dim.filter(F.col("_plen") == p)
+            .withColumn("_key", F.shiftrightunsigned(F.col("_net"), 32 - p))
+            .groupBy("_key")
+            .agg(F.min("_attrs").alias(f"_g{p}"))
+        )
+        out = out.join(
+            F.broadcast(blocks),
+            on=F.shiftrightunsigned(F.col("_ip_long"), 32 - p) == blocks["_key"],
+            how="left",
+        ).drop("_key")
+    defaults = defaults or {}
+    for c in attr_cols:
+        cands = [F.col(f"_g{p}")[c] for p in reversed(plens)]  # most specific first
+        if c in defaults:
+            cands.append(F.lit(defaults[c]))
+        out = out.withColumn(c, F.coalesce(*cands))
+    return out.drop("_ip_long", *[f"_g{p}" for p in plens])
+
+
+# ---------------------------------------------------------------------------
 # attraction actions (attributesprocessor / resourceprocessor core)
 # ---------------------------------------------------------------------------
 

@@ -190,6 +190,40 @@ def duckdb_geo_sql() -> str:
     return _geo_sql("duckdb")
 
 
+def _cidr_sql(dialect: str) -> str:
+    """cidr_blocks: a deterministic mmdb-like table of OVERLAPPING
+    blocks at four prefix lengths, keyed so the parse-stage ips
+    (10.0.{0,1}.{0..249}) exercise every geoip CIDR path — longest
+    prefix beats shorter (/30 ⊂ /28 ⊂ /24), gaps fall through to the
+    miss default (third-octet-1 ips whose /28 is absent, id % 3 = 0),
+    and a never-matching /16 sits in the table as dead weight
+    (processor/geoipprocessor/geoip_processor.go:57-126)."""
+    if dialect == "spark":
+        src = "SELECT id FROM range(0, 32)"
+        s = lambda x: f"CAST({x} AS STRING)"  # noqa: E731
+    else:
+        src = "SELECT range AS id FROM range(32)"
+        s = lambda x: f"CAST({x} AS VARCHAR)"  # noqa: E731
+    return f"""
+SELECT '10.0.' || {s('CAST(FLOOR(id / 16.0) AS INT)')} || '.'
+       || {s('(id % 16) * 16')} || '/28' AS cidr,
+       'B' || {s('id')} AS cidr_country,
+       CAST(64500 + id AS BIGINT) AS cidr_asn
+FROM ({src}) r WHERE id % 3 <> 0
+UNION ALL SELECT '10.0.0.0/24', 'A0', CAST(64000 AS BIGINT)
+UNION ALL SELECT '10.0.0.20/30', 'C20', CAST(64900 AS BIGINT)
+UNION ALL SELECT '10.1.0.0/16', 'ZZ', CAST(63000 AS BIGINT)
+"""
+
+
+def spark_cidr_sql() -> str:
+    return _cidr_sql("spark")
+
+
+def duckdb_cidr_sql() -> str:
+    return _cidr_sql("duckdb")
+
+
 LANG_NAMES_SQL = """
 SELECT * FROM (VALUES
   ('en', 'English',  'Germanic'),
@@ -260,6 +294,10 @@ def pages_scaled(
 
 def geo_table(spark: SparkSession) -> DataFrame:
     return spark.sql(spark_geo_sql())
+
+
+def cidr_table(spark: SparkSession) -> DataFrame:
+    return spark.sql(spark_cidr_sql())
 
 
 def lang_table(spark: SparkSession) -> DataFrame:

@@ -174,6 +174,57 @@ def build_registry() -> dict[str, Query]:
         _stage("enriched", ENRICHED_COLS),
         f"{duck_pipeline_cte()} SELECT {sel(ENRICHED_COLS)} FROM enriched",
     )
+
+    # geoip CIDR range semantics (SURVEY §2.5 escalation path,
+    # processor/geoipprocessor/geoip_processor.go:57-126): resolve each
+    # parsed ip WITHIN an overlapping block table, longest prefix wins,
+    # gaps take the miss default.  Spark side is a stack of per-prefix-
+    # length broadcast equi-joins (operators/enrich.py:geoip_cidr_enrich);
+    # the oracle is the naive BETWEEN range join + argmax-by-plen.
+    def _geoip_cidr(spark: SparkSession, sf: str) -> DataFrame:
+        from sparkotel.operators import enrich as E
+
+        parsed = PL.parse_stage(P.pages(spark, sf).drop("html"), on_error="drop")
+        return E.geoip_cidr_enrich(
+            parsed.select("url", "ip"),
+            P.cidr_table(spark),
+            defaults={"cidr_country": "--"},
+        )
+
+    _ip_long = (
+        "CAST(split_part({c},'.',1) AS BIGINT)*16777216"
+        " + CAST(split_part({c},'.',2) AS BIGINT)*65536"
+        " + CAST(split_part({c},'.',3) AS BIGINT)*256"
+        " + CAST(split_part({c},'.',4) AS BIGINT)"
+    )
+    q["enrich_geoip_cidr"] = Query(
+        _geoip_cidr,
+        f"""{duck_pipeline_cte()},
+cidr AS ({P.duckdb_cidr_sql()}),
+cb AS (
+  SELECT cidr_country, cidr_asn,
+         CAST(split_part(cidr, '/', 2) AS INT) AS plen,
+         {_ip_long.format(c="split_part(cidr, '/', 1)")} AS net
+  FROM cidr),
+cbb AS (
+  SELECT cidr_country, cidr_asn, plen,
+         (net >> (32 - plen)) << (32 - plen) AS lo,
+         ((net >> (32 - plen)) << (32 - plen))
+           + (CAST(1 AS BIGINT) << (32 - plen)) - 1 AS hi
+  FROM cb),
+ips AS (
+  SELECT url, ip, {_ip_long.format(c="ip")} AS ip_long
+  FROM parsed_sev WHERE NOT _error),
+m AS (
+  SELECT i.url, cbb.cidr_country, cbb.cidr_asn,
+         row_number() OVER (PARTITION BY i.url ORDER BY cbb.plen DESC) AS rn
+  FROM ips i JOIN cbb ON i.ip_long BETWEEN cbb.lo AND cbb.hi)
+SELECT i.url, i.ip,
+       coalesce(m.cidr_country, '--') AS cidr_country, m.cidr_asn
+FROM ips i
+LEFT JOIN (SELECT url, cidr_country, cidr_asn FROM m WHERE rn = 1) m
+  USING (url)""",
+    )
     q["route_assign"] = Query(
         _stage("routed", ROUTED_COLS),
         f"{duck_pipeline_cte()} SELECT {sel(ROUTED_COLS)} FROM routed",

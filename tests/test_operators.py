@@ -501,3 +501,83 @@ def test_stanza_filter_drop_ratio(spark):
     )
     with pytest.raises(ValueError, match="drop_ratio"):
         stanza_filter(df, 'event_type == "error"', drop_ratio=0.0)
+
+
+# ---------------------------------------------------------------------------
+# geoip CIDR range semantics (SURVEY §2.5 escalation path)
+# ---------------------------------------------------------------------------
+
+
+def test_geoip_cidr_longest_prefix_and_misses(spark):
+    """IP resolves WITHIN a block; among overlapping blocks the longest
+    prefix wins (/30 beats /28 beats /24 beats /0); unmatched and
+    malformed ips take the miss default
+    (processor/geoipprocessor/geoip_processor.go:57-126)."""
+    cidr = spark.createDataFrame(
+        [
+            ("10.0.0.0/24", "A0", 64000),
+            ("10.0.0.16/28", "B1", 64501),
+            ("10.0.0.20/30", "C20", 64900),
+            ("10.1.0.0/16", "ZZ", 63000),
+            ("0.0.0.0/0", "ALL", 1),
+        ],
+        "cidr string, geo_country string, geo_asn int",
+    )
+    df = spark.createDataFrame(
+        [
+            ("10.0.0.5",),  # /24 only
+            ("10.0.0.17",),  # /28 beats /24
+            ("10.0.0.21",),  # /30 beats /28 beats /24
+            ("10.0.1.9",),  # only the /0 catch-all
+            ("10.1.200.200",),  # the /16
+            ("300.1.2.3",),  # octet out of range → miss
+            ("not-an-ip",),  # malformed → miss
+            (None,),  # NULL → miss
+        ],
+        "ip string",
+    )
+    got = {
+        r["ip"]: (r["geo_country"], r["geo_asn"])
+        for r in E.geoip_cidr_enrich(df, cidr, defaults={"geo_country": "--"}).collect()
+    }
+    assert got == {
+        "10.0.0.5": ("A0", 64000),
+        "10.0.0.17": ("B1", 64501),
+        "10.0.0.21": ("C20", 64900),
+        "10.0.1.9": ("ALL", 1),
+        "10.1.200.200": ("ZZ", 63000),
+        "300.1.2.3": ("--", None),
+        "not-an-ip": ("--", None),
+        None: ("--", None),
+    }
+
+
+def test_geoip_cidr_plan_no_fact_shuffle(spark, tmp_path):
+    """Scale gate: the fact side must NOT shuffle and the range
+    semantics must NOT plan as a BroadcastNestedLoopJoin — one
+    BroadcastHashJoin per distinct prefix length, fact partitioning
+    preserved (any Exchange in the plan keys on the dim-side _key)."""
+    from test_plans import plan_of
+
+    spark.range(0, 10_000).selectExpr(
+        "concat('10.0.', CAST(id % 2 AS STRING), '.', CAST(id % 250 AS STRING)) AS ip",
+        "id",
+    ).write.mode("overwrite").parquet(str(tmp_path / "facts"))
+    facts = spark.read.parquet(str(tmp_path / "facts"))
+    cidr = spark.createDataFrame(
+        [("10.0.0.0/24", "A0"), ("10.0.0.16/28", "B1"), ("10.1.0.0/16", "ZZ")],
+        "cidr string, geo_country string",
+    )
+    plan = plan_of(E.geoip_cidr_enrich(facts, cidr, defaults={"geo_country": "--"}))
+    assert "NestedLoop" not in plan
+    # formatted output names each operator in the tree AND the details
+    # section — count the detail headers "(N) BroadcastHashJoin"
+    bhj = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and ") BroadcastHashJoin" in line
+    ]
+    assert len(bhj) == 3  # one per distinct plen
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_key" in line, f"fact-side shuffle leaked: {line}"
