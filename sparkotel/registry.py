@@ -663,9 +663,8 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
     q["otlpjson_parse"] = Query(parse_q, _OTLP_ORACLE_SQL)
 
     # --- sink→source roundtrip: marshal per-resource requests, read back --
-    def roundtrip_q(spark, sf):
-        ev = _events(spark, sf)
-        flat = ev.select(
+    def _flat_events(ev: DataFrame) -> DataFrame:
+        return ev.select(
             F.col("ts").cast("timestamp_ntz").alias("ts"),
             F.col("ts").cast("timestamp_ntz").alias("observed_ts"),
             _sev_num().alias("severity_number"),
@@ -689,9 +688,28 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
             (F.col("event_id") % 3).cast("int").alias("flags"),
             F.lit(0).alias("dropped_attributes_count"),
         )
+
+    def roundtrip_q(spark, sf):
+        flat = _flat_events(_events(spark, sf))
         return _otlp_flat_select(parse_otlp_logs(to_otlp_logs_json(flat)))
 
     q["otlpjson_roundtrip"] = Query(roundtrip_q, _OTLP_ORACLE_SQL)
+
+    # --- proto arm of the same roundtrip: LogsData wire format + 4-byte
+    # big-endian framing (exporter/fileexporter/marshaller.go:20-44,
+    # file_writer.go:43-52), hand-rolled encoder — sparkotel/otlpproto.py
+    def proto_roundtrip_q(spark, sf):
+        from sparkotel.otlpproto import (
+            frame_messages,
+            parse_otlp_proto_logs,
+            to_otlp_logs_proto,
+        )
+
+        flat = _flat_events(_events(spark, sf))
+        framed = frame_messages(to_otlp_logs_proto(flat))
+        return _otlp_flat_select(parse_otlp_proto_logs(framed))
+
+    q["otlpproto_roundtrip"] = Query(proto_roundtrip_q, _OTLP_ORACLE_SQL)
 
     # --- traces signal: span rows in exactly the shape servicegraph /
     # spanmetrics / tailsampling consume -----------------------------------

@@ -1,0 +1,153 @@
+"""fileexporter proto arm — OTLP logs wire format + 4-byte BE framing
+(exporter/fileexporter/marshaller.go:20-44, file_writer.go:43-52).
+
+The golden-bytes test pins the encoder to the public proto3 wire
+format independently of the decoder (a shared bug can't cancel out);
+the cross-marshal test proves the proto and JSON sink→source paths
+carry identical information.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkotel.otlpproto import (
+    decode_logs_data,
+    frame_messages,
+    parse_otlp_proto_logs,
+    to_otlp_logs_proto,
+    write_otlp_proto_file,
+)
+
+FLAT_DDL = (
+    "ts string, observed_ts string, severity_number int, severity_text string, "
+    "body string, attributes map<string,string>, resource map<string,string>, "
+    "scope_name string, scope_version string, trace_id string, span_id string, "
+    "flags int, dropped_attributes_count int"
+)
+
+
+def _flat(spark, rows):
+    return spark.createDataFrame(rows, FLAT_DDL).withColumns(
+        {
+            "ts": F.col("ts").cast("timestamp_ntz"),
+            "observed_ts": F.col("observed_ts").cast("timestamp_ntz"),
+        }
+    )
+
+
+ROWS = [
+    (
+        "2024-03-15 10:00:00.123456", "2024-03-15 10:00:01", 17, "ERROR",
+        "boom", {"k": "1", "event.type": "error"}, {"service.name": "svc-1"},
+        "gen", "1", "00" * 15 + "aa", "11" * 8, 2, 1,
+    ),
+    # all-defaults record: every scalar omitted on the wire
+    ("2024-03-15 10:00:02", None, 0, "", "", {}, {"service.name": "svc-1"},
+     "gen", "1", "", "", 0, 0),
+    ("2024-03-15 11:00:00", None, 9, "INFO", "hi", {"a": "b"},
+     {"service.name": "svc-2"}, "other", "2", "", "", 0, 3),
+]
+
+
+def test_golden_wire_bytes(spark):
+    """Pin the encoder to the proto3 wire format by hand: one record,
+    one scope, one resource attr — every byte computed from the public
+    field numbers (logs.proto / common.proto / resource.proto)."""
+    df = _flat(
+        spark,
+        [("2024-03-15 00:00:01", None, 9, "INFO", "hi", {},
+          {"service.name": "s"}, "gen", "", "", "", 0, 0)],
+    )
+    msg = to_otlp_logs_proto(df).collect()[0]["msg"]
+
+    ns = 1710460801 * 10**9  # 2024-03-15T00:00:01Z in epoch nanos
+    rec = (
+        b"\x09" + struct.pack("<Q", ns)  # time_unix_nano=1 fixed64
+        + b"\x10\x09"  # severity_number=2 varint 9
+        + b"\x1a\x04INFO"  # severity_text=3
+        + b"\x2a\x04" + b"\x0a\x02hi"  # body=5 AnyValue{string_value="hi"}
+    )
+    kv = b"\x0a\x0cservice.name" + b"\x12\x03" + b"\x0a\x01s"
+    resource = b"\x0a" + bytes([len(kv)]) + kv  # Resource.attributes=1
+    scope = b"\x0a\x03gen"  # InstrumentationScope.name=1
+    scope_logs = (
+        b"\x0a" + bytes([len(scope)]) + scope  # ScopeLogs.scope=1
+        + b"\x12" + bytes([len(rec)]) + rec  # ScopeLogs.log_records=2
+    )
+    rl = (
+        b"\x0a" + bytes([len(resource)]) + resource  # ResourceLogs.resource=1
+        + b"\x12" + bytes([len(scope_logs)]) + scope_logs  # .scope_logs=2
+    )
+    expected = b"\x0a" + bytes([len(rl)]) + rl  # LogsData.resource_logs=1
+    assert bytes(msg) == expected
+
+
+def test_framing_is_4_byte_big_endian(spark):
+    df = _flat(spark, ROWS)
+    for r in frame_messages(to_otlp_logs_proto(df)).collect():
+        frame = bytes(r["frame"])
+        assert struct.unpack(">I", frame[:4])[0] == len(frame) - 4
+
+
+def test_roundtrip_exact(spark):
+    df = _flat(spark, ROWS)
+    back = parse_otlp_proto_logs(frame_messages(to_otlp_logs_proto(df)))
+    cols = df.columns
+    assert sorted(map(repr, back.select(cols).collect())) == sorted(
+        map(repr, df.select(cols).collect())
+    )
+
+
+def test_cross_marshal_equivalence(spark):
+    """proto sink→source carries exactly what the JSON sink→source does
+    (same batchperresourceattr grouping contract)."""
+    from sparkotel.otlpjson import parse_otlp_logs, to_otlp_logs_json
+
+    df = _flat(spark, ROWS)
+    via_proto = parse_otlp_proto_logs(frame_messages(to_otlp_logs_proto(df)))
+    via_json = parse_otlp_logs(to_otlp_logs_json(df))
+    cols = df.columns
+    assert sorted(map(repr, via_proto.select(cols).collect())) == sorted(
+        map(repr, via_json.select(cols).collect())
+    )
+
+
+def test_bytes_deterministic_under_repartition(spark):
+    df = _flat(spark, ROWS)
+    a = {bytes(r["msg"]) for r in to_otlp_logs_proto(df).collect()}
+    b = {bytes(r["msg"]) for r in to_otlp_logs_proto(df.repartition(7)).collect()}
+    assert a == b and len(a) == 2  # one message per resource identity
+
+
+def test_corrupt_frame_raises(spark):
+    bad = spark.createDataFrame(
+        [(struct.pack(">I", 99) + b"\x0a\x00",)], "frame binary"
+    )
+    with pytest.raises(Exception, match="framing"):
+        parse_otlp_proto_logs(bad).collect()
+
+
+def test_single_file_writer_and_zstd_gate(spark, tmp_path):
+    df = _flat(spark, ROWS)
+    msgs = to_otlp_logs_proto(df)
+    path = str(tmp_path / "logs.pb")
+    assert write_otlp_proto_file(msgs, path) == 2
+    # sequential reader over the framed file recovers every record
+    rows = []
+    with open(path, "rb") as fh:
+        while True:
+            hdr = fh.read(4)
+            if not hdr:
+                break
+            (n,) = struct.unpack(">I", hdr)
+            rows.extend(decode_logs_data(fh.read(n)))
+    assert len(rows) == 3
+    assert {r["body"] for r in rows} == {"boom", "", "hi"}
+    with pytest.raises(NotImplementedError, match="zstd"):
+        write_otlp_proto_file(msgs, path, compression="zstd")
+    with pytest.raises(ValueError, match="not supported"):
+        write_otlp_proto_file(msgs, path, compression="gzip")
