@@ -453,6 +453,16 @@ def repetition_features(
     per-gram slice+concat inside the interpreted transform; an
     incremental zip_with gram chain re-evaluates shared subtrees and
     benched slower.
+
+    Hash-domain folds were tried and REVERTED (r5, value-identical both
+    times): carrying (rotate-xor-of-xxhash64, char-len) structs instead
+    of gram strings — per-word hash/len arrays built once, per-gram
+    ``aggregate`` over a long slice — benched 3.4 s vs 2.6 s for this
+    form in the same session (two slices+aggregates per gram), and the
+    single-zipped-aggregate variant 3.2 s vs 2.4 s.  The interpreted
+    ``aggregate`` lambda machinery per gram costs more than one native
+    ``slice``+``concat_ws`` call pair; string compares in ``array_sort``
+    are not the bottleneck at this gram length.
     """
     c = F.col(text_col)
     base = df.select(
@@ -640,6 +650,7 @@ def corpus_keep(
     min_quality: float = 0.6,
     max_top2: float = 0.11,
     max_dup5: float = 0.3,
+    repetition: DataFrame | None = None,
 ) -> DataFrame:
     """(id, drop_reason, keep): the per-document decision a training-
     corpus filter stage exports — first failing rule wins, in the order
@@ -651,13 +662,23 @@ def corpus_keep(
     identical-text floods cost one reduce row), the repetition
     aggregates from ``repetition_features``, and everything else pure
     projections; joins are id/hash equi-joins.
+
+    ``repetition``: an optional precomputed ``repetition_features``
+    frame keyed by ``id_col`` — a pipeline that already ran the
+    repetition query (the folds are ~60% of this operator's cost)
+    passes it here instead of paying them twice; the columns consumed
+    are top2_char_frac and dup5_char_frac.
     """
     keepers = (
         df.groupBy(F.md5(F.col(text_col)).alias("h"))
         .agg(F.min(id_col).alias("keeper_id"))
     )
     base = lang_quality(df, text_col)
-    rep = repetition_features(df, id_col, text_col)
+    rep = (
+        repetition
+        if repetition is not None
+        else repetition_features(df, id_col, text_col)
+    )
     full = (
         base.withColumn("h", F.md5(F.col(text_col)))
         .join(keepers, "h")

@@ -608,6 +608,14 @@ def test_corpus_keep_rule_precedence(spark):
     assert got[1] == ("lang", False)
     assert got[2] == ("quality", False)
     assert got[3][1] is False and got[3][0] in ("top2_repetition", "dup5_repetition")
+    # a precomputed repetition frame (the shared-pipeline path) gives
+    # the identical decision without re-running the five gram folds
+    rep = T.repetition_features(df)
+    shared = {
+        r.doc_id: (r.drop_reason, r.keep)
+        for r in T.corpus_keep(df, repetition=rep).collect()
+    }
+    assert shared == got
 
 
 def test_host_quality_blocks_low_mean(spark):
