@@ -327,98 +327,75 @@ FROM res""",
     # coverage.  Everything else moves behind the window — every one of
     # those has at least one green driver row from r1-r3.
     window = [
-        # A: new / changed this round
-        "html_extract_text",
-        "wet_route_counts",
-        "decontaminate",
-        "multimodal_sniff",
-        "otlpjson_exp_histogram",
-        "otlpjson_exp_roundtrip",
-        "otlpjson_exp_convert",
-        "metrics_transform_labels",
-        "metrics_transform",
-        "s2m_sum_duration",
-        "s2m_gauge_last",
-        "s2m_histogram",
-        "s2m_exp_histogram",
-        "dynamic_sampling",
-        "span_name_ops",
-        "dedup_ngram_jaccard",
-        # B: never driver-checked before r4
-        "otlpjson_metrics_roundtrip",
-        "agg_count_spans",
-        "agg_count_spanevents",
-        "spanmetrics_exp_datapoint",
-        "multimodal_features",
+        # The r5 window.  A: queries NEW this round — the geoip CIDR
+        # range arm and the fileexporter proto arm (their first driver
+        # rows), plus the three formerly rows-only queries whose
+        # golden-fixture / FNV-in-SQL oracles are new this round, so
+        # their first HASH-CHECKED rows land now.
+        "enrich_geoip_cidr",
+        "otlpproto_roundtrip",
         "isolation_forest",
-        # A (cont.): the two new text ops' first driver rows take the
-        # second-row slots of dedup_simhash / ann_lsh_buckets (single
-        # r1 greens, stable code)
+        "drain_tree_templates",
+        "sampler_hash_seed",
+        # A (cont.): implementation changed this round — the unhinted
+        # decontaminate join-back, the zero-area image-patch guard, the
+        # cardinality-gated dynsample broadcast, the sub-second
+        # sessionize epoch, the schema rename validation, the shared
+        # otlpjson flat-rows builder (both roundtrips re-checked), and
+        # corpus_keep's optional precomputed-repetition parameter.
+        "decontaminate",
+        "multimodal_image_patches",
+        "dynamic_sampling",
+        "sessionize_ip",
+        "schema_migrate",
+        "otlpjson_roundtrip",
+        "corpus_keep_decision",
+        "text_repetition",
+        # B: continued coverage for r4's first-row queries (one green
+        # row each; a second row pins them) — the newest corpus family
+        # and the upgraded pytest-only operators.
         "vocab_topk",
         "doc_keywords",
-        # A (cont.): train_shards / stratified_sample first rows take
-        # the second-row slots of dedup_exact / dedup_jaccard_verify
-        # (single r1 greens, stable code)
         "train_shards",
         "stratified_sample",
-        # A (cont.): schema_migrate's first row takes the second-row
-        # slot of spanmetrics_exp_histogram (r2 green + r3 judge-green,
-        # emit-side code unchanged this round)
-        "schema_migrate",
-        # metrics_generate / container_recombine (single r2 greens,
-        # stable code) yield their second-row slots to the two newest
-        # r4 queries' first rows
         "host_quality_filter",
         "stanza_router_attrs",
-        # syslog_rfc5424 (single r2 green, stable code) yields its
-        # second-row slot to the new decision query's first row
-        "corpus_keep_decision",
-        # severity_full_table / delta_to_rate (single r2 greens, stable
-        # code) yield their second-row slots to the two new url ops'
-        # first rows
         "url_canonicalize",
         "crawl_latest_snapshot",
-        # D: flagship training-data family
-        "route_resource_ctx",
-        "text_pii_scrub",
-        "text_chunks",
-        "pack_sequences",
-        # multimodal_frame_sample / embedding_prep (r3-green, code
-        # unchanged) yield their slots to the first driver rows of
-        # wet_route_counts and decontaminate
-        # dedup_minhash_signature (double-green r1+r3) yields its slot to
-        # the new cluster-formation stage, which consumes the same
-        # signature/LSH path end-to-end
-        "dedup_clusters",
-        # dedup_minhash_lsh_pairs (double-green r1+r3) and ann_cosine_topk
-        # (double-green r1+r3) yield their slots to the two new text ops;
-        # dedup_clusters' oracle recomputes the LSH pairs inside itself,
-        # so the pairs path still gets driver evidence every round
-        "text_repetition",
-        "text_scrub_spans",
-        "embedding_near_dup",
-        # ann_ivf_topk / tailsampling_policies (r3-green, code unchanged)
-        # yield their slots to the two changed-html queries in A
-        "ann_ivf_kmeans_topk",
-        # E: heavyweight r3 processors (span_pruning / cardinality_guardian
-        # / metric_start_time, all r3-green and unchanged, yield their
-        # slots to first rows of corpus_stats and the two new
-        # multimodal plumbing queries)
         "corpus_stats",
-        "multimodal_image_patches",
-        "multimodal_audio_windows",
-        # genai_normalize / exceptions_metrics (r3-green, code
-        # unchanged) yield their slots to the first rows of the new
-        # composed corpus-prep and sessionization queries
         "corpus_prep_shards",
-        "sessionize_ip",
-        # F: pytest-only operators upgraded to oracle-checked queries
-        # this round (the swapped-out r3-green rows keep their
-        # cumulative driver coverage)
+        "multimodal_audio_windows",
         "stanza_filter_ratio",
         "group_by_attrs_promote",
         "unroll_words",
         "round_robin_shards",
+        "dedup_ngram_jaccard",
+        "dedup_clusters",
+        "text_scrub_spans",
+        "wet_route_counts",
+        "html_extract_text",
+        # C: flagship pipeline + training-data family, every round
+        "route_resource_ctx",
+        "text_pii_scrub",
+        "text_chunks",
+        "pack_sequences",
+        "embedding_near_dup",
+        "ann_ivf_kmeans_topk",
+        "multimodal_sniff",
+        "multimodal_features",
+        # D: the big r4 processors keep a trailing slot (double-green
+        # r4 queries with unchanged code rotate out: the otlpjson exp
+        # family, s2m_*, metrics_transform*, span_name_ops,
+        # spanmetrics_exp_datapoint, agg_count_*)
+        "metrics_transform_labels",
+        "s2m_sum_duration",
+        "s2m_exp_histogram",
+        "otlpjson_exp_histogram",
+        "otlpjson_metrics_roundtrip",
+        "span_name_ops",
+        "agg_count_spans",
+        "spanmetrics_exp_datapoint",
+        "text_quality",
     ]
     assert len(window) == 50, len(window)
     unknown = set(window) - set(q)
