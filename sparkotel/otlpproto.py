@@ -1,5 +1,7 @@
-"""fileexporter proto arm: OTLP logs protobuf wire-format marshal,
-4-byte big-endian length framing, and the unmarshal back.
+"""fileexporter proto arm: OTLP protobuf wire-format marshal for all
+three signals (logs LogsData, traces TracesData, metrics MetricsData
+number points), 4-byte big-endian length framing, and the unmarshal
+back.
 
 Reference semantics:
 - marshaller.go:20-44 — ``format: proto`` selects ``plog.ProtoMarshaler``,
@@ -371,3 +373,334 @@ def parse_otlp_proto_logs(df: DataFrame, frame_col: str = "frame") -> DataFrame:
             )
 
     return df.mapInPandas(gen, _LOGS_FLAT_DDL)
+
+
+# ---------------------------------------------------------------------------
+# traces signal (TracesData — opentelemetry/proto/trace/v1/trace.proto)
+# ---------------------------------------------------------------------------
+
+_TRACES_FLAT_DDL = (
+    "trace_id string, span_id string, parent_span_id string, name string, "
+    "kind int, start_ts timestamp_ntz, end_ts timestamp_ntz, "
+    "status_code int, status_message string, trace_state string, "
+    "attributes map<string,string>, resource map<string,string>, "
+    "scope_name string"
+)
+
+
+def _encode_span(r) -> bytes:
+    """Span per trace.proto: trace_id=1 bytes, span_id=2, trace_state=3,
+    parent_span_id=4, name=5, kind=6 varint, start=7 fixed64,
+    end=8 fixed64, attributes=9, status=15{message=2, code=3}."""
+    out = bytearray()
+    out += _f_bytes(1, bytes.fromhex(r["trace_id"] or ""))
+    out += _f_bytes(2, bytes.fromhex(r["span_id"] or ""))
+    out += _f_str(3, r["trace_state"] or "")
+    out += _f_bytes(4, bytes.fromhex(r["parent_span_id"] or ""))
+    out += _f_str(5, r["name"] or "")
+    out += _f_varint(6, int(r["kind"] or 0))
+    out += _f_fixed64(7, _ts_ns(r["start_ts"]))
+    out += _f_fixed64(8, _ts_ns(r["end_ts"]))
+    for kv in r["_attrs"]:
+        out += _f_msg(9, _keyvalue(*_kv_pair(kv)))
+    status = _f_str(2, r["status_message"] or "") + _f_varint(
+        3, int(r["status_code"] or 0)
+    )
+    out += _f_msg(15, status)
+    return bytes(out)
+
+
+def to_otlp_traces_proto(df: DataFrame) -> DataFrame:
+    """Flat span rows (``parse_otlp_traces`` shape) → one ``msg`` binary
+    per resource identity, each a full ``TracesData`` proto message —
+    same grouping/ordering contract as ``to_otlp_traces_json`` (scopes
+    by name, spans by (start_ts, span_id)); span events/links are not
+    carried, exactly like the JSON arm (they live in the separate
+    spanevent frame)."""
+    keyed = df.withColumns(
+        {
+            "_res": F.array_sort(F.map_entries("resource")),
+            "_attrs": F.array_sort(F.map_entries("attributes")),
+            "_rkey": F.to_json(F.array_sort(F.map_entries("resource"))),
+        }
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["scope_name", "start_ts", "span_id"], kind="mergesort")
+        res = _encode_resource(pdf.iloc[0]["_res"])
+        scope_spans = bytearray()
+        for name, g in pdf.groupby("scope_name", sort=True):
+            body = bytearray(_f_msg(1, _f_str(1, name)))  # ScopeSpans.scope=1
+            for _, r in g.iterrows():
+                body += _f_msg(2, _encode_span(r))  # ScopeSpans.spans=2
+            scope_spans += _f_msg(2, bytes(body))  # ResourceSpans.scope_spans=2
+        rs = _f_msg(1, res) + bytes(scope_spans)  # ResourceSpans{resource=1,...}
+        return pd.DataFrame({"msg": [_f_msg(1, rs)]})  # TracesData.resource_spans=1
+
+    return keyed.groupBy("_rkey").applyInPandas(encode, "msg binary")
+
+
+def decode_traces_data(msg: bytes) -> list[dict]:
+    """One TracesData message → flat span dicts (parse_otlp_traces shape)."""
+    rows: list[dict] = []
+    for f_rs, _, rs in _fields(msg):
+        if f_rs != 1:
+            continue
+        res_attrs: dict[str, str] = {}
+        scope_msgs: list[bytes] = []
+        for f, _, v in _fields(rs):
+            if f == 1:
+                res_attrs = _dec_kvs([kv for fn, _, kv in _fields(v) if fn == 1])
+            elif f == 2:
+                scope_msgs.append(v)
+        for ss in scope_msgs:
+            scope_name = ""
+            spans: list[bytes] = []
+            for f, _, v in _fields(ss):
+                if f == 1:
+                    for fn, _, sv in _fields(v):
+                        if fn == 1:
+                            scope_name = sv.decode("utf-8")
+                elif f == 2:
+                    spans.append(v)
+            for sp in spans:
+                r = {
+                    "trace_id": "", "span_id": "", "parent_span_id": "",
+                    "name": "", "kind": 0, "start_ts": None, "end_ts": None,
+                    "status_code": 0, "status_message": "", "trace_state": "",
+                    "attributes": {}, "resource": res_attrs,
+                    "scope_name": scope_name,
+                }
+                attr_msgs: list[bytes] = []
+                for f, _, v in _fields(sp):
+                    if f == 1:
+                        r["trace_id"] = v.hex()
+                    elif f == 2:
+                        r["span_id"] = v.hex()
+                    elif f == 3:
+                        r["trace_state"] = v.decode("utf-8")
+                    elif f == 4:
+                        r["parent_span_id"] = v.hex()
+                    elif f == 5:
+                        r["name"] = v.decode("utf-8")
+                    elif f == 6:
+                        r["kind"] = v
+                    elif f == 7:
+                        r["start_ts"] = pd.Timestamp(v // 1000, unit="us")
+                    elif f == 8:
+                        r["end_ts"] = pd.Timestamp(v // 1000, unit="us")
+                    elif f == 9:
+                        attr_msgs.append(v)
+                    elif f == 15:
+                        for fn, _, sv in _fields(v):
+                            if fn == 2:
+                                r["status_message"] = sv.decode("utf-8")
+                            elif fn == 3:
+                                r["status_code"] = sv
+                r["attributes"] = _dec_kvs(attr_msgs)
+                rows.append(r)
+    return rows
+
+
+def parse_otlp_proto_traces(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Framed TracesData messages → one row per span, the proto twin of
+    ``parse_otlp_traces`` (identical output schema)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for buf in pdf[frame_col]:
+                b = bytes(buf)
+                n = struct.unpack(">I", b[:4])[0]
+                if n != len(b) - 4:
+                    raise ValueError(f"framing: declared {n}, got {len(b) - 4}")
+                rows.extend(decode_traces_data(b[4:]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "trace_id", "span_id", "parent_span_id", "name", "kind",
+                    "start_ts", "end_ts", "status_code", "status_message",
+                    "trace_state", "attributes", "resource", "scope_name",
+                ],
+            )
+
+    return df.mapInPandas(gen, _TRACES_FLAT_DDL)
+
+
+# ---------------------------------------------------------------------------
+# metrics signal, number points (MetricsData —
+# opentelemetry/proto/metrics/v1/metrics.proto)
+# ---------------------------------------------------------------------------
+
+_METRICS_FLAT_DDL = (
+    "metric_name string, unit string, metric_type string, "
+    "aggregation_temporality int, is_monotonic boolean, "
+    "start_ts timestamp_ntz, ts timestamp_ntz, value double, "
+    "attributes map<string,string>, resource map<string,string>, "
+    "scope_name string"
+)
+
+
+def _f_double_oneof(field: int, v: float) -> bytes:
+    """NumberDataPoint.as_double is a ONEOF member: a set oneof emits
+    even at the zero value (pdata does too) — never omit."""
+    return _tag(field, 1) + struct.pack("<d", float(v))
+
+
+def _encode_number_point(r) -> bytes:
+    """NumberDataPoint: start_time=2 fixed64, time=3 fixed64,
+    as_double=4 (oneof, always emitted), attributes=7."""
+    out = bytearray()
+    out += _f_fixed64(2, _ts_ns(r["start_ts"]))
+    out += _f_fixed64(3, _ts_ns(r["ts"]))
+    out += _f_double_oneof(4, r["value"] if r["value"] is not None else 0.0)
+    for kv in r["_attrs"]:
+        out += _f_msg(7, _keyvalue(*_kv_pair(kv)))
+    return bytes(out)
+
+
+def to_otlp_metrics_proto(df: DataFrame) -> DataFrame:
+    """Flat NUMBER-point rows (``parse_otlp_metrics`` shape) → one
+    ``msg`` binary per resource identity, each a full ``MetricsData``
+    message — the proto twin of ``to_otlp_metrics_json`` (same
+    three-level fold resource → scope → metric → points, same
+    asDouble value-form divergence for asInt inputs)."""
+    keyed = df.withColumns(
+        {
+            "_res": F.array_sort(F.map_entries("resource")),
+            "_attrs": F.array_sort(F.map_entries("attributes")),
+            "_akey": F.to_json(F.array_sort(F.map_entries("attributes"))),
+            "_rkey": F.to_json(F.array_sort(F.map_entries("resource"))),
+        }
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "_akey"], kind="mergesort")
+        res = _encode_resource(pdf.iloc[0]["_res"])
+        scope_metrics = bytearray()
+        for sname, sg in pdf.groupby("scope_name", sort=True):
+            body = bytearray(_f_msg(1, _f_str(1, sname)))  # ScopeMetrics.scope=1
+            for (mname, unit, mtype, at, mono), mg in sg.groupby(
+                ["metric_name", "unit", "metric_type",
+                 "aggregation_temporality", "is_monotonic"],
+                sort=True,
+            ):
+                m = bytearray(_f_str(1, mname) + _f_str(3, unit))
+                pts = bytearray()
+                for _, r in mg.iterrows():
+                    pts += _f_msg(1, _encode_number_point(r))  # data_points=1
+                if mtype == "gauge":
+                    m += _f_msg(5, bytes(pts))  # Metric.gauge=5
+                else:
+                    s = bytes(pts) + _f_varint(2, int(at)) + (
+                        _f_varint(3, 1) if mono else b""
+                    )
+                    m += _f_msg(7, s)  # Metric.sum=7
+                body += _f_msg(2, bytes(m))  # ScopeMetrics.metrics=2
+            scope_metrics += _f_msg(2, bytes(body))  # ResourceMetrics.scope_metrics=2
+        rm = _f_msg(1, res) + bytes(scope_metrics)
+        return pd.DataFrame({"msg": [_f_msg(1, rm)]})  # MetricsData.resource_metrics=1
+
+    return keyed.groupBy("_rkey").applyInPandas(encode, "msg binary")
+
+
+def decode_metrics_data(msg: bytes) -> list[dict]:
+    """One MetricsData message → flat number-point dicts
+    (parse_otlp_metrics shape); gauge/sum arms only — histogram /
+    exponential-histogram / summary arms are JSON-marshal-only, like
+    the encode side."""
+    rows: list[dict] = []
+    for f_rm, _, rm in _fields(msg):
+        if f_rm != 1:
+            continue
+        res_attrs: dict[str, str] = {}
+        scope_msgs: list[bytes] = []
+        for f, _, v in _fields(rm):
+            if f == 1:
+                res_attrs = _dec_kvs([kv for fn, _, kv in _fields(v) if fn == 1])
+            elif f == 2:
+                scope_msgs.append(v)
+        for sm in scope_msgs:
+            scope_name = ""
+            metrics: list[bytes] = []
+            for f, _, v in _fields(sm):
+                if f == 1:
+                    for fn, _, sv in _fields(v):
+                        if fn == 1:
+                            scope_name = sv.decode("utf-8")
+                elif f == 2:
+                    metrics.append(v)
+            for m in metrics:
+                name = unit = ""
+                arm, at, mono = None, 0, False
+                pts: list[bytes] = []
+                for f, _, v in _fields(m):
+                    if f == 1:
+                        name = v.decode("utf-8")
+                    elif f == 3:
+                        unit = v.decode("utf-8")
+                    elif f == 5:  # Gauge
+                        arm = "gauge"
+                        pts = [p for fn, _, p in _fields(v) if fn == 1]
+                    elif f == 7:  # Sum
+                        arm = "sum"
+                        for fn, _, sv in _fields(v):
+                            if fn == 1:
+                                pts.append(sv)
+                            elif fn == 2:
+                                at = sv
+                            elif fn == 3:
+                                mono = bool(sv)
+                if arm is None:
+                    continue
+                for p in pts:
+                    r = {
+                        "metric_name": name, "unit": unit, "metric_type": arm,
+                        "aggregation_temporality": at if arm == "sum" else 0,
+                        "is_monotonic": mono if arm == "sum" else False,
+                        "start_ts": None, "ts": None, "value": 0.0,
+                        "attributes": {}, "resource": res_attrs,
+                        "scope_name": scope_name,
+                    }
+                    attr_msgs: list[bytes] = []
+                    for f, w, v in _fields(p):
+                        if f == 2:
+                            r["start_ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 3:
+                            r["ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 4:
+                            r["value"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                        elif f == 6:
+                            r["value"] = float(
+                                struct.unpack("<q", struct.pack("<Q", v))[0]
+                            )
+                        elif f == 7:
+                            attr_msgs.append(v)
+                    r["attributes"] = _dec_kvs(attr_msgs)
+                    rows.append(r)
+    return rows
+
+
+def parse_otlp_proto_metrics(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Framed MetricsData messages → one row per number point, the
+    proto twin of ``parse_otlp_metrics`` (identical output schema)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for buf in pdf[frame_col]:
+                b = bytes(buf)
+                n = struct.unpack(">I", b[:4])[0]
+                if n != len(b) - 4:
+                    raise ValueError(f"framing: declared {n}, got {len(b) - 4}")
+                rows.extend(decode_metrics_data(b[4:]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric_name", "unit", "metric_type",
+                    "aggregation_temporality", "is_monotonic", "start_ts",
+                    "ts", "value", "attributes", "resource", "scope_name",
+                ],
+            )
+
+    return df.mapInPandas(gen, _METRICS_FLAT_DDL)

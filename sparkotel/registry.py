@@ -334,6 +334,8 @@ FROM res""",
         # their first HASH-CHECKED rows land now.
         "enrich_geoip_cidr",
         "otlpproto_roundtrip",
+        "otlpproto_traces_roundtrip",
+        "otlpproto_metrics_roundtrip",
         "isolation_forest",
         "drain_tree_templates",
         "sampler_hash_seed",
@@ -393,8 +395,6 @@ FROM res""",
         "otlpjson_exp_histogram",
         "otlpjson_metrics_roundtrip",
         "span_name_ops",
-        "agg_count_spans",
-        "spanmetrics_exp_datapoint",
         "text_quality",
     ]
     assert len(window) == 50, len(window)
@@ -787,6 +787,35 @@ FROM events""",
 
     q["otlpjson_traces_roundtrip"] = Query(traces_roundtrip_q, q["otlpjson_traces"].oracle)
 
+    # proto arm of the traces roundtrip (TracesData wire format +
+    # framing, sparkotel/otlpproto.py) — same flat fields, same oracle
+    def proto_traces_roundtrip_q(spark, sf):
+        from sparkotel.otlpproto import (
+            frame_messages,
+            parse_otlp_proto_traces,
+            to_otlp_traces_proto,
+        )
+
+        framed = frame_messages(to_otlp_traces_proto(_span_frame(spark, sf)))
+        return parse_otlp_proto_traces(framed).select(
+            "trace_id",
+            "span_id",
+            "parent_span_id",
+            "name",
+            "kind",
+            "start_ts",
+            "end_ts",
+            "status_code",
+            "status_message",
+            F.col("attributes")["user.id"].alias("attr_user"),
+            F.col("resource")["service.name"].alias("service_name"),
+            "scope_name",
+        )
+
+    q["otlpproto_traces_roundtrip"] = Query(
+        proto_traces_roundtrip_q, q["otlpjson_traces"].oracle
+    )
+
     # --- metrics signal: number data points (gauge + monotonic sum arms) --
     _GAUGE_FMT = (
         '{"resourceMetrics":[{"resource":{"attributes":['
@@ -874,6 +903,34 @@ FROM events""",
 
     q["otlpjson_metrics_roundtrip"] = Query(
         metrics_roundtrip_q, q["otlpjson_metrics"].oracle
+    )
+
+    # proto arm of the metrics roundtrip (MetricsData wire format +
+    # framing, sparkotel/otlpproto.py) — same flat fields, same oracle
+    def proto_metrics_roundtrip_q(spark, sf):
+        from sparkotel.otlpproto import (
+            frame_messages,
+            parse_otlp_proto_metrics,
+            to_otlp_metrics_proto,
+        )
+
+        framed = frame_messages(to_otlp_metrics_proto(_point_frame(spark, sf)))
+        return parse_otlp_proto_metrics(framed).select(
+            "metric_name",
+            "unit",
+            "metric_type",
+            "aggregation_temporality",
+            "is_monotonic",
+            "start_ts",
+            "ts",
+            "value",
+            F.col("attributes")["k"].alias("attr_k"),
+            F.col("resource")["host.name"].alias("host_name"),
+            "scope_name",
+        )
+
+    q["otlpproto_metrics_roundtrip"] = Query(
+        proto_metrics_roundtrip_q, q["otlpjson_metrics"].oracle
     )
 
     # --- metrics signal: exponentialHistogram data points ------------------

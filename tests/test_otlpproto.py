@@ -151,3 +151,135 @@ def test_single_file_writer_and_zstd_gate(spark, tmp_path):
         write_otlp_proto_file(msgs, path, compression="zstd")
     with pytest.raises(ValueError, match="not supported"):
         write_otlp_proto_file(msgs, path, compression="gzip")
+
+
+# ---------------------------------------------------------------------------
+# traces signal
+# ---------------------------------------------------------------------------
+
+SPAN_DDL = (
+    "trace_id string, span_id string, parent_span_id string, name string, "
+    "kind int, start_ts string, end_ts string, status_code int, "
+    "status_message string, trace_state string, "
+    "attributes map<string,string>, resource map<string,string>, "
+    "scope_name string"
+)
+
+SPAN_ROWS = [
+    ("ab" * 16, "cd" * 8, "ef" * 8, "op-a", 2, "2024-03-15 10:00:00.5",
+     "2024-03-15 10:00:01", 2, "boom", "ot=th:8",
+     {"user.id": "7"}, {"service.name": "svc-1"}, "tracer"),
+    # all-defaults span
+    ("", "", "", "", 0, "2024-03-15 10:00:02", None, 0, "", "",
+     {}, {"service.name": "svc-1"}, "tracer"),
+    ("aa" * 16, "bb" * 8, "", "op-b", 1, "2024-03-15 11:00:00",
+     "2024-03-15 11:00:05", 0, "", "", {"x": "y"},
+     {"service.name": "svc-2"}, "other"),
+]
+
+
+def _spans(spark):
+    return spark.createDataFrame(SPAN_ROWS, SPAN_DDL).withColumns(
+        {
+            "start_ts": F.col("start_ts").cast("timestamp_ntz"),
+            "end_ts": F.col("end_ts").cast("timestamp_ntz"),
+        }
+    )
+
+
+def test_traces_roundtrip_exact(spark):
+    from sparkotel.otlpproto import parse_otlp_proto_traces, to_otlp_traces_proto
+
+    df = _spans(spark)
+    back = parse_otlp_proto_traces(frame_messages(to_otlp_traces_proto(df)))
+    cols = df.columns
+    assert sorted(map(repr, back.select(cols).collect())) == sorted(
+        map(repr, df.select(cols).collect())
+    )
+
+
+def test_traces_cross_marshal_equivalence(spark):
+    from sparkotel.otlpjson import parse_otlp_traces, to_otlp_traces_json
+    from sparkotel.otlpproto import parse_otlp_proto_traces, to_otlp_traces_proto
+
+    df = _spans(spark)
+    via_proto = parse_otlp_proto_traces(frame_messages(to_otlp_traces_proto(df)))
+    via_json = parse_otlp_traces(to_otlp_traces_json(df))
+    cols = df.columns
+    assert sorted(map(repr, via_proto.select(cols).collect())) == sorted(
+        map(repr, via_json.select(cols).collect())
+    )
+
+
+def test_traces_bytes_deterministic(spark):
+    from sparkotel.otlpproto import to_otlp_traces_proto
+
+    df = _spans(spark)
+    a = {bytes(r["msg"]) for r in to_otlp_traces_proto(df).collect()}
+    b = {bytes(r["msg"]) for r in to_otlp_traces_proto(df.repartition(5)).collect()}
+    assert a == b and len(a) == 2
+
+
+# ---------------------------------------------------------------------------
+# metrics signal (number points)
+# ---------------------------------------------------------------------------
+
+POINT_DDL = (
+    "metric_name string, unit string, metric_type string, "
+    "aggregation_temporality int, is_monotonic boolean, "
+    "start_ts string, ts string, value double, "
+    "attributes map<string,string>, resource map<string,string>, "
+    "scope_name string"
+)
+
+POINT_ROWS = [
+    ("req.count", "1", "sum", 2, True, "2024-03-15 10:00:00",
+     "2024-03-15 10:05:00", 42.0, {"k": "1"}, {"host.name": "h-1"}, "meter"),
+    # oneof edge: a SET as_double of exactly 0.0 must survive the trip
+    ("req.count", "1", "sum", 2, True, "2024-03-15 10:00:00",
+     "2024-03-15 10:10:00", 0.0, {"k": "2"}, {"host.name": "h-1"}, "meter"),
+    ("cpu.pct", "%", "gauge", 0, False, None,
+     "2024-03-15 10:05:00", -1.5, {}, {"host.name": "h-2"}, "meter"),
+]
+
+
+def _points(spark):
+    return spark.createDataFrame(POINT_ROWS, POINT_DDL).withColumns(
+        {
+            "start_ts": F.col("start_ts").cast("timestamp_ntz"),
+            "ts": F.col("ts").cast("timestamp_ntz"),
+        }
+    )
+
+
+def test_metrics_roundtrip_exact_including_zero_value(spark):
+    from sparkotel.otlpproto import parse_otlp_proto_metrics, to_otlp_metrics_proto
+
+    df = _points(spark)
+    back = parse_otlp_proto_metrics(frame_messages(to_otlp_metrics_proto(df)))
+    cols = df.columns
+    assert sorted(map(repr, back.select(cols).collect())) == sorted(
+        map(repr, df.select(cols).collect())
+    )
+
+
+def test_metrics_cross_marshal_equivalence(spark):
+    from sparkotel.otlpjson import parse_otlp_metrics, to_otlp_metrics_json
+    from sparkotel.otlpproto import parse_otlp_proto_metrics, to_otlp_metrics_proto
+
+    df = _points(spark)
+    via_proto = parse_otlp_proto_metrics(frame_messages(to_otlp_metrics_proto(df)))
+    via_json = parse_otlp_metrics(to_otlp_metrics_json(df))
+    cols = df.columns
+    assert sorted(map(repr, via_proto.select(cols).collect())) == sorted(
+        map(repr, via_json.select(cols).collect())
+    )
+
+
+def test_metrics_bytes_deterministic(spark):
+    from sparkotel.otlpproto import to_otlp_metrics_proto
+
+    df = _points(spark)
+    a = {bytes(r["msg"]) for r in to_otlp_metrics_proto(df).collect()}
+    b = {bytes(r["msg"]) for r in to_otlp_metrics_proto(df.repartition(5)).collect()}
+    assert a == b and len(a) == 2
