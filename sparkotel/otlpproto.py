@@ -1,7 +1,7 @@
 """fileexporter proto arm: OTLP protobuf wire-format marshal for all
 three signals (logs LogsData, traces TracesData, metrics MetricsData
-number points), 4-byte big-endian length framing, and the unmarshal
-back.
+number + exponential-histogram points), 4-byte big-endian length
+framing, and the unmarshal back.
 
 Reference semantics:
 - marshaller.go:20-44 — ``format: proto`` selects ``plog.ProtoMarshaler``,
@@ -704,3 +704,229 @@ def parse_otlp_proto_metrics(df: DataFrame, frame_col: str = "frame") -> DataFra
             )
 
     return df.mapInPandas(gen, _METRICS_FLAT_DDL)
+
+
+# ---------------------------------------------------------------------------
+# metrics signal, exponential-histogram points
+# ---------------------------------------------------------------------------
+
+_EXP_FLAT_DDL = (
+    "metric_name string, aggregation_temporality int, "
+    "start_ts timestamp_ntz, ts timestamp_ntz, count long, sum double, "
+    "min double, max double, scale int, zero_count long, "
+    "zero_threshold double, positive_offset int, "
+    "positive_bucket_counts array<long>, negative_offset int, "
+    "negative_bucket_counts array<long>, attributes map<string,string>, "
+    "resource map<string,string>"
+)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) if n >= 0 else ((-n) << 1) - 1
+
+
+def _unzigzag(z: int) -> int:
+    return (z >> 1) if (z & 1) == 0 else -((z + 1) >> 1)
+
+
+def _f_sint(field: int, v: int) -> bytes:
+    """sintNN field — zigzag varint; zero omitted per proto3."""
+    return b"" if not v else _tag(field, 0) + _varint(_zigzag(v))
+
+
+def _f_packed_varint(field: int, vals) -> bytes:
+    """repeated uint64, packed encoding (proto3 default for scalars)."""
+    if vals is None or len(vals) == 0:
+        return b""
+    payload = b"".join(_varint(int(v)) for v in vals)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _f_double_opt(field: int, v) -> bytes:
+    """proto3 ``optional double`` — presence-tracked: a set 0.0 still
+    encodes; only NULL omits (mirrors pdata's HasSum/HasMin/HasMax)."""
+    if v is None or (isinstance(v, float) and v != v):
+        return b""
+    return _tag(field, 1) + struct.pack("<d", float(v))
+
+
+def _encode_buckets(offset: int, counts) -> bytes:
+    # Buckets{offset=1 sint32, bucket_counts=2 packed uint64}
+    return _f_sint(1, int(offset or 0)) + _f_packed_varint(2, counts)
+
+
+def _encode_exp_point(r) -> bytes:
+    """ExponentialHistogramDataPoint: attributes=1, start=2 fixed64,
+    time=3 fixed64, count=4 fixed64, sum=5 optional double,
+    scale=6 sint32, zero_count=7 fixed64, positive=8, negative=9,
+    min=12 / max=13 optional double, zero_threshold=14 double."""
+    out = bytearray()
+    for kv in r["_attrs"]:
+        out += _f_msg(1, _keyvalue(*_kv_pair(kv)))
+    out += _f_fixed64(2, _ts_ns(r["start_ts"]))
+    out += _f_fixed64(3, _ts_ns(r["ts"]))
+    out += _f_fixed64(4, int(r["count"] or 0))
+    out += _f_double_opt(5, r["sum"])
+    out += _f_sint(6, int(r["scale"] or 0))
+    out += _f_fixed64(7, int(r["zero_count"] or 0))
+    out += _f_msg(8, _encode_buckets(r["positive_offset"], r["positive_bucket_counts"]))
+    out += _f_msg(9, _encode_buckets(r["negative_offset"], r["negative_bucket_counts"]))
+    out += _f_double_opt(12, r["min"])
+    out += _f_double_opt(13, r["max"])
+    zt = r["zero_threshold"]
+    if zt is not None and zt == zt and zt != 0.0:
+        out += _tag(14, 1) + struct.pack("<d", float(zt))
+    return bytes(out)
+
+
+def to_otlp_exp_histograms_proto(df: DataFrame) -> DataFrame:
+    """Flat exponential-histogram point rows
+    (``parse_otlp_exp_histograms`` shape) → one ``msg`` binary per
+    resource identity — the proto twin of
+    ``to_otlp_exp_histograms_json`` (same grouping: one unnamed scope,
+    metrics per (name, temporality), points by (ts, attrs))."""
+    keyed = df.withColumns(
+        {
+            "_res": F.array_sort(F.map_entries("resource")),
+            "_attrs": F.array_sort(F.map_entries("attributes")),
+            "_akey": F.to_json(F.array_sort(F.map_entries("attributes"))),
+            "_rkey": F.to_json(F.array_sort(F.map_entries("resource"))),
+        }
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "_akey"], kind="mergesort")
+        res = _encode_resource(pdf.iloc[0]["_res"])
+        body = bytearray()  # one unnamed scope, like the JSON arm
+        for (mname, at), mg in pdf.groupby(
+            ["metric_name", "aggregation_temporality"], sort=True
+        ):
+            pts = bytearray()
+            for _, r in mg.iterrows():
+                pts += _f_msg(1, _encode_exp_point(r))  # data_points=1
+            eh = bytes(pts) + _f_varint(2, int(at))
+            m = _f_str(1, mname) + _f_msg(10, eh)  # Metric.exponential_histogram=10
+            body += _f_msg(2, m)  # ScopeMetrics.metrics=2
+        rm = _f_msg(1, res) + _f_msg(2, bytes(body))  # scope_metrics=2
+        return pd.DataFrame({"msg": [_f_msg(1, rm)]})
+
+    return keyed.groupBy("_rkey").applyInPandas(encode, "msg binary")
+
+
+def _dec_packed_varints(b: bytes) -> list[int]:
+    out, i = [], 0
+    while i < len(b):
+        v, i = _read_varint(b, i)
+        out.append(v)
+    return out
+
+
+def _dec_buckets(b: bytes) -> tuple[int, list[int]]:
+    offset, counts = 0, []
+    for f, w, v in _fields(b):
+        if f == 1:
+            offset = _unzigzag(v)
+        elif f == 2:
+            counts = _dec_packed_varints(v) if w == 2 else counts + [v]
+    return offset, counts
+
+
+def decode_exp_histograms_data(msg: bytes) -> list[dict]:
+    """One MetricsData message → flat exponential-histogram point dicts
+    (parse_otlp_exp_histograms shape)."""
+    rows: list[dict] = []
+    for f_rm, _, rm in _fields(msg):
+        if f_rm != 1:
+            continue
+        res_attrs: dict[str, str] = {}
+        scope_msgs: list[bytes] = []
+        for f, _, v in _fields(rm):
+            if f == 1:
+                res_attrs = _dec_kvs([kv for fn, _, kv in _fields(v) if fn == 1])
+            elif f == 2:
+                scope_msgs.append(v)
+        for sm in scope_msgs:
+            for f_m, _, m in _fields(sm):
+                if f_m != 2:
+                    continue
+                name, at = "", 0
+                pts: list[bytes] = []
+                for f, _, v in _fields(m):
+                    if f == 1:
+                        name = v.decode("utf-8")
+                    elif f == 10:  # ExponentialHistogram
+                        for fn, _, sv in _fields(v):
+                            if fn == 1:
+                                pts.append(sv)
+                            elif fn == 2:
+                                at = sv
+                for p in pts:
+                    r = {
+                        "metric_name": name, "aggregation_temporality": at,
+                        "start_ts": None, "ts": None, "count": 0,
+                        "sum": None, "min": None, "max": None, "scale": 0,
+                        "zero_count": 0, "zero_threshold": 0.0,
+                        "positive_offset": 0, "positive_bucket_counts": [],
+                        "negative_offset": 0, "negative_bucket_counts": [],
+                        "attributes": {}, "resource": res_attrs,
+                    }
+                    attr_msgs: list[bytes] = []
+                    for f, _, v in _fields(p):
+                        if f == 1:
+                            attr_msgs.append(v)
+                        elif f == 2:
+                            r["start_ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 3:
+                            r["ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 4:
+                            r["count"] = v
+                        elif f == 5:
+                            r["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                        elif f == 6:
+                            r["scale"] = _unzigzag(v)
+                        elif f == 7:
+                            r["zero_count"] = v
+                        elif f == 8:
+                            r["positive_offset"], r["positive_bucket_counts"] = _dec_buckets(v)
+                        elif f == 9:
+                            r["negative_offset"], r["negative_bucket_counts"] = _dec_buckets(v)
+                        elif f == 12:
+                            r["min"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                        elif f == 13:
+                            r["max"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                        elif f == 14:
+                            r["zero_threshold"] = struct.unpack(
+                                "<d", struct.pack("<Q", v)
+                            )[0]
+                    r["attributes"] = _dec_kvs(attr_msgs)
+                    rows.append(r)
+    return rows
+
+
+def parse_otlp_proto_exp_histograms(
+    df: DataFrame, frame_col: str = "frame"
+) -> DataFrame:
+    """Framed MetricsData messages → one row per exponential-histogram
+    point, the proto twin of ``parse_otlp_exp_histograms``."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for buf in pdf[frame_col]:
+                b = bytes(buf)
+                n = struct.unpack(">I", b[:4])[0]
+                if n != len(b) - 4:
+                    raise ValueError(f"framing: declared {n}, got {len(b) - 4}")
+                rows.extend(decode_exp_histograms_data(b[4:]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "metric_name", "aggregation_temporality", "start_ts",
+                    "ts", "count", "sum", "min", "max", "scale",
+                    "zero_count", "zero_threshold", "positive_offset",
+                    "positive_bucket_counts", "negative_offset",
+                    "negative_bucket_counts", "attributes", "resource",
+                ],
+            )
+
+    return df.mapInPandas(gen, _EXP_FLAT_DDL)

@@ -336,6 +336,7 @@ FROM res""",
         "otlpproto_roundtrip",
         "otlpproto_traces_roundtrip",
         "otlpproto_metrics_roundtrip",
+        "otlpproto_exp_roundtrip",
         "isolation_forest",
         "drain_tree_templates",
         "sampler_hash_seed",
@@ -392,7 +393,6 @@ FROM res""",
         "metrics_transform_labels",
         "s2m_sum_duration",
         "s2m_exp_histogram",
-        "otlpjson_exp_histogram",
         "otlpjson_metrics_roundtrip",
         "span_name_ops",
         "text_quality",
@@ -1051,6 +1051,23 @@ FROM events"""
         return _exph_flat(m)
 
     q["otlpjson_exp_roundtrip"] = Query(exph_roundtrip_q, _EXPH_ORACLE)
+
+    # proto arm of the exp-histogram roundtrip (zigzag sints, packed
+    # varint bucket counts, optional sum/min/max presence) — same flat
+    # fields, same oracle
+    def proto_exph_roundtrip_q(spark, sf):
+        from sparkotel.otlpproto import (
+            frame_messages,
+            parse_otlp_proto_exp_histograms,
+            to_otlp_exp_histograms_proto,
+        )
+
+        framed = frame_messages(
+            to_otlp_exp_histograms_proto(_exph_lines(spark, sf))
+        )
+        return _exph_flat(parse_otlp_proto_exp_histograms(framed))
+
+    q["otlpproto_exp_roundtrip"] = Query(proto_exph_roundtrip_q, _EXPH_ORACLE)
 
     # --- ingested exp-histogram points feeding the transformprocessor
     # exp→explicit converter (func_convert_exponential_hist_to_explicit_

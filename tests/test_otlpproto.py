@@ -283,3 +283,93 @@ def test_metrics_bytes_deterministic(spark):
     a = {bytes(r["msg"]) for r in to_otlp_metrics_proto(df).collect()}
     b = {bytes(r["msg"]) for r in to_otlp_metrics_proto(df.repartition(5)).collect()}
     assert a == b and len(a) == 2
+
+
+# ---------------------------------------------------------------------------
+# metrics signal (exponential-histogram points)
+# ---------------------------------------------------------------------------
+
+EXP_DDL = (
+    "metric_name string, aggregation_temporality int, start_ts string, "
+    "ts string, count long, sum double, min double, max double, scale int, "
+    "zero_count long, zero_threshold double, positive_offset int, "
+    "positive_bucket_counts array<long>, negative_offset int, "
+    "negative_bucket_counts array<long>, attributes map<string,string>, "
+    "resource map<string,string>"
+)
+
+EXP_ROWS = [
+    # negative scale and offsets exercise zigzag; sum exactly 0.0
+    # exercises optional-double presence
+    ("lat", 2, "2024-03-15 10:00:00", "2024-03-15 10:05:00", 7, 0.0,
+     -3.5, 9.25, -2, 1, 0.0078125, -4, [1, 0, 2, 300], -1, [5],
+     {"k": "a"}, {"host.name": "h-1"}),
+    # NULL sum/min/max omit fields 5/12/13 entirely
+    ("lat", 2, "2024-03-15 10:00:00", "2024-03-15 10:10:00", 0, None,
+     None, None, 3, 0, 0.0, 0, [], 0, [], {"k": "b"}, {"host.name": "h-1"}),
+    ("sz", 1, None, "2024-03-15 11:00:00", 2, 12.5, 1.0, 11.5, 0, 2,
+     0.0, 130, [1, 1], 0, [], {}, {"host.name": "h-2"}),
+]
+
+
+def _exps(spark):
+    return spark.createDataFrame(EXP_ROWS, EXP_DDL).withColumns(
+        {
+            "start_ts": F.col("start_ts").cast("timestamp_ntz"),
+            "ts": F.col("ts").cast("timestamp_ntz"),
+        }
+    )
+
+
+def test_exp_roundtrip_exact(spark):
+    from sparkotel.otlpproto import (
+        parse_otlp_proto_exp_histograms,
+        to_otlp_exp_histograms_proto,
+    )
+
+    df = _exps(spark)
+    back = parse_otlp_proto_exp_histograms(
+        frame_messages(to_otlp_exp_histograms_proto(df))
+    )
+    cols = df.columns
+    assert sorted(map(repr, back.select(cols).collect())) == sorted(
+        map(repr, df.select(cols).collect())
+    )
+
+
+def test_exp_cross_marshal_equivalence(spark):
+    from sparkotel.otlpjson import (
+        parse_otlp_exp_histograms,
+        to_otlp_exp_histograms_json,
+    )
+    from sparkotel.otlpproto import (
+        parse_otlp_proto_exp_histograms,
+        to_otlp_exp_histograms_proto,
+    )
+
+    df = _exps(spark)
+    via_proto = parse_otlp_proto_exp_histograms(
+        frame_messages(to_otlp_exp_histograms_proto(df))
+    )
+    via_json = parse_otlp_exp_histograms(to_otlp_exp_histograms_json(df))
+    cols = df.columns
+    assert sorted(map(repr, via_proto.select(cols).collect())) == sorted(
+        map(repr, via_json.select(cols).collect())
+    )
+
+
+def test_zigzag_and_packed_primitives():
+    from sparkotel.otlpproto import (
+        _dec_packed_varints,
+        _f_packed_varint,
+        _unzigzag,
+        _zigzag,
+    )
+
+    for n in [0, 1, -1, 2, -2, 130, -130, 2**31 - 1, -(2**31)]:
+        assert _unzigzag(_zigzag(n)) == n
+    # packed uint64 payload round-trips, empty omits the field
+    assert _f_packed_varint(2, []) == b""
+    enc = _f_packed_varint(2, [1, 0, 300])
+    assert enc[0] == (2 << 3) | 2
+    assert _dec_packed_varints(enc[2:]) == [1, 0, 300]
