@@ -203,23 +203,26 @@ def write_otlp_proto_file(df: DataFrame, path: str, compression: str | None = No
     zstd compression exists in the reference (config.go:132-140); no
     zstd module ships here, so requesting it raises (documented
     divergence) unless one is importable."""
-    opener = open
+    zctx = None
     if compression is not None:
         if compression != "zstd":
             raise ValueError("compression is not supported")  # config.go:132
         try:
-            import zstandard  # noqa: F401  (absent in this environment)
-        except ImportError as e:  # pragma: no cover - env-bound
+            import zstandard
+        except ImportError as e:
             raise NotImplementedError(
                 "zstd compression requires the zstandard module, which this "
                 "environment does not ship (documented divergence)"
             ) from e
-        opener = None  # pragma: no cover - unreachable without zstandard
+        zctx = zstandard.ZstdCompressor()  # pragma: no cover - env-bound
     n = 0
-    with opener(path, "wb") as fh:
+    with open(path, "wb") as raw:
+        fh = zctx.stream_writer(raw) if zctx else raw
         for row in frame_messages(df).toLocalIterator():
             fh.write(row["frame"])
             n += 1
+        if zctx:  # pragma: no cover - env-bound
+            fh.close()  # finishes the zstd frame before raw closes
     return n
 
 
