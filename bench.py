@@ -285,7 +285,7 @@ def run_dual() -> None:
                 f"parse→enrich→route→aggregate DAG is {thr_lo:.0f} docs/s —\n"
                 f"**{thr_lo / 10000:.1f}× that configured load at the same\n"
                 "core count** (bar: match or beat).\n"
-                if lo == 2
+                if int(lo) == 2
                 else f"This engine's local[{lo}] run through the full\n"
                 f"parse→enrich→route→aggregate DAG is {thr_lo:.0f} docs/s\n"
                 f"(core counts differ — {lo} vs the testbed's 2 — so no\n"
