@@ -37,8 +37,11 @@ Decision semantics mirrored exactly:
     floor((2^64-1) · pct/100) (probabilistic.go:46-79; salt default
     "default-hash-seed")
 
-Out of scope (wall-clock-stateful, meaningless in batch): rate_limiting /
-bytes_limiting (spans-per-tick budgets) and composite rate allocation.
+rate_limiting / bytes_limiting (internal/sampling/rate_limiting.go:28-53,
+bytes_limiting.go:26-60) are wall-clock token buckets in the reference; the
+batch analogue replays the bucket over the trace *completion* timeline (the
+moment ``decision_wait`` would have elapsed = the trace's max end timestamp)
+— see ``token_bucket_admit``.  Composite rate allocation remains out of scope.
 """
 
 from __future__ import annotations
@@ -295,6 +298,118 @@ def tail_sample(
         F.col("_trace_span_count").alias("span_count"),
         F.round(F.col("_trace_duration_ms"), 6).alias("duration_ms"),
     )
+
+
+def token_bucket_admit(
+    per_trace: DataFrame,
+    rate_num: int,
+    rate_den: int,
+    burst: int,
+    n_col: str = "n",
+    arrival_col: str = "arrival_us",
+    key_col: str = "limiter_key",
+    trace_col: str = "trace_id",
+) -> DataFrame:
+    """Batch replay of the reference's ``golang.org/x/time/rate`` token
+    bucket (tailsamplingprocessor/internal/sampling/rate_limiting.go:28-53,
+    bytes_limiting.go:26-60): traces are admitted in completion order while
+    the bucket holds ≥ n tokens; tokens refill continuously at
+    ``rate_num/rate_den`` tokens per second up to ``burst``.
+
+    Exactness: the Go limiter carries float64 token counts; we define the
+    batch semantics in *integer* arithmetic instead so Spark and any SQL
+    oracle agree bit-for-bit.  The internal unit is ``1/(10^6·rate_den)``
+    token: with arrivals in integer microseconds the refill is
+    ``dt_us · rate_num`` units exactly, capacity is
+    ``burst · 10^6 · rate_den``, and a trace costs ``n · 10^6 · rate_den``.
+    x/time/rate behaviours preserved: the bucket starts full (a zero-value
+    limiter's first advance clamps to burst), a denied request consumes
+    nothing (reserveN only commits state when ok), and ``n > burst`` can
+    never be admitted (cost > capacity ≥ tokens).  Persisting the refill on
+    deny is equivalent to the reference's restore-on-fail because
+    ``min(cap, t + d1·r)`` then ``+ d2·r`` folds to ``min(cap, t +
+    (d1+d2)·r)`` — refill is monotone and commutes across the clamp.
+
+    One shuffle (groupBy ``key_col``); each group replays sequentially in a
+    single Arrow batch, mirroring one collector instance's limiter.  At
+    fleet scale the key IS the collector-instance identity (shard/route), so
+    parallelism = number of limiters, exactly like the reference deployment.
+
+    Returns ``(key_col, trace_col, arrival_col, n_col, final_decision)``
+    with the reference decision names Sampled/NotSampled lowercased.
+    """
+    if rate_num <= 0 or rate_den <= 0 or burst <= 0:
+        raise ValueError("rate_num, rate_den and burst must be positive")
+    cap = burst * 1_000_000 * rate_den
+    unit = 1_000_000 * rate_den
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([arrival_col, trace_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        tok = cap
+        last: int | None = None
+        out: list[bool] = []
+        for arr, n in zip(pdf[arrival_col], pdf[n_col]):
+            arr = int(arr)
+            if last is not None:
+                tok = min(cap, tok + (arr - last) * rate_num)
+            last = arr
+            cost = int(n) * unit
+            if cost <= tok:
+                tok -= cost
+                out.append(True)
+            else:
+                out.append(False)
+        pdf = pdf[[key_col, trace_col, arrival_col, n_col]].assign(
+            final_decision=["sampled" if a else "not_sampled" for a in out]
+        )
+        return pdf
+
+    schema = (
+        f"{key_col} string, {trace_col} string, {arrival_col} long, "
+        f"{n_col} long, final_decision string"
+    )
+    return (
+        per_trace.select(key_col, trace_col, arrival_col, n_col)
+        .groupBy(key_col)
+        .applyInPandas(replay, schema)
+    )
+
+
+def rate_limiting_decisions(
+    spans: DataFrame,
+    rate_num: int,
+    rate_den: int,
+    burst: int,
+    key: Column,
+    trace_col: str = "trace_id",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """rate_limiting policy (rate_limiting.go:44-53): n = the trace's span
+    count, arrival = trace completion time.  ``NewRateLimiting`` defaults
+    burst to 2× spans-per-second (rate_limiting.go:29-31); pass it
+    explicitly for the WithBurstCapacity form."""
+    per_trace = spans.groupBy(
+        key.alias("limiter_key"), F.col(trace_col).alias("trace_id")
+    ).agg(
+        F.unix_micros(F.max(end_col).cast("timestamp")).alias("arrival_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return token_bucket_admit(per_trace, rate_num, rate_den, burst)
+
+
+def bytes_limiting_decisions(
+    trace_sizes: DataFrame,
+    rate_num: int,
+    rate_den: int,
+    burst: int,
+) -> DataFrame:
+    """bytes_limiting policy (bytes_limiting.go:45-60): n = the trace's
+    proto-marshaled size (``otlpproto.trace_proto_sizes``, the
+    ptrace.ProtoMarshaler.TracesSize analogue at bytes_limiting.go:66-73).
+    ``trace_sizes`` must carry (limiter_key, trace_id, arrival_us, n)."""
+    return token_bucket_admit(trace_sizes, rate_num, rate_den, burst)
 
 
 def sampled_spans(

@@ -933,3 +933,46 @@ def parse_otlp_proto_exp_histograms(
             )
 
     return df.mapInPandas(gen, _EXP_FLAT_DDL)
+
+
+def trace_proto_sizes(df: DataFrame, trace_col: str = "trace_id") -> DataFrame:
+    """Per-trace proto-marshal size: the batch analogue of
+    ``ptrace.ProtoMarshaler{}.TracesSize(trace.ReceivedBatches)`` that the
+    bytes_limiting tail-sampling policy charges against its token bucket
+    (tailsamplingprocessor/internal/sampling/bytes_limiting.go:66-73).
+
+    Each trace is sized as one ``TracesData`` holding one ResourceSpans
+    (a trace's spans share their resource in this engine's flat-row model),
+    scopes grouped/ordered by name — byte-for-byte the framing
+    ``to_otlp_traces_proto`` writes, so ``proto_bytes`` equals
+    ``length(msg)`` of that marshal restricted to one trace.
+
+    One shuffle (groupBy trace_id, the same key every tail-sampling stage
+    already partitions on); the encoder runs per Arrow batch.  Returns
+    ``(trace_col, proto_bytes)``.
+    """
+    keyed = df.withColumns(
+        {
+            "_res": F.array_sort(F.map_entries("resource")),
+            "_attrs": F.array_sort(F.map_entries("attributes")),
+        }
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["scope_name", "start_ts", "span_id"], kind="mergesort")
+        res = _encode_resource(pdf.iloc[0]["_res"])
+        scope_spans = bytearray()
+        for name, g in pdf.groupby("scope_name", sort=True):
+            body = bytearray(_f_msg(1, _f_str(1, name)))  # ScopeSpans.scope=1
+            for _, r in g.iterrows():
+                body += _f_msg(2, _encode_span(r))  # ScopeSpans.spans=2
+            scope_spans += _f_msg(2, bytes(body))  # ResourceSpans.scope_spans=2
+        rs = _f_msg(1, res) + bytes(scope_spans)
+        msg = _f_msg(1, rs)  # TracesData.resource_spans=1
+        return pd.DataFrame(
+            {trace_col: [pdf.iloc[0][trace_col]], "proto_bytes": [len(msg)]}
+        )
+
+    return keyed.groupBy(trace_col).applyInPandas(
+        encode, f"{trace_col} string, proto_bytes long"
+    )

@@ -390,9 +390,13 @@ FROM res""",
         # r4 queries with unchanged code rotate out: the otlpjson exp
         # family, s2m_*, metrics_transform*, span_name_ops,
         # spanmetrics_exp_datapoint, agg_count_*)
+        # A (late r5): the rate_limiting / bytes_limiting tail-sampling
+        # policies land this round — first driver rows (they displace two
+        # double-green unchanged r4 queries: s2m_sum_duration,
+        # s2m_exp_histogram).
+        "tailsample_rate_limit",
+        "tailsample_bytes_limit",
         "metrics_transform_labels",
-        "s2m_sum_duration",
-        "s2m_exp_histogram",
         "otlpjson_metrics_roundtrip",
         "span_name_ops",
         "text_quality",
@@ -541,6 +545,114 @@ tids AS (SELECT DISTINCT trace_id FROM spans),
 h AS (SELECT trace_id, {_FNV64_TRACE_SQL} AS h FROM tids)
 SELECT s.trace_id, s.span_id, s.event_type, s.status_code
 FROM spans s JOIN h USING (trace_id) WHERE h.h <= 4611686018427387903""",
+    )
+
+    # --- rate_limiting / bytes_limiting (token bucket over completion
+    # order; internal/sampling/rate_limiting.go:28-53, bytes_limiting.go:
+    # 26-73).  Integer-exact replay (see token_bucket_admit): the oracle is
+    # a recursive CTE folding the identical integer bucket per limiter
+    # shard (substr(trace_id,1,1) = a 16-collector fleet, one limiter
+    # each).  rate: 1/4800 span/s, burst 6 (≈72% admitted at sf0.01, and
+    # every trace with >6 spans exercises the n>burst always-deny path);
+    # bytes: 1/60 B/s, burst 600 B over the real proto-marshal sizes.
+    from sparkotel.operators.tailsample import (
+        bytes_limiting_decisions,
+        rate_limiting_decisions,
+    )
+    from sparkotel.otlpproto import trace_proto_sizes
+
+    def _bucket_sql(per_trace: str, n_col: str, num: int, den: int, burst: int) -> str:
+        cap = burst * 1_000_000 * den
+        unit = 1_000_000 * den
+        adv = f"least({cap}, b.tok + (o.arrival_us - b.arrival_us)*{num})"
+        return f"""o AS (SELECT *, row_number() OVER (
+    PARTITION BY limiter_key ORDER BY arrival_us, trace_id) AS seq FROM {per_trace}),
+b AS (
+  SELECT limiter_key, seq, trace_id, arrival_us, {n_col},
+         {n_col}*{unit} <= {cap} AS adm,
+         CASE WHEN {n_col}*{unit} <= {cap}
+              THEN {cap} - {n_col}*{unit} ELSE {cap} END AS tok
+  FROM o WHERE seq = 1
+  UNION ALL
+  SELECT o.limiter_key, o.seq, o.trace_id, o.arrival_us, o.{n_col},
+         o.{n_col}*{unit} <= {adv},
+         CASE WHEN o.{n_col}*{unit} <= {adv}
+              THEN {adv} - o.{n_col}*{unit} ELSE {adv} END
+  FROM b JOIN o ON o.limiter_key = b.limiter_key AND o.seq = b.seq + 1)
+SELECT limiter_key, trace_id, arrival_us, {n_col},
+       CASE WHEN adm THEN 'sampled' ELSE 'not_sampled' END AS final_decision
+FROM b"""
+
+    def rate_limit(spark, sf):
+        return rate_limiting_decisions(
+            _spans(spark, sf), 1, 4800, 6, key=F.substring("trace_id", 1, 1)
+        ).withColumnRenamed("n", "n_spans")
+
+    q["tailsample_rate_limit"] = Query(
+        rate_limit,
+        f"""WITH RECURSIVE {_SPANS_SQL},
+t AS (
+  SELECT substr(trace_id, 1, 1) AS limiter_key, trace_id,
+         epoch_us(max(end_ts)) AS arrival_us,
+         CAST(count(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY 1, 2),
+{_bucket_sql('t', 'n_spans', 1, 4800, 6)}""",
+    )
+
+    def bytes_limit(spark, sf):
+        spans = _spans(spark, sf).select(
+            "trace_id",
+            F.lpad(F.lower(F.hex("span_id")), 16, "0").alias("span_id"),
+            F.lit("").alias("trace_state"),
+            F.lit("").alias("parent_span_id"),
+            F.col("event_type").alias("name"),
+            F.lit(2).alias("kind"),
+            "start_ts",
+            "end_ts",
+            F.create_map(F.lit("service.name"), F.lit("svc")).alias("resource"),
+            F.create_map().cast("map<string,string>").alias("attributes"),
+            F.lit("app").alias("scope_name"),
+            F.lit("").alias("status_message"),
+            "status_code",
+        )
+        sizes = trace_proto_sizes(spans)
+        arr = spans.groupBy("trace_id").agg(
+            F.unix_micros(F.max("end_ts").cast("timestamp")).alias("arrival_us")
+        )
+        per = sizes.join(arr, "trace_id").select(
+            F.substring("trace_id", 1, 1).alias("limiter_key"),
+            "trace_id",
+            "arrival_us",
+            F.col("proto_bytes").alias("n"),
+        )
+        return bytes_limiting_decisions(per, 1, 60, 600).withColumnRenamed(
+            "n", "proto_bytes"
+        )
+
+    # The oracle sizes each trace arithmetically from the wire format —
+    # an independent closed-form model of the marshal (span body =
+    # 50+len(name), +4 when status_code≠0, for this fixture's
+    # constant-width fields; proto3 default values are omitted on the
+    # wire), so a green row cross-checks the real encoder's bytes
+    # against first principles.
+    q["tailsample_bytes_limit"] = Query(
+        bytes_limit,
+        f"""WITH RECURSIVE {_SPANS_SQL},
+t AS (
+  SELECT substr(trace_id, 1, 1) AS limiter_key, trace_id,
+         epoch_us(max(end_ts)) AS arrival_us,
+         7 + sum(52 + length(event_type)
+                 + CASE WHEN status_code = 0 THEN 0 ELSE 4 END) AS inn
+  FROM spans GROUP BY 1, 2),
+t2 AS (
+  SELECT limiter_key, trace_id, arrival_us,
+         26 + (CASE WHEN inn < 128 THEN 1 WHEN inn < 16384 THEN 2 ELSE 3 END) + inn AS rs
+  FROM t),
+sz AS (
+  SELECT limiter_key, trace_id, arrival_us,
+         CAST(1 + (CASE WHEN rs < 128 THEN 1 WHEN rs < 16384 THEN 2 ELSE 3 END) + rs AS BIGINT) AS proto_bytes
+  FROM t2),
+{_bucket_sql('sz', 'proto_bytes', 1, 60, 600)}""",
     )
 
 

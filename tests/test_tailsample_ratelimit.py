@@ -1,0 +1,205 @@
+"""rate_limiting / bytes_limiting token-bucket semantics vs the reference
+(processor/tailsamplingprocessor/internal/sampling/rate_limiting.go:28-53,
+bytes_limiting.go:26-73, both built on golang.org/x/time/rate.Limiter)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from sparkotel.operators.tailsample import (
+    rate_limiting_decisions,
+    token_bucket_admit,
+)
+from sparkotel.otlpproto import trace_proto_sizes
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _per_trace(spark, rows):
+    """rows: (key, trace_id, arrival_us, n)"""
+    return spark.createDataFrame(
+        rows, "limiter_key string, trace_id string, arrival_us long, n long"
+    )
+
+
+def _decisions(df):
+    return {r["trace_id"]: r["final_decision"] for r in df.collect()}
+
+
+def x_time_rate_reference(events, rate_num, rate_den, burst):
+    """Independent restore-on-fail fold, shaped exactly like
+    x/time/rate.Limiter.AllowN (reserveN commits last/tokens only when
+    ok) — in exact Fraction arithmetic.  token_bucket_admit persists the
+    refill on deny instead; this reference proves the two are
+    observationally identical."""
+    from fractions import Fraction
+
+    rate = Fraction(rate_num, rate_den)
+    tokens = Fraction(burst)
+    last = None
+    out = []
+    for arr_us, n in events:
+        advanced = (
+            min(Fraction(burst), tokens + Fraction(arr_us - last, 10**6) * rate)
+            if last is not None
+            else Fraction(burst)
+        )
+        if n <= advanced:
+            tokens = advanced - n
+            last = arr_us
+            out.append(True)
+        else:
+            out.append(False)  # state untouched (reserveN !ok path)
+    return out
+
+
+def test_bucket_starts_full_and_denies_without_consuming(spark):
+    # burst 4, rate 1/s.  t=0: n=4 drains the full bucket.  t=1s: n=2 >
+    # 1 refilled token → denied, and the denial must NOT consume the
+    # token: t=2s has 2 tokens and n=2 passes.
+    rows = [
+        ("k", "t1", 0, 4),
+        ("k", "t2", 1_000_000, 2),
+        ("k", "t3", 2_000_000, 2),
+    ]
+    out = _decisions(token_bucket_admit(_per_trace(spark, rows), 1, 1, 4))
+    assert out == {"t1": "sampled", "t2": "not_sampled", "t3": "sampled"}
+
+
+def test_n_above_burst_never_admitted_even_after_long_idle(spark):
+    # rate_limiting.go:33-36 — a trace whose span count exceeds the
+    # burst capacity can never pass, regardless of elapsed time.
+    rows = [("k", "t1", 0, 1), ("k", "t2", 3_600_000_000, 9)]
+    out = _decisions(token_bucket_admit(_per_trace(spark, rows), 1000, 1, 8))
+    assert out == {"t1": "sampled", "t2": "not_sampled"}
+
+
+def test_refill_clamps_at_burst(spark):
+    # After a huge gap the bucket holds exactly burst, not gap·rate:
+    # n=5 > burst=4 at t=100s is denied, then two n=2 drain what must be
+    # exactly 4 tokens — the second leaves 0, so a third n=1 at the same
+    # instant is denied.
+    rows = [
+        ("k", "a", 0, 4),
+        ("k", "b", 100_000_000, 5),
+        ("k", "c", 100_000_001, 2),
+        ("k", "d", 100_000_002, 2),
+        ("k", "e", 100_000_003, 1),
+    ]
+    out = _decisions(token_bucket_admit(_per_trace(spark, rows), 1, 1, 4))
+    assert out == {
+        "a": "sampled",
+        "b": "not_sampled",
+        "c": "sampled",
+        "d": "sampled",
+        "e": "not_sampled",
+    }
+
+
+def test_keys_are_independent_limiters(spark):
+    rows = [("k1", "a", 0, 4), ("k2", "b", 0, 4), ("k1", "c", 1, 1)]
+    out = _decisions(token_bucket_admit(_per_trace(spark, rows), 1, 1, 4))
+    assert out == {"a": "sampled", "b": "sampled", "c": "not_sampled"}
+
+
+def test_fractional_rate_is_exact(spark):
+    # rate 1/3 token/s, burst 1: refill after 2.999999s is 2999999/3e6
+    # < 1 token → denied; at exactly 3s it is 1 token → admitted.  Float
+    # arithmetic at these magnitudes could tip either way; the integer
+    # unit domain (1/(10^6·den) token) cannot.
+    rows = [
+        ("k", "a", 0, 1),
+        ("k", "b", 2_999_999, 1),
+        ("k", "c", 5_999_999, 1),  # 5999999/3e6 < 2 but ≥ 1 → admitted
+        ("k", "d", 5_999_999, 1),  # same instant, bucket just drained
+    ]
+    out = _decisions(token_bucket_admit(_per_trace(spark, rows), 1, 3, 1))
+    assert out == {
+        "a": "sampled",
+        "b": "not_sampled",
+        "c": "sampled",
+        "d": "not_sampled",
+    }
+
+
+def test_matches_x_time_rate_restore_on_fail_reference(spark):
+    # Adversarial sequence: alternating over/under-burst costs, repeated
+    # same-timestamp arrivals, gaps straddling exact refill boundaries.
+    events = [
+        (0, 3),
+        (500_000, 1),
+        (500_000, 1),
+        (1_000_000, 4),
+        (4_500_000, 4),
+        (4_500_001, 1),
+        (7_000_000, 2),
+        (7_000_000, 5),
+        (30_000_000, 4),
+        (30_000_001, 1),
+    ]
+    expect = x_time_rate_reference(events, 1, 2, 4)
+    rows = [("k", f"t{i:02d}", a, n) for i, (a, n) in enumerate(events)]
+    out = _decisions(token_bucket_admit(_per_trace(spark, rows), 1, 2, 4))
+    assert [out[f"t{i:02d}"] == "sampled" for i in range(len(events))] == expect
+
+
+def test_rate_limiting_decisions_counts_spans(spark):
+    # Two traces completing 1s apart: 3 spans then 2 spans, rate 1/s,
+    # burst 3 — the second trace finds only 1 refilled token.
+    spans = spark.createDataFrame(
+        [
+            ("tA", i, T0 + timedelta(milliseconds=i), T0 + timedelta(seconds=1))
+            for i in range(3)
+        ]
+        + [
+            ("tB", i, T0 + timedelta(milliseconds=i), T0 + timedelta(seconds=2))
+            for i in range(2)
+        ],
+        "trace_id string, span_id long, start_ts timestamp, end_ts timestamp",
+    )
+    out = _decisions(rate_limiting_decisions(spans, 1, 1, 3, key=F.lit("k")))
+    assert out == {"tA": "sampled", "tB": "not_sampled"}
+
+
+def test_trace_proto_sizes_equals_real_marshal_length(spark):
+    # bytes_limiting.go:66-73 sizes via ProtoMarshaler.TracesSize; our
+    # per-trace size must equal the actual marshaled TracesData length
+    # produced by the same encoders (to_otlp_traces_proto restricted to
+    # one trace = one resource identity here).
+    from sparkotel.otlpproto import to_otlp_traces_proto
+
+    def frame(trace_id, names_codes):
+        return spark.createDataFrame(
+            [
+                (
+                    trace_id,
+                    f"{i + 1:016x}",
+                    "",
+                    "",
+                    name,
+                    2,
+                    T0 + timedelta(seconds=i),
+                    T0 + timedelta(seconds=i, milliseconds=5),
+                    {"service.name": "svc", "host": trace_id},
+                    {"k": str(i)} if i % 2 else {},
+                    "app" if i % 3 else "db",
+                    "boom" if code == 2 else "",
+                    code,
+                )
+                for i, (name, code) in enumerate(names_codes)
+            ],
+            "trace_id string, span_id string, trace_state string, "
+            "parent_span_id string, name string, kind int, "
+            "start_ts timestamp, end_ts timestamp, "
+            "resource map<string,string>, attributes map<string,string>, "
+            "scope_name string, status_message string, status_code int",
+        )
+
+    df = frame("a" * 32, [("signup", 0), ("purchase", 1), ("error", 2)])
+    [(tid, size)] = [
+        (r["trace_id"], r["proto_bytes"]) for r in trace_proto_sizes(df).collect()
+    ]
+    [msg] = [r["msg"] for r in to_otlp_traces_proto(df).collect()]
+    assert tid == "a" * 32 and size == len(msg) and size > 0
