@@ -41,7 +41,9 @@ rate_limiting / bytes_limiting (internal/sampling/rate_limiting.go:28-53,
 bytes_limiting.go:26-60) are wall-clock token buckets in the reference; the
 batch analogue replays the bucket over the trace *completion* timeline (the
 moment ``decision_wait`` would have elapsed = the trace's max end timestamp)
-— see ``token_bucket_admit``.  Composite rate allocation remains out of scope.
+— see ``token_bucket_admit``.  Composite rate allocation (composite.go:
+86-136) replays its per-second sub-policy span budgets over the same
+timeline — see ``composite_sample``.
 """
 
 from __future__ import annotations
@@ -192,23 +194,19 @@ def _decision(p: TailPolicy, start_col: str) -> Column:
     return F.when(matched, SAMPLED).otherwise(NOT_SAMPLED)
 
 
-def tail_sample(
+def _policy_decision_frame(
     spans: DataFrame,
     policies: Sequence[TailPolicy],
-    trace_col: str = "trace_id",
-    start_col: str = "start_ts",
-    end_col: str = "end_ts",
-    status_col: str = "status_code",
-    span_order_col: str = "span_id",
+    trace_col: str,
+    start_col: str,
+    end_col: str,
+    status_col: str,
+    span_order_col: str,
 ) -> DataFrame:
-    """Per-trace policy vote. Returns one row per trace:
-    ``(trace_id, final_decision, policy, span_count, duration_ms)``.
-
-    ONE shuffle (the groupBy); every policy is a column expression over the
-    aggregated features, so adding policies adds zero exchanges. At 10^12
-    spans the group key (trace_id) is high-cardinality and unskewed by
-    construction — AQE handles residual imbalance.
-    """
+    """Shared feature-aggregation + per-policy decision stage: one
+    ``groupBy(trace_id)`` collecting every feature any policy needs, then
+    each policy's Decision as a column ``_d_i``.  Used by ``tail_sample``
+    (precedence fold) and ``composite_sample`` (rate-allocated replay)."""
     pre_cols: list[Column] = []
     aggs: dict[str, Column] = {
         "_trace_span_count": F.count(F.lit(1)),
@@ -265,7 +263,29 @@ def tail_sample(
         )
 
     dec_cols = [_decision(p, start_col).alias(f"_d_{i}") for i, p in enumerate(policies)]
-    per_trace = per_trace.select("*", *dec_cols)
+    return per_trace.select("*", *dec_cols)
+
+
+def tail_sample(
+    spans: DataFrame,
+    policies: Sequence[TailPolicy],
+    trace_col: str = "trace_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    status_col: str = "status_code",
+    span_order_col: str = "span_id",
+) -> DataFrame:
+    """Per-trace policy vote. Returns one row per trace:
+    ``(trace_id, final_decision, policy, span_count, duration_ms)``.
+
+    ONE shuffle (the groupBy); every policy is a column expression over the
+    aggregated features, so adding policies adds zero exchanges. At 10^12
+    spans the group key (trace_id) is high-cardinality and unskewed by
+    construction — AQE handles residual imbalance.
+    """
+    per_trace = _policy_decision_frame(
+        spans, policies, trace_col, start_col, end_col, status_col, span_order_col
+    )
 
     # precedence fold (processor.go:821-838) + first-policy attribution
     # (processor.go:805-808)
@@ -410,6 +430,92 @@ def bytes_limiting_decisions(
     ptrace.ProtoMarshaler.TracesSize analogue at bytes_limiting.go:66-73).
     ``trace_sizes`` must carry (limiter_key, trace_id, arrival_us, n)."""
     return token_bucket_admit(trace_sizes, rate_num, rate_den, burst)
+
+
+def composite_sample(
+    spans: DataFrame,
+    subs: Sequence[tuple[TailPolicy, int]],
+    max_total_sps: int,
+    key: Column,
+    clock_us: int = 1_000_000,
+    trace_col: str = "trace_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    status_col: str = "status_code",
+    span_order_col: str = "span_id",
+) -> DataFrame:
+    """Composite rate-allocation policy (internal/sampling/composite.go:
+    86-136): sub-policies are tried in order; the FIRST whose own decision
+    is Sampled decides — the trace is admitted iff that sub's
+    sampled-span counter for the current clock second stays within both
+    its ``allocatedSPS`` and ``maxTotalSPS`` (composite.go:113-132, the
+    max-total check is against the sub's counter, mirrored as-is), the
+    counter is charged only on admit (composite.go:127-131 note), and all
+    counters reset when the second rolls over (composite.go:93-101).
+
+    The reference clock is pluggable (``TimeProvider``, time_provider.go:
+    10-12; its own tests inject a fake) — ``clock_us`` is that hook: the
+    batch second is ``arrival_us DIV clock_us`` over the trace-completion
+    timeline, so a fixture can use coarser ticks exactly like
+    composite_test.go's FakeTimeProvider.
+
+    Same execution shape as ``token_bucket_admit``: the decision stage is
+    ``_policy_decision_frame``'s single groupBy, the replay is one
+    shuffle on ``key`` (the collector-instance identity) with a
+    sequential Arrow-batch fold per limiter.  Returns ``(limiter_key,
+    trace_id, arrival_us, n_spans, final_decision, policy)`` where
+    ``policy`` is the deciding sub's name on admit (the
+    ``tailsampling.composite_policy`` attribute, composite.go:120-123).
+    """
+    policies = [p for p, _ in subs]
+    alloc = [int(a) for _, a in subs]
+    names = [p.name for p in policies]
+    k = len(policies)
+    per = _policy_decision_frame(
+        spans, policies, trace_col, start_col, end_col, status_col, span_order_col
+    )
+    per = per.select(
+        key.alias("limiter_key"),
+        "trace_id",
+        F.unix_micros(F.col("_trace_max_end").cast("timestamp")).alias("arrival_us"),
+        F.col("_trace_span_count").alias("n_spans"),
+        *[(F.col(f"_d_{i}") == SAMPLED).alias(f"_m_{i}") for i in range(k)],
+    ).withColumn("_sec", F.expr(f"arrival_us DIV {clock_us}"))
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["arrival_us", "trace_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        secs = pdf["_sec"].tolist()
+        ns = pdf["n_spans"].tolist()
+        ms = [pdf[f"_m_{i}"].tolist() for i in range(k)]
+        counters = [0] * k
+        cur: int | None = None
+        decs: list[str] = []
+        pols: list[str | None] = []
+        for j in range(len(pdf)):
+            if cur is None or secs[j] != cur:
+                cur = secs[j]
+                counters = [0] * k
+            dec, pol = "not_sampled", None
+            for i in range(k):
+                if ms[i][j]:
+                    cand = counters[i] + int(ns[j])
+                    if cand <= alloc[i] and cand <= max_total_sps:
+                        counters[i] = cand
+                        dec, pol = "sampled", names[i]
+                    break  # first Sampled sub decides either way
+            decs.append(dec)
+            pols.append(pol)
+        return pdf[["limiter_key", "trace_id", "arrival_us", "n_spans"]].assign(
+            final_decision=decs, policy=pols
+        )
+
+    schema = (
+        "limiter_key string, trace_id string, arrival_us long, "
+        "n_spans long, final_decision string, policy string"
+    )
+    return per.groupBy("limiter_key").applyInPandas(replay, schema)
 
 
 def sampled_spans(

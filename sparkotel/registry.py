@@ -390,16 +390,16 @@ FROM res""",
         # r4 queries with unchanged code rotate out: the otlpjson exp
         # family, s2m_*, metrics_transform*, span_name_ops,
         # spanmetrics_exp_datapoint, agg_count_*)
-        # A (late r5): the rate_limiting / bytes_limiting tail-sampling
-        # policies land this round — first driver rows (they displace two
-        # double-green unchanged r4 queries: s2m_sum_duration,
-        # s2m_exp_histogram).
+        # A (late r5): the rate_limiting / bytes_limiting / composite
+        # tail-sampling policies land this round — first driver rows
+        # (they displace three double-green unchanged r4 queries:
+        # s2m_sum_duration, s2m_exp_histogram, text_quality).
         "tailsample_rate_limit",
         "tailsample_bytes_limit",
+        "tailsample_composite",
         "metrics_transform_labels",
         "otlpjson_metrics_roundtrip",
         "span_name_ops",
-        "text_quality",
     ]
     assert len(window) == 50, len(window)
     unknown = set(window) - set(q)
@@ -653,6 +653,78 @@ sz AS (
          CAST(1 + (CASE WHEN rs < 128 THEN 1 WHEN rs < 16384 THEN 2 ELSE 3 END) + rs AS BIGINT) AS proto_bytes
   FROM t2),
 {_bucket_sql('sz', 'proto_bytes', 1, 60, 600)}""",
+    )
+
+    # --- composite rate allocation (internal/sampling/composite.go:86-136):
+    # ordered subs errors→buyers→always with per-day (FakeTimeProvider-style
+    # coarse clock) span budgets 4/6/8 under max_total 10, one composite
+    # instance per trace-prefix shard.  ≈68% admitted at sf0.01 with all
+    # three subs and the over-budget deny path exercised.
+    from sparkotel.operators.tailsample import composite_sample
+
+    def composite(spark, sf):
+        return composite_sample(
+            _spans(spark, sf),
+            subs=[
+                (TailPolicy("errors", "status_code", status_codes=(2,)), 4),
+                (
+                    TailPolicy(
+                        "buyers",
+                        "string_attribute",
+                        key="event_type",
+                        values=("purchase",),
+                    ),
+                    6,
+                ),
+                (TailPolicy("always", "always_sample"), 8),
+            ],
+            max_total_sps=10,
+            key=F.substring("trace_id", 1, 1),
+            clock_us=86_400_000_000,
+        )
+
+    q["tailsample_composite"] = Query(
+        composite,
+        f"""WITH RECURSIVE {_SPANS_SQL},
+t AS (
+  SELECT substr(trace_id, 1, 1) AS limiter_key, trace_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         epoch_us(max(end_ts)) AS arrival_us,
+         epoch_us(max(end_ts)) // 86400000000 AS d,
+         coalesce(bool_or(status_code = 2), FALSE) AS m1,
+         coalesce(bool_or(event_type = 'purchase'), FALSE) AS m2
+  FROM spans GROUP BY 1, 2),
+o AS (SELECT *, row_number() OVER (
+    PARTITION BY limiter_key ORDER BY arrival_us, trace_id) AS seq FROM t),
+b AS (
+  SELECT limiter_key, seq, trace_id, arrival_us, n_spans, d, m1, m2,
+    CASE WHEN m1 THEN (n_spans <= 4 AND n_spans <= 10)
+         WHEN m2 THEN (n_spans <= 6 AND n_spans <= 10)
+         ELSE (n_spans <= 8 AND n_spans <= 10) END AS adm,
+    CASE WHEN m1 AND n_spans <= 4 AND n_spans <= 10 THEN n_spans ELSE 0 END AS c1,
+    CASE WHEN NOT m1 AND m2 AND n_spans <= 6 AND n_spans <= 10 THEN n_spans ELSE 0 END AS c2,
+    CASE WHEN NOT m1 AND NOT m2 AND n_spans <= 8 AND n_spans <= 10 THEN n_spans ELSE 0 END AS c3
+  FROM o WHERE seq = 1
+  UNION ALL
+  SELECT o.limiter_key, o.seq, o.trace_id, o.arrival_us, o.n_spans, o.d, o.m1, o.m2,
+    CASE WHEN o.m1 THEN (x.b1 + o.n_spans <= 4 AND x.b1 + o.n_spans <= 10)
+         WHEN o.m2 THEN (x.b2 + o.n_spans <= 6 AND x.b2 + o.n_spans <= 10)
+         ELSE (x.b3 + o.n_spans <= 8 AND x.b3 + o.n_spans <= 10) END,
+    x.b1 + CASE WHEN o.m1 AND x.b1 + o.n_spans <= 4 AND x.b1 + o.n_spans <= 10
+                THEN o.n_spans ELSE 0 END,
+    x.b2 + CASE WHEN NOT o.m1 AND o.m2 AND x.b2 + o.n_spans <= 6 AND x.b2 + o.n_spans <= 10
+                THEN o.n_spans ELSE 0 END,
+    x.b3 + CASE WHEN NOT o.m1 AND NOT o.m2 AND x.b3 + o.n_spans <= 8 AND x.b3 + o.n_spans <= 10
+                THEN o.n_spans ELSE 0 END
+  FROM b JOIN o ON o.limiter_key = b.limiter_key AND o.seq = b.seq + 1,
+  LATERAL (SELECT CASE WHEN o.d <> b.d THEN 0 ELSE b.c1 END AS b1,
+                  CASE WHEN o.d <> b.d THEN 0 ELSE b.c2 END AS b2,
+                  CASE WHEN o.d <> b.d THEN 0 ELSE b.c3 END AS b3) x)
+SELECT limiter_key, trace_id, arrival_us, n_spans,
+  CASE WHEN adm THEN 'sampled' ELSE 'not_sampled' END AS final_decision,
+  CASE WHEN adm THEN (CASE WHEN m1 THEN 'errors' WHEN m2 THEN 'buyers'
+                           ELSE 'always' END) END AS policy
+FROM b""",
     )
 
 

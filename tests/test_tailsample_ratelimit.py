@@ -203,3 +203,94 @@ def test_trace_proto_sizes_equals_real_marshal_length(spark):
     ]
     [msg] = [r["msg"] for r in to_otlp_traces_proto(df).collect()]
     assert tid == "a" * 32 and size == len(msg) and size > 0
+
+
+# --- composite rate allocation (internal/sampling/composite.go:86-136) ----
+
+
+def _composite(spark, rows, subs, max_total, clock_us=1_000_000):
+    """rows: (trace_id, arrival_offset_us, n_spans, status_code)"""
+    from sparkotel.operators.tailsample import TailPolicy, composite_sample
+
+    base = int(T0.timestamp()) * 1_000_000
+    spans = spark.createDataFrame(
+        [
+            (tid, i, T0, datetime.fromtimestamp((base + off) / 1e6), code)
+            for (tid, off, n, code) in rows
+            for i in range(n)
+        ],
+        "trace_id string, span_id long, start_ts timestamp, "
+        "end_ts timestamp, status_code int",
+    )
+    policies = [
+        (TailPolicy("errors", "status_code", status_codes=(2,)), subs[0]),
+        (TailPolicy("always", "always_sample"), subs[1]),
+    ]
+    out = composite_sample(
+        spans, policies, max_total, key=F.lit("k"), clock_us=clock_us
+    )
+    return {r["trace_id"]: (r["final_decision"], r["policy"]) for r in out.collect()}
+
+
+def test_composite_first_matching_sub_decides_even_when_over_budget(spark):
+    # t1 (error, 3 spans) fills the errors budget; t2 (error, 2 spans)
+    # exceeds it → NotSampled, and composite.go:113-132 returns without
+    # trying later subs — the always sub may NOT catch it.
+    out = _composite(
+        spark,
+        [("t1", 0, 3, 2), ("t2", 1, 2, 2), ("t3", 2, 2, 0)],
+        subs=(3, 8),
+        max_total=10,
+    )
+    assert out == {
+        "t1": ("sampled", "errors"),
+        "t2": ("not_sampled", None),
+        "t3": ("sampled", "always"),
+    }
+
+
+def test_composite_denied_trace_does_not_charge_counter(spark):
+    # t2's denial must leave the errors counter at 2 so the smaller t3
+    # still fits (composite.go:127-131).
+    out = _composite(
+        spark,
+        [("t1", 0, 2, 2), ("t2", 1, 3, 2), ("t3", 2, 2, 2)],
+        subs=(4, 8),
+        max_total=10,
+    )
+    assert out == {
+        "t1": ("sampled", "errors"),
+        "t2": ("not_sampled", None),
+        "t3": ("sampled", "errors"),
+    }
+
+
+def test_composite_counters_reset_each_clock_second(spark):
+    # Same shape as the over-budget test but t2 arrives in the next
+    # second: counters reset (composite.go:93-101) and it passes.
+    out = _composite(
+        spark,
+        [("t1", 0, 3, 2), ("t2", 1_000_001, 3, 2)],
+        subs=(3, 8),
+        max_total=10,
+    )
+    assert out == {"t1": ("sampled", "errors"), "t2": ("sampled", "errors")}
+
+
+def test_composite_max_total_binds_below_sub_allocation(spark):
+    # always-sub allocation 8 but max_total 4: a 5-span trace is denied
+    # even though 5 ≤ 8 (composite.go:117 checks both bounds).
+    out = _composite(spark, [("t1", 0, 5, 0)], subs=(3, 8), max_total=4)
+    assert out == {"t1": ("not_sampled", None)}
+
+
+def test_composite_coarse_clock_provider(spark):
+    # clock_us is the TimeProvider hook: with 10-second ticks, arrivals
+    # 5s apart share a window (second denial) and 15s apart do not.
+    rows = [("t1", 0, 3, 2), ("t2", 5_000_000, 3, 2), ("t3", 15_000_000, 3, 2)]
+    out = _composite(spark, rows, subs=(3, 8), max_total=10, clock_us=10_000_000)
+    assert out == {
+        "t1": ("sampled", "errors"),
+        "t2": ("not_sampled", None),
+        "t3": ("sampled", "errors"),
+    }
