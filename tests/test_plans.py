@@ -203,3 +203,47 @@ def test_repetition_splits_text_once(spark):
         repetition_features(docs)._jdf.queryExecution().optimizedPlan().toString()
     )
     assert plan.count("split(") == 1, plan
+
+
+def test_token_bucket_replay_is_two_exchanges(spark):
+    """rate_limiting = one shuffle to aggregate per trace + one to
+    co-locate each limiter shard for the sequential replay; anything
+    more would re-shuffle the full span stream at scale."""
+    from pyspark.sql import functions as F
+
+    from sparkotel.registry import _spans
+    from sparkotel.operators.tailsample import rate_limiting_decisions
+
+    dec = rate_limiting_decisions(
+        _spans(spark, SF_DIR), 1, 4800, 6, key=F.substring("trace_id", 1, 1)
+    )
+    plan = plan_of(dec)
+    import re
+
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_composite_replay_adds_one_exchange_over_decisions(spark):
+    """composite = the tail_sample decision groupBy (1 exchange) + the
+    limiter-shard replay (1 exchange); the policy columns must stay
+    column expressions, not extra shuffles."""
+    from pyspark.sql import functions as F
+
+    from sparkotel.registry import _spans
+    from sparkotel.operators.tailsample import TailPolicy, composite_sample
+
+    dec = composite_sample(
+        _spans(spark, SF_DIR),
+        subs=[
+            (TailPolicy("errors", "status_code", status_codes=(2,)), 4),
+            (TailPolicy("always", "always_sample"), 8),
+        ],
+        max_total_sps=10,
+        key=F.substring("trace_id", 1, 1),
+        clock_us=86_400_000_000,
+    )
+    plan = plan_of(dec)
+    import re
+
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
