@@ -320,6 +320,37 @@ def tail_sample(
     )
 
 
+def bucket_replay(
+    arrivals_us: Sequence[int],
+    costs: Sequence[int],
+    rate_num: int,
+    rate_den: int,
+    burst: int,
+) -> list[bool]:
+    """The pure integer bucket fold behind ``token_bucket_admit``, module
+    level so its x/time/rate equivalence is property-testable without a
+    Spark session.  ``arrivals_us`` must be non-decreasing (the caller
+    sorts).  Unit domain: 1/(10^6·rate_den) token — see
+    ``token_bucket_admit`` for the exactness argument."""
+    cap = burst * 1_000_000 * rate_den
+    unit = 1_000_000 * rate_den
+    tok = cap
+    last: int | None = None
+    out: list[bool] = []
+    for arr, n in zip(arrivals_us, costs):
+        arr = int(arr)
+        if last is not None:
+            tok = min(cap, tok + (arr - last) * rate_num)
+        last = arr
+        cost = int(n) * unit
+        if cost <= tok:
+            tok -= cost
+            out.append(True)
+        else:
+            out.append(False)
+    return out
+
+
 def token_bucket_admit(
     per_trace: DataFrame,
     rate_num: int,
@@ -360,27 +391,14 @@ def token_bucket_admit(
     """
     if rate_num <= 0 or rate_den <= 0 or burst <= 0:
         raise ValueError("rate_num, rate_den and burst must be positive")
-    cap = burst * 1_000_000 * rate_den
-    unit = 1_000_000 * rate_den
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([arrival_col, trace_col], kind="mergesort").reset_index(
             drop=True
         )
-        tok = cap
-        last: int | None = None
-        out: list[bool] = []
-        for arr, n in zip(pdf[arrival_col], pdf[n_col]):
-            arr = int(arr)
-            if last is not None:
-                tok = min(cap, tok + (arr - last) * rate_num)
-            last = arr
-            cost = int(n) * unit
-            if cost <= tok:
-                tok -= cost
-                out.append(True)
-            else:
-                out.append(False)
+        out = bucket_replay(
+            pdf[arrival_col].tolist(), pdf[n_col].tolist(), rate_num, rate_den, burst
+        )
         pdf = pdf[[key_col, trace_col, arrival_col, n_col]].assign(
             final_decision=["sampled" if a else "not_sampled" for a in out]
         )

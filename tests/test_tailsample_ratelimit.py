@@ -294,3 +294,40 @@ def test_composite_coarse_clock_provider(spark):
         "t2": ("not_sampled", None),
         "t3": ("sampled", "errors"),
     }
+
+
+# --- property: integer fold ≡ x/time/rate restore-on-fail (exact) -----------
+
+
+def test_bucket_replay_property_vs_fraction_reference():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkotel.operators.tailsample import bucket_replay
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        gaps=st.lists(st.integers(min_value=0, max_value=5_000_000), min_size=1, max_size=40),
+        costs_seed=st.data(),
+        rate_num=st.integers(min_value=1, max_value=1000),
+        rate_den=st.integers(min_value=1, max_value=10_000),
+        burst=st.integers(min_value=1, max_value=50),
+    )
+    def check(gaps, costs_seed, rate_num, rate_den, burst):
+        arrivals, t = [], 0
+        for g in gaps:
+            t += g
+            arrivals.append(t)
+        costs = costs_seed.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=burst + 5),
+                min_size=len(gaps),
+                max_size=len(gaps),
+            )
+        )
+        events = list(zip(arrivals, costs))
+        assert bucket_replay(arrivals, costs, rate_num, rate_den, burst) == [
+            bool(b) for b in x_time_rate_reference(events, rate_num, rate_den, burst)
+        ]
+
+    check()
