@@ -126,14 +126,19 @@ def cardinality_guardian(
         df, max_cardinality_delta_per_epoch, epoch_seconds, nd,
         metric_overrides, approx,
     )
-    # per (metric, epoch): the set of offending attribute keys — tiny,
-    # broadcast back onto the points
+    # per (metric, epoch): the set of offending attribute keys — rare by
+    # design (offenders exist only where cardinality exploded), but the
+    # frame scales with #metrics × #epochs in the worst case, so the
+    # join-back is left unhinted: AQE broadcasts it when it is genuinely
+    # small and falls back to a shuffle join when a pathological window
+    # makes it corpus-sized (same hazard class as the decontaminate
+    # hits-frame fix).
     off_sets = off.groupBy("metric_name", "_epoch").agg(
         F.collect_set("attr_key").alias("_off_keys")
     )
     epoch = F.floor(F.unix_timestamp(F.col("ts")) / F.lit(epoch_seconds))
     pts = df.withColumn("_epoch", epoch).join(
-        F.broadcast(off_sets), ["metric_name", "_epoch"], "left"
+        off_sets, ["metric_name", "_epoch"], "left"
     )
 
     hit_keys = F.filter(

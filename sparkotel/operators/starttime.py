@@ -123,7 +123,10 @@ def adjust_start_time(
             (F.col("_st_sec") * 1_000_000).cast("long")
         ).cast("timestamp_ntz")
         out = (
-            a.join(F.broadcast(starts), "_rk", "left")
+            # one row per resource key: scales with resource cardinality
+            # (millions at fleet scale), so no forced broadcast — AQE
+            # picks the strategy from the measured size
+            a.join(starts, "_rk", "left")
             .withColumn(
                 "start_ts",
                 F.when(~F.col("_head") & ~first_seg, seg_ts - _ms()).otherwise(

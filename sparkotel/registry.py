@@ -370,7 +370,9 @@ FROM res""",
         "multimodal_audio_windows",
         "stanza_filter_ratio",
         "group_by_attrs_promote",
-        "unroll_words",
+        # (unroll_words' second-row pin yields its slot to the unhinted
+        # cardinality_guardian join-back, changed this round)
+        "cardinality_guardian",
         "round_robin_shards",
         "dedup_ngram_jaccard",
         "dedup_clusters",
@@ -399,7 +401,9 @@ FROM res""",
         "tailsample_composite",
         "metrics_transform_labels",
         "otlpjson_metrics_roundtrip",
-        "span_name_ops",
+        # (span_name_ops' second-row pin yields its slot to the unhinted
+        # metric_start_time join, changed this round)
+        "metric_start_time",
     ]
     assert len(window) == 50, len(window)
     unknown = set(window) - set(q)
