@@ -320,22 +320,23 @@ def tail_sample(
     )
 
 
-def bucket_replay(
+def _bucket_fold(
     arrivals_us: Sequence[int],
     costs: Sequence[int],
     rate_num: int,
     rate_den: int,
     burst: int,
-) -> list[bool]:
-    """The pure integer bucket fold behind ``token_bucket_admit``, module
-    level so its x/time/rate equivalence is property-testable without a
-    Spark session.  ``arrivals_us`` must be non-decreasing (the caller
-    sorts).  Unit domain: 1/(10^6·rate_den) token — see
-    ``token_bucket_admit`` for the exactness argument."""
+    tok: int | None = None,
+    last: int | None = None,
+) -> tuple[list[bool], int, int | None]:
+    """Resumable form of the bucket fold: starts from carried state
+    (``tok`` in the 1/(10^6·rate_den)-token unit domain, ``last`` in µs)
+    and returns the decisions plus the state after the batch — the
+    streaming arm persists that pair across micro-batches."""
     cap = burst * 1_000_000 * rate_den
     unit = 1_000_000 * rate_den
-    tok = cap
-    last: int | None = None
+    if tok is None:
+        tok = cap
     out: list[bool] = []
     for arr, n in zip(arrivals_us, costs):
         arr = int(arr)
@@ -348,7 +349,22 @@ def bucket_replay(
             out.append(True)
         else:
             out.append(False)
-    return out
+    return out, tok, last
+
+
+def bucket_replay(
+    arrivals_us: Sequence[int],
+    costs: Sequence[int],
+    rate_num: int,
+    rate_den: int,
+    burst: int,
+) -> list[bool]:
+    """The pure integer bucket fold behind ``token_bucket_admit``, module
+    level so its x/time/rate equivalence is property-testable without a
+    Spark session.  ``arrivals_us`` must be non-decreasing (the caller
+    sorts).  Unit domain: 1/(10^6·rate_den) token — see
+    ``token_bucket_admit`` for the exactness argument."""
+    return _bucket_fold(arrivals_us, costs, rate_num, rate_den, burst)[0]
 
 
 def token_bucket_admit(

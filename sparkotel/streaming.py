@@ -189,3 +189,79 @@ def start_counts_sink(counts: DataFrame, query_name: str, available_now: bool = 
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_rate_limit(
+    df: DataFrame,
+    rate_num: int,
+    rate_den: int,
+    burst: int,
+    key_col: str = "limiter_key",
+    trace_col: str = "trace_id",
+    arrival_col: str = "arrival_us",
+    n_col: str = "n",
+):
+    """Streaming arm of the tail-sampling rate/bytes limiter
+    (``operators.tailsample.token_bucket_admit``): the per-limiter token
+    bucket state — (tokens in the 1/(10^6·rate_den)-token unit domain,
+    last arrival µs) — persists in the state store across micro-batches
+    via ``applyInPandasWithState``, so decisions equal the batch replay
+    whenever micro-batches deliver each limiter's traces in arrival
+    order (the same per-source ordering contract as
+    ``stateful_recombine``).  Emits
+    (limiter_key, trace_id, arrival_us, n, final_decision) in append
+    mode, one row per trace as its decision is made.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sparkotel.operators.tailsample import _bucket_fold
+
+    out_schema = StructType(
+        [
+            StructField("limiter_key", StringType()),
+            StructField("trace_id", StringType()),
+            StructField("arrival_us", LongType()),
+            StructField("n", LongType()),
+            StructField("final_decision", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("tok", LongType()), StructField("last", LongType())]
+    )
+    cols = ["limiter_key", "trace_id", "arrival_us", "n", "final_decision"]
+
+    def fn(key, pdf_iter, state):
+        limiter = key[0]
+        tok, last = state.get if state.exists else (None, None)
+        frames = [p for p in pdf_iter]
+        if not frames:
+            return
+        rows = pd.concat(frames).sort_values(
+            [arrival_col, trace_col], kind="mergesort"
+        )
+        arrivals = rows[arrival_col].tolist()
+        costs = rows[n_col].tolist()
+        out, tok, last = _bucket_fold(
+            arrivals, costs, rate_num, rate_den, burst, tok, last
+        )
+        state.update((int(tok), int(last)))
+        yield pd.DataFrame(
+            {
+                "limiter_key": limiter,
+                "trace_id": rows[trace_col].tolist(),
+                "arrival_us": [int(a) for a in arrivals],
+                "n": [int(n) for n in costs],
+                "final_decision": ["sampled" if a else "not_sampled" for a in out],
+            },
+            columns=cols,
+        )
+
+    return (
+        df.select(key_col, trace_col, arrival_col, n_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

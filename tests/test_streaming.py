@@ -354,3 +354,73 @@ def test_streaming_html_extraction_equals_batch(spark, tmp_path):
     assert len(rows) == batch_n
     # byte-identical extraction, per url, on every micro-batched row
     assert all(r.got == r.text for r in rows)
+
+
+def test_streaming_rate_limit_equals_batch(spark, tmp_path):
+    """Token-bucket state must persist across micro-batches: feeding the
+    same arrival-ordered traces in three micro-batches yields exactly
+    the batch replay's decisions (token_bucket_admit)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from sparkotel.operators.tailsample import token_bucket_admit
+
+    schema = "limiter_key string, trace_id string, arrival_us long, n long"
+    # rate 1 span/s, burst 4: admits/denies interleave across the batch
+    # boundaries (t04 is denied only because t03 drained the bucket in
+    # the PREVIOUS micro-batch).
+    rows = [
+        ("k", "t01", 0, 4),
+        ("k", "t02", 1_000_000, 1),
+        ("k", "t03", 2_000_000, 2),
+        ("k", "t04", 3_000_000, 3),
+        ("k", "t05", 6_000_000, 4),
+        ("k", "t06", 7_000_000, 5),
+        ("k2", "t07", 0, 3),
+        ("k2", "t08", 500_000, 2),
+    ]
+    batch = {
+        r["trace_id"]: r["final_decision"]
+        for r in token_bucket_admit(
+            spark.createDataFrame(rows, schema), 1, 1, 4
+        ).collect()
+    }
+
+    os.makedirs(str(tmp_path / "traces"))
+
+    def stage_file(data, name):
+        df = spark.createDataFrame(data, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        part = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+        shutil.copy(part, str(tmp_path / "traces" / name))
+
+    stage_file(rows[:3] + rows[6:7], "b1.parquet")
+    time.sleep(1.1)
+    stage_file(rows[3:5] + rows[7:8], "b2.parquet")
+    time.sleep(1.1)
+    stage_file(rows[5:6], "b3.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "traces"))
+    )
+    out = S.stream_rate_limit(stream, 1, 1, 4)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_limited")
+        .option("checkpointLocation", str(tmp_path / "ck_rl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        r["trace_id"]: r["final_decision"]
+        for r in spark.sql("SELECT * FROM rate_limited").collect()
+    }
+    assert streamed == batch
+    # sanity on the fixture itself: both paths must exercise both sides
+    assert set(batch.values()) == {"sampled", "not_sampled"}
