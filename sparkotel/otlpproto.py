@@ -935,7 +935,12 @@ def parse_otlp_proto_exp_histograms(
     return df.mapInPandas(gen, _EXP_FLAT_DDL)
 
 
-def trace_proto_sizes(df: DataFrame, trace_col: str = "trace_id") -> DataFrame:
+def trace_proto_sizes(
+    df: DataFrame,
+    trace_col: str = "trace_id",
+    with_arrival: bool = False,
+    end_col: str = "end_ts",
+) -> DataFrame:
     """Per-trace proto-marshal size: the batch analogue of
     ``ptrace.ProtoMarshaler{}.TracesSize(trace.ReceivedBatches)`` that the
     bytes_limiting tail-sampling policy charges against its token bucket
@@ -949,7 +954,10 @@ def trace_proto_sizes(df: DataFrame, trace_col: str = "trace_id") -> DataFrame:
 
     One shuffle (groupBy trace_id, the same key every tail-sampling stage
     already partitions on); the encoder runs per Arrow batch.  Returns
-    ``(trace_col, proto_bytes)``.
+    ``(trace_col, proto_bytes)``; with ``with_arrival`` also
+    ``arrival_us`` = the trace's max ``end_col`` in epoch µs, computed in
+    the same pass so a bytes_limiting caller needs no second aggregation
+    or join over the span stream.
     """
     keyed = df.withColumns(
         {
@@ -969,10 +977,12 @@ def trace_proto_sizes(df: DataFrame, trace_col: str = "trace_id") -> DataFrame:
             scope_spans += _f_msg(2, bytes(body))  # ResourceSpans.scope_spans=2
         rs = _f_msg(1, res) + bytes(scope_spans)
         msg = _f_msg(1, rs)  # TracesData.resource_spans=1
-        return pd.DataFrame(
-            {trace_col: [pdf.iloc[0][trace_col]], "proto_bytes": [len(msg)]}
-        )
+        out = {trace_col: [pdf.iloc[0][trace_col]], "proto_bytes": [len(msg)]}
+        if with_arrival:
+            out["arrival_us"] = [int(pd.Timestamp(pdf[end_col].max()).value) // 1000]
+        return pd.DataFrame(out)
 
-    return keyed.groupBy(trace_col).applyInPandas(
-        encode, f"{trace_col} string, proto_bytes long"
-    )
+    schema = f"{trace_col} string, proto_bytes long"
+    if with_arrival:
+        schema += ", arrival_us long"
+    return keyed.groupBy(trace_col).applyInPandas(encode, schema)

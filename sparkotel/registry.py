@@ -619,11 +619,11 @@ t AS (
             F.lit("").alias("status_message"),
             "status_code",
         )
-        sizes = trace_proto_sizes(spans)
-        arr = spans.groupBy("trace_id").agg(
-            F.unix_micros(F.max("end_ts").cast("timestamp")).alias("arrival_us")
-        )
-        per = sizes.join(arr, "trace_id").select(
+        # size + arrival in ONE pass over the span stream (with_arrival
+        # folds max(end_ts) into the encoder's groupBy) — no second
+        # aggregation, no join
+        sizes = trace_proto_sizes(spans, with_arrival=True)
+        per = sizes.select(
             F.substring("trace_id", 1, 1).alias("limiter_key"),
             "trace_id",
             "arrival_us",

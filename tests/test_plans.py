@@ -247,3 +247,17 @@ def test_composite_replay_adds_one_exchange_over_decisions(spark):
     import re
 
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
+
+
+def test_bytes_limit_query_is_two_exchanges(spark):
+    """bytes_limiting sizes + arrival come from ONE pass (with_arrival
+    in trace_proto_sizes): per-trace encode exchange + limiter-shard
+    replay exchange, no join back onto the span stream."""
+    import re
+
+    from sparkotel.registry import build_registry
+
+    dec = build_registry()["tailsample_bytes_limit"].spark(spark, SF_DIR)
+    plan = plan_of(dec)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
+    assert "Join" not in plan
