@@ -38,6 +38,12 @@ from decimal import ROUND_HALF_UP, Decimal
 import numpy as np
 import pandas as pd
 
+# One fixture path per query, NOT per (sf, run): the oracle SQL is a
+# static string so it cannot embed the sf dir.  Writes are atomic
+# (os.replace) and each compare runs its Spark callable (which rewrites
+# the fixture) immediately before its oracle, so the only hazard is two
+# DIFFERENT-sf compare loops interleaving across processes — don't run
+# the driver and a full local sweep concurrently.
 GOLDEN_DIR = "/tmp/sparkotel_golden"
 
 IFOREST_PARQUET = os.path.join(GOLDEN_DIR, "isolation_forest.parquet")
@@ -53,12 +59,17 @@ def _write(df: pd.DataFrame, path: str) -> str:
 
 
 def _round_half_up6(v: float) -> float:
-    """Spark ``F.round(col, 6)`` = BigDecimal ROUND_HALF_UP over the
-    exact binary double — numpy/python round are half-even, so mirror
-    it with Decimal."""
+    """Spark ``F.round(col, 6)`` = ``BigDecimal.valueOf(double)`` (which
+    goes through ``Double.toString`` — the SHORTEST decimal repr, not the
+    exact binary expansion) then ``setScale(6, HALF_UP)``.  Python's
+    ``repr(float)`` is the same shortest-round-trip decimal, so
+    ``Decimal(repr(v))`` mirrors it; ``Decimal(v)`` would take the exact
+    binary value and round boundary scores the other way (e.g. the
+    double nearest 0.1234565 is exactly 0.12345649999… → 0.123456,
+    where Spark emits 0.123457)."""
     if math.isnan(v):
         return v
-    return float(Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
 
 
 def _spark_percentile(values: np.ndarray, q: float) -> float:
@@ -99,10 +110,11 @@ def iforest_golden(
     )
 
     def _k(p) -> float:
-        # coalesce(get_json_object(props,'$.k')::double, 0.0)
+        # coalesce(get_json_object(props,'$.k')::double, 0.0) — non-object
+        # JSON (array/scalar) yields NULL in Spark, so guard the .get too
         try:
-            v = json.loads(p).get("k")
-            return float(v)
+            v = json.loads(p)
+            return float(v.get("k") if isinstance(v, dict) else None)
         except (TypeError, ValueError):
             return 0.0
 

@@ -47,22 +47,43 @@ def _apply_renames(
     """One revision's rename set over a map<string,string> column.
 
     Rename-vs-existing-key conflicts resolve renamed-wins (non-copy) /
-    keep-existing (copy mode), matching the reference's conflict rules;
-    two SOURCE keys renaming to the same target is a statically invalid
-    revision — validated here so a bad map raises a clear plan-time
-    error instead of a duplicate-map-key crash mid-job (the default
-    spark.sql.mapKeyDedupPolicy is EXCEPTION)."""
-    targets = [t for s, t in mapping.items() if s != t]
-    dup = {t for t in targets if targets.count(t) > 1}
-    if dup:
-        raise ValueError(
-            f"rename map sends multiple keys to the same target(s) {sorted(dup)}"
-        )
+    keep-existing (copy mode), matching the reference's conflict rules.
+    Two SOURCE keys renaming to the same target is legal when the
+    sources never co-occur in one record (e.g. merging mutually
+    exclusive legacy keys); when they DO co-occur, the first entry in
+    the record's attribute order wins and the rest are dropped —
+    deduped per record below, because duplicate map keys would
+    otherwise crash the job under the default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION."""
     lm = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
     entries = F.map_entries(attrs)
 
     def newkey(k: Column) -> Column:
         return F.coalesce(F.element_at(lm, k), k)
+
+    # Only a mapping with duplicate TARGETS can make two entries collide
+    # post-rename (rename-vs-existing is already resolved by the kept /
+    # copies filters), so the per-record dedupe fold is attached only
+    # then — revisions without duplicate targets (every realistic chain
+    # link) add zero lambda nesting, which matters: stacking folds on
+    # every link blows the analyzer's resolution-iteration budget.
+    targets = [t for s, t in mapping.items() if s != t]
+    needs_dedupe = len(targets) != len(set(targets))
+
+    def first_wins(arr: Column) -> Column:
+        # drop entries whose key already appeared earlier: a left fold
+        # appending only unseen keys (O(n²) per record over attr maps —
+        # tiny).  NOT the indexed-filter + slice(arr, 1, i) form, which
+        # re-embeds the whole array expression inside its own lambda.
+        if not needs_dedupe:
+            return arr
+        return F.aggregate(
+            arr,
+            F.slice(arr, F.lit(1), F.lit(0)),  # empty array, same element type
+            lambda acc, e: F.when(
+                F.exists(acc, lambda p: p["key"] == e["key"]), acc
+            ).otherwise(F.concat(acc, F.array(e))),
+        )
 
     if copy_attributes:
         # keep originals; add a renamed copy unless the target exists
@@ -77,7 +98,7 @@ def _apply_renames(
                 newkey(e["key"]).alias("key"), e["value"].alias("value")
             ),
         )
-        return F.map_from_entries(F.concat(entries, copies))
+        return F.map_from_entries(first_wins(F.concat(entries, copies)))
     tagged = F.transform(
         entries,
         lambda e: F.struct(
@@ -94,8 +115,11 @@ def _apply_renames(
         lambda x: x["renamed"] | ~F.array_contains(renamed_keys, x["key"]),
     )
     return F.map_from_entries(
-        F.transform(
-            kept, lambda x: F.struct(x["key"].alias("key"), x["value"].alias("value"))
+        first_wins(
+            F.transform(
+                kept,
+                lambda x: F.struct(x["key"].alias("key"), x["value"].alias("value")),
+            )
         )
     )
 

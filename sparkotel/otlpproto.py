@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # proto unsigned varints only; a negative (bad caller data, e.g.
+        # severity_number=-1) would loop forever on Python's arithmetic
+        # right shift — fail the batch loudly instead
+        raise ValueError(f"negative varint {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -86,9 +91,12 @@ def _f_msg(field: int, payload: bytes) -> bytes:
 
 
 def _anyvalue_str(s: str) -> bytes:
-    # AnyValue{string_value=1} — an EMPTY string body still encodes as
-    # an AnyValue with the default string (pdata emits body only when
-    # the value is set; the engine's flat rows coalesce absent → "")
+    # AnyValue{string_value=1}.  The engine's flat rows coalesce an
+    # ABSENT value to "", so "" deliberately encodes as an unset
+    # AnyValue (no field-1 bytes) — a documented divergence from pdata,
+    # whose oneof presence makes a SET empty string emit tag+len0.  The
+    # flat-row model cannot distinguish the two; the decoder
+    # (_dec_anyvalue) returns "" for both, so round trips are exact.
     return _f_str(1, s)
 
 
@@ -178,7 +186,7 @@ def to_otlp_logs_proto(df: DataFrame) -> DataFrame:
             ["scope_name", "scope_version"], sort=True
         ):
             body = bytearray(_f_msg(1, _encode_scope(name, version)))
-            for _, r in g.iterrows():
+            for r in g.to_dict("records"):
                 body += _f_msg(2, _encode_log_record(r))
             scope_logs += _f_msg(2, bytes(body))  # ResourceLogs.scope_logs=2
         rl = _f_msg(1, res) + bytes(scope_logs)  # ResourceLogs{resource=1,...}
@@ -256,6 +264,13 @@ def _fields(b: bytes):
             v, i = struct.unpack_from("<I", b, i)[0], i + 4
         elif wire == 2:
             ln, i = _read_varint(b, i)
+            if i + ln > len(b):
+                # a declared length overrunning the buffer is corruption
+                # (bit rot mid-file); a silent short slice would yield
+                # truncated rows instead of failing the batch
+                raise ValueError(
+                    f"length-delimited field overruns buffer: {ln} > {len(b) - i}"
+                )
             v, i = b[i : i + ln], i + ln
         else:  # pragma: no cover - groups are proto2-only
             raise ValueError(f"unsupported wire type {wire}")
@@ -350,32 +365,42 @@ def decode_logs_data(msg: bytes) -> list[dict]:
     return rows
 
 
-def parse_otlp_proto_logs(df: DataFrame, frame_col: str = "frame") -> DataFrame:
-    """Framed proto messages → one row per log record, the proto twin of
-    ``parse_otlp_logs`` (identical output schema).  Frame = 4-byte BE
-    size prefix + LogsData; a short/corrupt frame raises (the
-    reference's unmarshal errors the batch, it does not skip)."""
+def _framed_decoder(frame_col: str, decode_fn, columns: list[str]):
+    """Shared mapInPandas generator behind all four framed-proto parsers:
+    unpack the 4-byte BE size prefix, enforce exact framing (the
+    reference's unmarshal errors the batch, it does not skip), decode
+    each message with ``decode_fn``."""
 
     def gen(batches):
         for pdf in batches:
             rows: list[dict] = []
             for buf in pdf[frame_col]:
                 b = bytes(buf)
+                if len(b) < 4:
+                    raise ValueError(f"framing: frame shorter than prefix ({len(b)} B)")
                 n = struct.unpack(">I", b[:4])[0]
                 if n != len(b) - 4:
                     raise ValueError(f"framing: declared {n}, got {len(b) - 4}")
-                rows.extend(decode_logs_data(b[4:]))
-            yield pd.DataFrame(
-                rows,
-                columns=[
+                rows.extend(decode_fn(b[4:]))
+            yield pd.DataFrame(rows, columns=columns)
+
+    return gen
+
+
+def parse_otlp_proto_logs(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Framed proto messages → one row per log record, the proto twin of
+    ``parse_otlp_logs`` (identical output schema).  Frame = 4-byte BE
+    size prefix + LogsData; a short/corrupt frame raises (the
+    reference's unmarshal errors the batch, it does not skip)."""
+    return df.mapInPandas(
+        _framed_decoder(frame_col, decode_logs_data, [
                     "ts", "observed_ts", "severity_number", "severity_text",
                     "body", "attributes", "resource", "scope_name",
                     "scope_version", "trace_id", "span_id", "flags",
                     "dropped_attributes_count",
-                ],
-            )
-
-    return df.mapInPandas(gen, _LOGS_FLAT_DDL)
+                ]),
+        _LOGS_FLAT_DDL,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +438,24 @@ def _encode_span(r) -> bytes:
     return bytes(out)
 
 
+def _encode_traces_group(pdf: pd.DataFrame) -> bytes:
+    """One span group (a resource identity, or one trace) → a full
+    ``TracesData`` message: spans sorted by (scope_name, start_ts,
+    span_id), scopes grouped by name.  Shared by ``to_otlp_traces_proto``
+    and ``trace_proto_sizes`` so the byte-for-byte size guarantee the
+    bytes_limiting policy charges against cannot drift from the marshal."""
+    pdf = pdf.sort_values(["scope_name", "start_ts", "span_id"], kind="mergesort")
+    res = _encode_resource(pdf.iloc[0]["_res"])
+    scope_spans = bytearray()
+    for name, g in pdf.groupby("scope_name", sort=True):
+        body = bytearray(_f_msg(1, _f_str(1, name)))  # ScopeSpans.scope=1
+        for r in g.to_dict("records"):
+            body += _f_msg(2, _encode_span(r))  # ScopeSpans.spans=2
+        scope_spans += _f_msg(2, bytes(body))  # ResourceSpans.scope_spans=2
+    rs = _f_msg(1, res) + bytes(scope_spans)  # ResourceSpans{resource=1,...}
+    return _f_msg(1, rs)  # TracesData.resource_spans=1
+
+
 def to_otlp_traces_proto(df: DataFrame) -> DataFrame:
     """Flat span rows (``parse_otlp_traces`` shape) → one ``msg`` binary
     per resource identity, each a full ``TracesData`` proto message —
@@ -429,16 +472,7 @@ def to_otlp_traces_proto(df: DataFrame) -> DataFrame:
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["scope_name", "start_ts", "span_id"], kind="mergesort")
-        res = _encode_resource(pdf.iloc[0]["_res"])
-        scope_spans = bytearray()
-        for name, g in pdf.groupby("scope_name", sort=True):
-            body = bytearray(_f_msg(1, _f_str(1, name)))  # ScopeSpans.scope=1
-            for _, r in g.iterrows():
-                body += _f_msg(2, _encode_span(r))  # ScopeSpans.spans=2
-            scope_spans += _f_msg(2, bytes(body))  # ResourceSpans.scope_spans=2
-        rs = _f_msg(1, res) + bytes(scope_spans)  # ResourceSpans{resource=1,...}
-        return pd.DataFrame({"msg": [_f_msg(1, rs)]})  # TracesData.resource_spans=1
+        return pd.DataFrame({"msg": [_encode_traces_group(pdf)]})
 
     return keyed.groupBy("_rkey").applyInPandas(encode, "msg binary")
 
@@ -508,26 +542,14 @@ def decode_traces_data(msg: bytes) -> list[dict]:
 def parse_otlp_proto_traces(df: DataFrame, frame_col: str = "frame") -> DataFrame:
     """Framed TracesData messages → one row per span, the proto twin of
     ``parse_otlp_traces`` (identical output schema)."""
-
-    def gen(batches):
-        for pdf in batches:
-            rows: list[dict] = []
-            for buf in pdf[frame_col]:
-                b = bytes(buf)
-                n = struct.unpack(">I", b[:4])[0]
-                if n != len(b) - 4:
-                    raise ValueError(f"framing: declared {n}, got {len(b) - 4}")
-                rows.extend(decode_traces_data(b[4:]))
-            yield pd.DataFrame(
-                rows,
-                columns=[
+    return df.mapInPandas(
+        _framed_decoder(frame_col, decode_traces_data, [
                     "trace_id", "span_id", "parent_span_id", "name", "kind",
                     "start_ts", "end_ts", "status_code", "status_message",
                     "trace_state", "attributes", "resource", "scope_name",
-                ],
-            )
-
-    return df.mapInPandas(gen, _TRACES_FLAT_DDL)
+                ]),
+        _TRACES_FLAT_DDL,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -590,7 +612,7 @@ def to_otlp_metrics_proto(df: DataFrame) -> DataFrame:
             ):
                 m = bytearray(_f_str(1, mname) + _f_str(3, unit))
                 pts = bytearray()
-                for _, r in mg.iterrows():
+                for r in mg.to_dict("records"):
                     pts += _f_msg(1, _encode_number_point(r))  # data_points=1
                 if mtype == "gauge":
                     m += _f_msg(5, bytes(pts))  # Metric.gauge=5
@@ -687,26 +709,14 @@ def decode_metrics_data(msg: bytes) -> list[dict]:
 def parse_otlp_proto_metrics(df: DataFrame, frame_col: str = "frame") -> DataFrame:
     """Framed MetricsData messages → one row per number point, the
     proto twin of ``parse_otlp_metrics`` (identical output schema)."""
-
-    def gen(batches):
-        for pdf in batches:
-            rows: list[dict] = []
-            for buf in pdf[frame_col]:
-                b = bytes(buf)
-                n = struct.unpack(">I", b[:4])[0]
-                if n != len(b) - 4:
-                    raise ValueError(f"framing: declared {n}, got {len(b) - 4}")
-                rows.extend(decode_metrics_data(b[4:]))
-            yield pd.DataFrame(
-                rows,
-                columns=[
+    return df.mapInPandas(
+        _framed_decoder(frame_col, decode_metrics_data, [
                     "metric_name", "unit", "metric_type",
                     "aggregation_temporality", "is_monotonic", "start_ts",
                     "ts", "value", "attributes", "resource", "scope_name",
-                ],
-            )
-
-    return df.mapInPandas(gen, _METRICS_FLAT_DDL)
+                ]),
+        _METRICS_FLAT_DDL,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -805,7 +815,7 @@ def to_otlp_exp_histograms_proto(df: DataFrame) -> DataFrame:
             ["metric_name", "aggregation_temporality"], sort=True
         ):
             pts = bytearray()
-            for _, r in mg.iterrows():
+            for r in mg.to_dict("records"):
                 pts += _f_msg(1, _encode_exp_point(r))  # data_points=1
             eh = bytes(pts) + _f_varint(2, int(at))
             m = _f_str(1, mname) + _f_msg(10, eh)  # Metric.exponential_histogram=10
@@ -911,28 +921,16 @@ def parse_otlp_proto_exp_histograms(
 ) -> DataFrame:
     """Framed MetricsData messages → one row per exponential-histogram
     point, the proto twin of ``parse_otlp_exp_histograms``."""
-
-    def gen(batches):
-        for pdf in batches:
-            rows: list[dict] = []
-            for buf in pdf[frame_col]:
-                b = bytes(buf)
-                n = struct.unpack(">I", b[:4])[0]
-                if n != len(b) - 4:
-                    raise ValueError(f"framing: declared {n}, got {len(b) - 4}")
-                rows.extend(decode_exp_histograms_data(b[4:]))
-            yield pd.DataFrame(
-                rows,
-                columns=[
+    return df.mapInPandas(
+        _framed_decoder(frame_col, decode_exp_histograms_data, [
                     "metric_name", "aggregation_temporality", "start_ts",
                     "ts", "count", "sum", "min", "max", "scale",
                     "zero_count", "zero_threshold", "positive_offset",
                     "positive_bucket_counts", "negative_offset",
                     "negative_bucket_counts", "attributes", "resource",
-                ],
-            )
-
-    return df.mapInPandas(gen, _EXP_FLAT_DDL)
+                ]),
+        _EXP_FLAT_DDL,
+    )
 
 
 def trace_proto_sizes(
@@ -967,16 +965,7 @@ def trace_proto_sizes(
     )
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["scope_name", "start_ts", "span_id"], kind="mergesort")
-        res = _encode_resource(pdf.iloc[0]["_res"])
-        scope_spans = bytearray()
-        for name, g in pdf.groupby("scope_name", sort=True):
-            body = bytearray(_f_msg(1, _f_str(1, name)))  # ScopeSpans.scope=1
-            for _, r in g.iterrows():
-                body += _f_msg(2, _encode_span(r))  # ScopeSpans.spans=2
-            scope_spans += _f_msg(2, bytes(body))  # ResourceSpans.scope_spans=2
-        rs = _f_msg(1, res) + bytes(scope_spans)
-        msg = _f_msg(1, rs)  # TracesData.resource_spans=1
+        msg = _encode_traces_group(pdf)
         out = {trace_col: [pdf.iloc[0][trace_col]], "proto_bytes": [len(msg)]}
         if with_arrival:
             out["arrival_us"] = [int(pd.Timestamp(pdf[end_col].max()).value) // 1000]

@@ -133,7 +133,7 @@ def stateful_recombine(
         out_rows = []
         frames = [p for p in pdf_iter]
         rows = pd.concat(frames).sort_values(order_col) if frames else pd.DataFrame()
-        for _, r in rows.iterrows():
+        for r in rows.to_dict("records"):
             line = r[line_col]
             if first_re.match(str(line)) and lines:
                 out_rows.append((source, "\n".join(lines), len(lines), ords[0]))

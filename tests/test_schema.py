@@ -190,22 +190,30 @@ def test_chain_is_pure_projection(spark):
     assert "Exchange" not in plan and "Python" not in plan
 
 
-def test_duplicate_rename_target_raises_at_plan_time(spark):
-    """two source keys renaming to the same target would produce
-    duplicate map keys (a runtime crash under the default
-    mapKeyDedupPolicy=EXCEPTION) — the revision map is statically
-    invalid, so it must raise a clear error before any job runs."""
-    bad = dict(
+def test_duplicate_rename_target_merges_first_wins(spark):
+    """two source keys renaming to the same target is a legal merge of
+    mutually exclusive legacy keys; when both DO appear in one record,
+    the first entry in attribute order wins — never a duplicate-map-key
+    crash (default mapKeyDedupPolicy=EXCEPTION)."""
+    merge = dict(
         versions=["1.20.0", "1.21.0"],
         revisions=[("1.21.0", {"a": "x", "b": "x"})],
         target="1.21.0",
     )
+    # mutually exclusive sources: each record converges on x
+    df2 = spark.createDataFrame(
+        [({"a": "1"}, "1.20.0"), ({"b": "2"}, "1.20.0")],
+        "attrs map<string,string>, schema_version string",
+    )
+    rows = [dict(r["attrs"]) for r in schema_transform(df2, **merge).collect()]
+    assert rows == [{"x": "1"}, {"x": "2"}]
+    # co-occurring sources: first attribute-order entry wins, no crash
     df = spark.createDataFrame(
         [({"a": "1", "b": "2"}, "1.20.0")],
         "attrs map<string,string>, schema_version string",
     )
-    with pytest.raises(ValueError, match="same target"):
-        schema_transform(df, **bad)
+    r = schema_transform(df, **merge).first()
+    assert dict(r["attrs"]) == {"x": "1"}
     # a rename CHAIN (a→x while x→y) is legal and collision-free
     ok = dict(
         versions=["1.20.0", "1.21.0"],
