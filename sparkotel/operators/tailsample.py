@@ -425,7 +425,15 @@ def token_bucket_admit(
         f"{n_col} long, final_decision string"
     )
     return (
-        per_trace.select(key_col, trace_col, arrival_col, n_col)
+        # the output schema declares string key/trace and long
+        # arrival/cost — cast here so an int shard key or a decimal
+        # count from a caller doesn't fail the Arrow conversion
+        per_trace.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(trace_col).cast("string").alias(trace_col),
+            F.col(arrival_col).cast("long").alias(arrival_col),
+            F.col(n_col).cast("long").alias(n_col),
+        )
         .groupBy(key_col)
         .applyInPandas(replay, schema)
     )
@@ -509,7 +517,7 @@ def composite_sample(
         spans, policies, trace_col, start_col, end_col, status_col, span_order_col
     )
     per = per.select(
-        key.alias("limiter_key"),
+        key.cast("string").alias("limiter_key"),
         "trace_id",
         F.unix_micros(F.col("_trace_max_end").cast("timestamp")).alias("arrival_us"),
         F.col("_trace_span_count").alias("n_spans"),
