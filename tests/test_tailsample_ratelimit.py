@@ -331,3 +331,55 @@ def test_bucket_replay_property_vs_fraction_reference():
         ]
 
     check()
+
+
+def test_bytes_oracle_size_formula_property():
+    """The tailsample_bytes_limit oracle derives proto sizes from a
+    closed-form wire model (span = 50+len(name), +4 when status≠0,
+    wrapped per varint-length arithmetic).  Property-check the formula
+    against the REAL encoder over randomized fixture-shaped traces —
+    far broader coverage than the registry's fixed table."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkotel.otlpproto import _encode_traces_group
+
+    NAMES = ["click", "view", "purchase", "error", "signup", "x" * 40]
+
+    def formula(spans):
+        inn = 7 + sum(
+            52 + len(name) + (0 if code == 0 else 4) for name, code in spans
+        )
+        def vlen(x):
+            return 1 if x < 128 else (2 if x < 16384 else 3)
+        rs = 26 + vlen(inn) + inn
+        return 1 + vlen(rs) + rs
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        spans=st.lists(
+            st.tuples(st.sampled_from(NAMES), st.integers(0, 2)), min_size=1, max_size=300
+        )
+    )
+    def check(spans):
+        pdf = pd.DataFrame(
+            {
+                "trace_id": "ab" * 16,
+                "span_id": [f"{i + 1:016x}" for i in range(len(spans))],
+                "trace_state": "",
+                "parent_span_id": "",
+                "name": [n for n, _ in spans],
+                "kind": 2,
+                "start_ts": pd.Timestamp("2024-01-01"),
+                "end_ts": pd.Timestamp("2024-01-01 00:00:01"),
+                "_res": [[("service.name", "svc")]] * len(spans),
+                "_attrs": [[]] * len(spans),
+                "scope_name": "app",
+                "status_message": "",
+                "status_code": [c for _, c in spans],
+            }
+        )
+        assert len(_encode_traces_group(pdf)) == formula(spans)
+
+    check()
