@@ -111,8 +111,13 @@ def geoip_cidr_enrich(
         F.struct(*[F.col(c) for c in attr_cols]).alias("_attrs"),
     )
     plens = sorted(
-        r["_plen"] for r in dim.select("_plen").distinct().collect() if r["_plen"] is not None
-    )  # ≤ 33 rows: IPv4 prefix lengths are 0..32
+        r["_plen"]
+        for r in dim.select("_plen").distinct().collect()
+        if r["_plen"] is not None and 0 <= r["_plen"] <= 32
+    )  # ≤ 33 rows: IPv4 prefix lengths are 0..32; out-of-range blocks
+    # (a "/40" typo) are skipped like the reference skips unparseable
+    # networks — without this, Java's shift-amount & 63 semantics would
+    # collapse both join keys to 0 and the bad block would match every IP
     out = df.withColumn("_ip_long", ipv4_long(F.col(ip_col)))
     for p in plens:
         # aligned network key at this prefix length; the shift also

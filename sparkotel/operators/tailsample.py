@@ -409,16 +409,25 @@ def token_bucket_admit(
         raise ValueError("rate_num, rate_den and burst must be positive")
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([arrival_col, trace_col], kind="mergesort").reset_index(
-            drop=True
-        )
+        # a trace with NULL arrival (every span missing end_ts) has no
+        # position in the completion-order replay — the reference
+        # limiter is only ever asked about completed traces — so it is
+        # denied without touching the bucket instead of crashing the
+        # batch on int(NaN); same for a NULL cost (nothing to charge)
+        ok = pdf[arrival_col].notna() & pdf[n_col].notna()
+        live = pdf[ok].sort_values(
+            [arrival_col, trace_col], kind="mergesort"
+        ).reset_index(drop=True)
         out = bucket_replay(
-            pdf[arrival_col].tolist(), pdf[n_col].tolist(), rate_num, rate_den, burst
+            live[arrival_col].tolist(), live[n_col].tolist(), rate_num, rate_den, burst
         )
-        pdf = pdf[[key_col, trace_col, arrival_col, n_col]].assign(
+        live = live[[key_col, trace_col, arrival_col, n_col]].assign(
             final_decision=["sampled" if a else "not_sampled" for a in out]
         )
-        return pdf
+        dead = pdf[~ok][[key_col, trace_col, arrival_col, n_col]].assign(
+            final_decision="not_sampled"
+        )
+        return pd.concat([live, dead], ignore_index=True) if len(dead) else live
 
     schema = (
         f"{key_col} string, {trace_col} string, {arrival_col} long, "
@@ -525,6 +534,11 @@ def composite_sample(
     ).withColumn("_sec", F.expr(f"arrival_us DIV {clock_us}"))
 
     def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        # NULL arrival (no completed span) → no position on the
+        # completion timeline: deny without charging any counter (NaN
+        # ticks would otherwise reset the budget on every dirty row)
+        dead = pdf[pdf["arrival_us"].isna()]
+        pdf = pdf[pdf["arrival_us"].notna()]
         pdf = pdf.sort_values(["arrival_us", "trace_id"], kind="mergesort").reset_index(
             drop=True
         )
@@ -549,9 +563,20 @@ def composite_sample(
                     break  # first Sampled sub decides either way
             decs.append(dec)
             pols.append(pol)
-        return pdf[["limiter_key", "trace_id", "arrival_us", "n_spans"]].assign(
+        out = pdf[["limiter_key", "trace_id", "arrival_us", "n_spans"]].assign(
             final_decision=decs, policy=pols
         )
+        if len(dead):
+            out = pd.concat(
+                [
+                    out,
+                    dead[["limiter_key", "trace_id", "arrival_us", "n_spans"]].assign(
+                        final_decision="not_sampled", policy=None
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return out
 
     schema = (
         "limiter_key string, trace_id string, arrival_us long, "

@@ -113,6 +113,21 @@ def _kv_pair(kv) -> tuple[str, str]:
     return kv[0], kv[1]
 
 
+def _entries(col: str):
+    """Sorted map entries with NULL → empty map: proto3 emits nothing
+    for an absent map, so a NULL map must encode (and group) exactly
+    like an empty one — without the coalesce, pandas hands the encoders
+    None and the batch dies on ``for kv in None``."""
+    return F.array_sort(F.map_entries(F.coalesce(F.col(col), F.create_map())))
+
+
+def _nn(col: str):
+    """NULL string group key → '' before the pandas groupby: pandas
+    drops NULL keys (dropna default), and on the wire an absent string
+    IS the zero value '' — same bytes, so the merge is lossless."""
+    return F.coalesce(F.col(col), F.lit(""))
+
+
 def _ts_ns(ts) -> int:
     """pandas Timestamp (µs precision in the engine) → epoch nanos."""
     if ts is None or ts is pd.NaT or pd.isna(ts):
@@ -170,9 +185,11 @@ def to_otlp_logs_proto(df: DataFrame) -> DataFrame:
     """
     keyed = df.withColumns(
         {
-            "_res": F.array_sort(F.map_entries("resource")),
-            "_attrs": F.array_sort(F.map_entries("attributes")),
-            "_rkey": F.to_json(F.array_sort(F.map_entries("resource"))),
+            "_res": _entries("resource"),
+            "_attrs": _entries("attributes"),
+            "_rkey": F.to_json(_entries("resource")),
+            "scope_name": _nn("scope_name"),
+            "scope_version": _nn("scope_version"),
         }
     )
 
@@ -465,9 +482,10 @@ def to_otlp_traces_proto(df: DataFrame) -> DataFrame:
     spanevent frame)."""
     keyed = df.withColumns(
         {
-            "_res": F.array_sort(F.map_entries("resource")),
-            "_attrs": F.array_sort(F.map_entries("attributes")),
-            "_rkey": F.to_json(F.array_sort(F.map_entries("resource"))),
+            "_res": _entries("resource"),
+            "_attrs": _entries("attributes"),
+            "_rkey": F.to_json(_entries("resource")),
+            "scope_name": _nn("scope_name"),
         }
     )
 
@@ -592,10 +610,20 @@ def to_otlp_metrics_proto(df: DataFrame) -> DataFrame:
     asDouble value-form divergence for asInt inputs)."""
     keyed = df.withColumns(
         {
-            "_res": F.array_sort(F.map_entries("resource")),
-            "_attrs": F.array_sort(F.map_entries("attributes")),
-            "_akey": F.to_json(F.array_sort(F.map_entries("attributes"))),
-            "_rkey": F.to_json(F.array_sort(F.map_entries("resource"))),
+            "_res": _entries("resource"),
+            "_attrs": _entries("attributes"),
+            "_akey": F.to_json(_entries("attributes")),
+            "_rkey": F.to_json(_entries("resource")),
+            "scope_name": _nn("scope_name"),
+            "metric_name": _nn("metric_name"),
+            "unit": _nn("unit"),
+            "metric_type": _nn("metric_type"),
+            # NULL temporality/monotonic group (and encode) as the proto3
+            # zero values, like every other absent scalar on the wire
+            "aggregation_temporality": F.coalesce(
+                F.col("aggregation_temporality"), F.lit(0)
+            ),
+            "is_monotonic": F.coalesce(F.col("is_monotonic"), F.lit(False)),
         }
     )
 
@@ -800,10 +828,14 @@ def to_otlp_exp_histograms_proto(df: DataFrame) -> DataFrame:
     metrics per (name, temporality), points by (ts, attrs))."""
     keyed = df.withColumns(
         {
-            "_res": F.array_sort(F.map_entries("resource")),
-            "_attrs": F.array_sort(F.map_entries("attributes")),
-            "_akey": F.to_json(F.array_sort(F.map_entries("attributes"))),
-            "_rkey": F.to_json(F.array_sort(F.map_entries("resource"))),
+            "_res": _entries("resource"),
+            "_attrs": _entries("attributes"),
+            "_akey": F.to_json(_entries("attributes")),
+            "_rkey": F.to_json(_entries("resource")),
+            "metric_name": _nn("metric_name"),
+            "aggregation_temporality": F.coalesce(
+                F.col("aggregation_temporality"), F.lit(0)
+            ),
         }
     )
 
@@ -959,8 +991,9 @@ def trace_proto_sizes(
     """
     keyed = df.withColumns(
         {
-            "_res": F.array_sort(F.map_entries("resource")),
-            "_attrs": F.array_sort(F.map_entries("attributes")),
+            "_res": _entries("resource"),
+            "_attrs": _entries("attributes"),
+            "scope_name": _nn("scope_name"),
         }
     )
 
@@ -968,7 +1001,12 @@ def trace_proto_sizes(
         msg = _encode_traces_group(pdf)
         out = {trace_col: [pdf.iloc[0][trace_col]], "proto_bytes": [len(msg)]}
         if with_arrival:
-            out["arrival_us"] = [int(pd.Timestamp(pdf[end_col].max()).value) // 1000]
+            # all-NULL end times → NULL arrival (never pd.NaT.value,
+            # which is i64 min), so the limiter sees "never completed"
+            mx = pdf[end_col].max()
+            out["arrival_us"] = [
+                None if pd.isna(mx) else int(pd.Timestamp(mx).value) // 1000
+            ]
         return pd.DataFrame(out)
 
     schema = f"{trace_col} string, proto_bytes long"

@@ -650,11 +650,15 @@ t AS (
   FROM spans GROUP BY 1, 2),
 t2 AS (
   SELECT limiter_key, trace_id, arrival_us,
-         26 + (CASE WHEN inn < 128 THEN 1 WHEN inn < 16384 THEN 2 ELSE 3 END) + inn AS rs
+         26 + (CASE WHEN inn < 128 THEN 1 WHEN inn < 16384 THEN 2
+                    WHEN inn < 2097152 THEN 3 WHEN inn < 268435456 THEN 4
+                    ELSE 5 END) + inn AS rs
   FROM t),
 sz AS (
   SELECT limiter_key, trace_id, arrival_us,
-         CAST(1 + (CASE WHEN rs < 128 THEN 1 WHEN rs < 16384 THEN 2 ELSE 3 END) + rs AS BIGINT) AS proto_bytes
+         CAST(1 + (CASE WHEN rs < 128 THEN 1 WHEN rs < 16384 THEN 2
+                        WHEN rs < 2097152 THEN 3 WHEN rs < 268435456 THEN 4
+                        ELSE 5 END) + rs AS BIGINT) AS proto_bytes
   FROM t2),
 {_bucket_sql('sz', 'proto_bytes', 1, 60, 600)}""",
     )
@@ -3757,17 +3761,17 @@ SELECT key FROM b WHERE (h % 16384) < 4096""",
     # oracle is a golden fixture from an independent python twin:
     # py_page line generation + a reimplemented sequential clusterer,
     # sparkotel/golden.py::drain_tree_golden)
-    from sparkotel import golden as G2
+    from sparkotel import golden as G
 
     def drain_tree_q(spark, sf):
         lines = P.pages(spark, sf).select(PR.first_line("text").alias("line"))
-        G2.drain_tree_golden(sf)
+        G.drain_tree_golden(sf)
         return PR.drain_tree_templates(lines)
 
     q["drain_tree_templates"] = Query(
         drain_tree_q,
         "SELECT template, n, example FROM "
-        f"read_parquet('{G2.DRAIN_TREE_PARQUET}')",
+        f"read_parquet('{G.DRAIN_TREE_PARQUET}')",
     )
 
     # --- spanmetricsconnector (R.E.D. metrics with explicit buckets) --------

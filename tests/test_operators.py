@@ -581,3 +581,21 @@ def test_geoip_cidr_plan_no_fact_shuffle(spark, tmp_path):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "_key" in line, f"fact-side shuffle leaked: {line}"
+
+
+def test_geoip_cidr_skips_out_of_range_prefix(spark):
+    """A malformed block ('/40', '/-3') must be SKIPPED — the reference
+    skips unparseable networks — not matched: Java's shift-amount & 63
+    semantics would otherwise collapse both join keys to 0, making the
+    bad block match EVERY ip and (numerically longest prefix) win every
+    coalesce."""
+    cidr = spark.createDataFrame(
+        [("10.0.0.0/24", "A0"), ("10.0.0.0/40", "XX"), ("8.8.0.0/-3", "YY")],
+        "cidr string, geo_country string",
+    )
+    df = spark.createDataFrame([("10.0.0.5",), ("9.9.9.9",)], "ip string")
+    got = {
+        r["ip"]: r["geo_country"]
+        for r in E.geoip_cidr_enrich(df, cidr, defaults={"geo_country": "--"}).collect()
+    }
+    assert got == {"10.0.0.5": "A0", "9.9.9.9": "--"}

@@ -373,3 +373,42 @@ def test_zigzag_and_packed_primitives():
     enc = _f_packed_varint(2, [1, 0, 300])
     assert enc[0] == (2 << 3) | 2
     assert _dec_packed_varints(enc[2:]) == [1, 0, 300]
+
+
+def test_null_maps_and_scope_encode_like_zero_values(spark):
+    from datetime import datetime
+
+    """proto3 has no NULL: an absent map or string IS the zero value.
+    A row with NULL attributes/resource/scope must encode byte-identically
+    to its ''/empty-map twin and must NOT vanish (pandas groupby drops
+    NULL keys by default — the record would silently disappear from the
+    marshal while the JSON arm keeps it)."""
+    ddl = (
+        "ts timestamp_ntz, observed_ts timestamp_ntz, severity_number int, "
+        "severity_text string, body string, attributes map<string,string>, "
+        "resource map<string,string>, scope_name string, scope_version string, "
+        "trace_id string, span_id string, flags int, dropped_attributes_count int"
+    )
+    t0 = datetime(2024, 1, 1)
+
+    def frame(attrs, res, sname, sver):
+        return spark.createDataFrame(
+            [
+                (t0, t0, 9, "INFO", "hello", attrs, res, sname, sver,
+                 "ab" * 16, "cd" * 8, 1, 0),
+                (t0, t0, 5, "DEBUG", "other", {"k": "v"}, {"service.name": "s"},
+                 "app", "1", "ab" * 16, "ef" * 8, 0, 0),
+            ],
+            ddl,
+        )
+
+    nulls = to_otlp_logs_proto(frame(None, None, None, None))
+    zeros = to_otlp_logs_proto(frame({}, {}, "", ""))
+    got_n = sorted(r["msg"] for r in nulls.collect())
+    got_z = sorted(r["msg"] for r in zeros.collect())
+    assert got_n == got_z
+
+    # and the NULL-scoped record survives the round trip
+    back = parse_otlp_proto_logs(frame_messages(nulls))
+    assert back.count() == 2
+    assert sorted(r["body"] for r in back.collect()) == ["hello", "other"]

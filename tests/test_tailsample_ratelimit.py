@@ -352,7 +352,15 @@ def test_bytes_oracle_size_formula_property():
             52 + len(name) + (0 if code == 0 else 4) for name, code in spans
         )
         def vlen(x):
-            return 1 if x < 128 else (2 if x < 16384 else 3)
+            # full 5-step varint ladder, matching the oracle SQL — a
+            # ~37k-span trace pushes inn past 2^21 into 4-byte territory
+            if x < 128:
+                return 1
+            if x < 16384:
+                return 2
+            if x < 2097152:
+                return 3
+            return 4 if x < 268435456 else 5
         rs = 26 + vlen(inn) + inn
         return 1 + vlen(rs) + rs
 
@@ -383,3 +391,115 @@ def test_bytes_oracle_size_formula_property():
         assert len(_encode_traces_group(pdf)) == formula(spans)
 
     check()
+
+    # deterministic big-trace case beyond hypothesis's 300-span reach:
+    # 22000 × (52+40+4) B spans push inn past 2^21, so the inner message
+    # length needs a 4-byte varint — the arm the randomized cases never
+    # hit (and the arm the oracle SQL mirrors)
+    big = [("x" * 40, 1)] * 22000
+    pdf = pd.DataFrame(
+        {
+            "trace_id": "ab" * 16,
+            "span_id": [f"{i + 1:016x}" for i in range(len(big))],
+            "trace_state": "",
+            "parent_span_id": "",
+            "name": [n for n, _ in big],
+            "kind": 2,
+            "start_ts": pd.Timestamp("2024-01-01"),
+            "end_ts": pd.Timestamp("2024-01-01 00:00:01"),
+            "_res": [[("service.name", "svc")]] * len(big),
+            "_attrs": [[]] * len(big),
+            "scope_name": "app",
+            "status_message": "",
+            "status_code": [c for _, c in big],
+        }
+    )
+    assert 7 + sum(52 + 40 + 4 for _ in big) >= 2_097_152  # 4-byte arm reached
+    assert len(_encode_traces_group(pdf)) == formula(big)
+
+
+# --- dirty-data robustness: NULL arrival / NULL cost -------------------------
+
+
+def test_null_arrival_denied_without_touching_bucket(spark):
+    """A trace with no completion time (every span missing end_ts
+    upstream) has no position in the completion-order replay — the
+    reference limiter is only ever asked about completed traces.  It
+    must be denied WITHOUT charging the bucket (live traces decide
+    exactly as if the dirty row were absent), not crash the Arrow batch
+    on int(NaN)."""
+    rows = [
+        ("k", "t-null", None, 1),
+        ("k", "a", 0, 4),  # drains the full burst-4 bucket
+        ("k", "b", 1_000_000, 1),  # 1 token refilled after 1 s → admitted
+        ("k", "t-nullcost", 2_000_000, None),  # nothing chargeable → denied
+    ]
+    d = _decisions(token_bucket_admit(_per_trace(spark, rows), 1, 1, 4))
+    assert d == {
+        "t-null": "not_sampled",
+        "a": "sampled",
+        "b": "sampled",
+        "t-nullcost": "not_sampled",
+    }
+
+
+def test_rate_limiting_null_end_ts_trace_is_denied(spark):
+    spans = spark.createDataFrame(
+        [("t1", T0), ("t1", T0 + timedelta(seconds=1)), ("tx", None)],
+        "trace_id string, end_ts timestamp",
+    )
+    out = _decisions(rate_limiting_decisions(spans, 1, 1, 4, key=F.lit("k")))
+    assert out == {"t1": "sampled", "tx": "not_sampled"}
+
+
+def test_composite_null_arrival_denied_without_charging(spark):
+    """NaN clock ticks sort last and would reset every counter if they
+    entered the fold — a NULL-arrival trace must instead be denied
+    outside it, with no policy attribution."""
+    from sparkotel.operators.tailsample import TailPolicy, composite_sample
+
+    base = int(T0.timestamp()) * 1_000_000
+    rows = [("t1", 0, 3, 2), ("t2", 1, 2, 2)]  # t2 over the errors budget
+    spans = spark.createDataFrame(
+        [
+            (tid, i, T0, datetime.fromtimestamp((base + off) / 1e6), code)
+            for (tid, off, n, code) in rows
+            for i in range(n)
+        ]
+        + [("tx", 0, T0, None, 2), ("tx", 1, T0, None, 2)],
+        "trace_id string, span_id long, start_ts timestamp, "
+        "end_ts timestamp, status_code int",
+    )
+    out = composite_sample(
+        spans,
+        [
+            (TailPolicy("errors", "status_code", status_codes=(2,)), 3),
+            (TailPolicy("always", "always_sample"), 8),
+        ],
+        10,
+        key=F.lit("k"),
+    )
+    got = {r["trace_id"]: (r["final_decision"], r["policy"]) for r in out.collect()}
+    assert got == {
+        "t1": ("sampled", "errors"),
+        "t2": ("not_sampled", None),
+        "tx": ("not_sampled", None),
+    }
+
+
+def test_trace_proto_sizes_null_end_ts_gives_null_arrival(spark):
+    """All-NULL end times → NULL arrival_us (never pd.NaT.value, which
+    is i64 min and would place the trace FIRST in the replay)."""
+    spans = spark.createDataFrame(
+        [
+            ("ab" * 16, "0000000000000001", "", "", "click", 2, T0, None,
+             {"service.name": "svc"}, {}, "app", "", 0),
+        ],
+        "trace_id string, span_id string, trace_state string, "
+        "parent_span_id string, name string, kind int, "
+        "start_ts timestamp, end_ts timestamp, "
+        "resource map<string,string>, attributes map<string,string>, "
+        "scope_name string, status_message string, status_code int",
+    )
+    row = trace_proto_sizes(spans, with_arrival=True).collect()[0]
+    assert row["arrival_us"] is None and row["proto_bytes"] > 0
