@@ -534,6 +534,180 @@ def to_otlp_exp_histograms_json(df: DataFrame) -> DataFrame:
     return per_res.select(F.to_json(req).alias("line"))
 
 
+def to_otlp_histograms_json(df: DataFrame) -> DataFrame:
+    """Flat explicit-histogram point rows (parse_otlp_histograms shape)
+    → one ``line`` per resource identity, each a full
+    ExportMetricsServiceRequest — the fileexporter JSON-lines arm for
+    the ``histogram`` oneof (previously parse-only; closes the last
+    metrics-signal marshal gap together with ``to_otlp_summaries_json``).
+    Same shape rules as the exp-histogram arm: one unnamed scope,
+    metrics per (name, temporality), uint64 count/bucketCounts as
+    strings per proto3-JSON, optional sum/min/max omitted when NULL
+    (pdata presence), empty bucketCounts/explicitBounds omitted."""
+    dp = F.struct(
+        F.when(
+            F.col("start_ts").isNotNull(),
+            (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("startTimeUnixNano"),
+        F.when(
+            F.col("ts").isNotNull(),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("timeUnixNano"),
+        F.col("count").cast("string").alias("count"),
+        F.col("sum").alias("sum"),
+        F.col("min").alias("min"),
+        F.col("max").alias("max"),
+        F.when(
+            F.size("bucket_counts") > 0,
+            F.transform(F.col("bucket_counts"), lambda c: c.cast("string")),
+        ).alias("bucketCounts"),
+        F.when(F.size("explicit_bounds") > 0, F.col("explicit_bounds")).alias(
+            "explicitBounds"
+        ),
+        F.when(F.size(F.map_entries("attributes")) > 0, _str_kvs(F.col("attributes")))
+        .alias("attributes"),
+    )
+    sort_key = F.struct(
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(0)).alias("t"),
+        F.to_json(F.array_sort(F.map_entries("attributes"))).alias("a"),
+        dp.alias("dp"),
+    )
+    per_metric = df.groupBy(
+        F.array_sort(F.map_entries("resource")).alias("_res"),
+        F.col("metric_name").alias("_mn"),
+        F.col("aggregation_temporality").alias("_at"),
+    ).agg(F.array_sort(F.collect_list(sort_key)).alias("_keyed"))
+    metric_entry = F.struct(
+        F.col("_mn").alias("name"),
+        F.struct(
+            F.transform(F.col("_keyed"), lambda k: k.getField("dp")).alias(
+                "dataPoints"
+            ),
+            F.col("_at").alias("aggregationTemporality"),
+        ).alias("histogram"),
+    )
+    per_res = per_metric.groupBy("_res").agg(
+        F.array_sort(F.collect_list(metric_entry)).alias("_metrics")
+    )
+    return per_res.select(F.to_json(_metrics_req(F.col("_res"))).alias("line"))
+
+
+def to_otlp_summaries_json(df: DataFrame) -> DataFrame:
+    """Flat summary point rows (parse_otlp_summaries shape) → one
+    ``line`` per resource identity — the fileexporter JSON-lines arm
+    for the ``summary`` oneof.  Scopes fold by name like the number
+    arm; metrics per (name, unit); quantileValues reuse the flat
+    ``array<struct<quantile,value>>`` column directly.  NOTE (proto3):
+    SummaryDataPoint.sum has NO presence bit — a NULL sum marshals as
+    absent and a conforming reader takes 0.0; fixtures use non-zero
+    sums so round trips stay exact."""
+    dp = F.struct(
+        F.when(
+            F.col("start_ts").isNotNull(),
+            (F.unix_micros(F.col("start_ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("startTimeUnixNano"),
+        F.when(
+            F.col("ts").isNotNull(),
+            (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string"),
+        ).alias("timeUnixNano"),
+        F.col("count").cast("string").alias("count"),
+        F.col("sum").alias("sum"),
+        F.when(F.size("quantiles") > 0, F.col("quantiles")).alias("quantileValues"),
+        F.when(F.size(F.map_entries("attributes")) > 0, _str_kvs(F.col("attributes")))
+        .alias("attributes"),
+    )
+    sort_key = F.struct(
+        F.coalesce(F.unix_micros(F.col("ts").cast("timestamp")), F.lit(0)).alias("t"),
+        F.to_json(F.array_sort(F.map_entries("attributes"))).alias("a"),
+        dp.alias("dp"),
+    )
+    per_metric = df.groupBy(
+        F.array_sort(F.map_entries("resource")).alias("_res"),
+        F.col("scope_name").alias("_sn"),
+        F.col("metric_name").alias("_mn"),
+        F.col("unit").alias("_unit"),
+    ).agg(F.array_sort(F.collect_list(sort_key)).alias("_keyed"))
+    metric_entry = F.struct(
+        F.col("_mn").alias("n"),
+        F.col("_unit").alias("u"),
+        F.transform(F.col("_keyed"), lambda k: k.getField("dp")).alias("dps"),
+    )
+    per_scope = per_metric.groupBy("_res", "_sn").agg(
+        F.array_sort(F.collect_list(metric_entry)).alias("_metrics")
+    )
+    scope_entry = F.struct(
+        F.col("_sn").alias("n"),
+        F.transform(
+            F.col("_metrics"),
+            lambda m: F.struct(
+                m.getField("n").alias("name"),
+                F.when(m.getField("u") != "", m.getField("u")).alias("unit"),
+                F.struct(m.getField("dps").alias("dataPoints")).alias("summary"),
+            ),
+        ).alias("metrics"),
+    )
+    per_res = per_scope.groupBy("_res").agg(
+        F.array_sort(F.collect_list(scope_entry)).alias("_scopes")
+    )
+    req = F.struct(
+        F.array(
+            F.struct(
+                _res_struct(F.col("_res")).alias("resource"),
+                F.transform(
+                    F.col("_scopes"),
+                    lambda s: F.struct(
+                        F.struct(
+                            F.when(s.getField("n") != "", s.getField("n")).alias(
+                                "name"
+                            ),
+                        ).alias("scope"),
+                        s.getField("metrics").alias("metrics"),
+                    ),
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+    return per_res.select(F.to_json(req).alias("line"))
+
+
+def _res_struct(res_entries) -> Column:
+    """resource{attributes:[{key,value:{stringValue}}]} from sorted map
+    entries; empty → attributes omitted."""
+    return F.struct(
+        F.when(
+            F.size(res_entries) > 0,
+            F.transform(
+                res_entries,
+                lambda e: F.struct(
+                    e.getField("key").alias("key"),
+                    F.struct(e.getField("value").alias("stringValue")).alias("value"),
+                ),
+            ),
+        ).alias("attributes")
+    )
+
+
+def _metrics_req(res_entries) -> Column:
+    """The single-resource, single-unnamed-scope request wrapper the
+    exp-histogram and explicit-histogram arms share (``_metrics`` in
+    scope)."""
+    return F.struct(
+        F.array(
+            F.struct(
+                _res_struct(res_entries).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.lit(None).cast("string").alias("name"),
+                        ).alias("scope"),
+                        F.col("_metrics").alias("metrics"),
+                    )
+                ).alias("scopeMetrics"),
+            )
+        ).alias("resourceMetrics")
+    )
+
+
 def write_otlp_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """fileexporter JSON-lines mode: marshal then write text lines."""
     to_otlp_logs_json(df).write.mode(mode).text(path)

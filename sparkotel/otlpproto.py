@@ -965,6 +965,348 @@ def parse_otlp_proto_exp_histograms(
     )
 
 
+# ---------------------------------------------------------------------------
+# metrics signal, explicit-histogram points
+# ---------------------------------------------------------------------------
+
+_HIST_FLAT_DDL = (
+    "metric_name string, aggregation_temporality int, "
+    "start_ts timestamp_ntz, ts timestamp_ntz, count long, sum double, "
+    "min double, max double, bucket_counts array<long>, "
+    "explicit_bounds array<double>, attributes map<string,string>, "
+    "resource map<string,string>"
+)
+
+
+def _f_packed_fixed64(field: int, vals) -> bytes:
+    """repeated fixed64, packed (proto3 default) — HistogramDataPoint
+    bucket_counts is fixed64, unlike the exp-histogram Buckets' varint
+    uint64."""
+    if vals is None or len(vals) == 0:
+        return b""
+    payload = b"".join(struct.pack("<Q", int(v)) for v in vals)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _f_packed_double(field: int, vals) -> bytes:
+    if vals is None or len(vals) == 0:
+        return b""
+    payload = b"".join(struct.pack("<d", float(v)) for v in vals)
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _dec_packed_fixed64(b: bytes) -> list[int]:
+    return [struct.unpack("<Q", b[i : i + 8])[0] for i in range(0, len(b), 8)]
+
+
+def _dec_packed_doubles(b: bytes) -> list[float]:
+    return [struct.unpack("<d", b[i : i + 8])[0] for i in range(0, len(b), 8)]
+
+
+def _encode_hist_point(r) -> bytes:
+    """HistogramDataPoint per metrics.proto: start=2 fixed64, time=3
+    fixed64, count=4 fixed64, sum=5 optional double, bucket_counts=6
+    packed fixed64, explicit_bounds=7 packed double, attributes=9,
+    min=11 / max=12 optional double."""
+    out = bytearray()
+    out += _f_fixed64(2, _ts_ns(r["start_ts"]))
+    out += _f_fixed64(3, _ts_ns(r["ts"]))
+    out += _f_fixed64(4, int(r["count"] or 0))
+    out += _f_double_opt(5, r["sum"])
+    out += _f_packed_fixed64(6, r["bucket_counts"])
+    out += _f_packed_double(7, r["explicit_bounds"])
+    for kv in r["_attrs"]:
+        out += _f_msg(9, _keyvalue(*_kv_pair(kv)))
+    out += _f_double_opt(11, r["min"])
+    out += _f_double_opt(12, r["max"])
+    return bytes(out)
+
+
+def to_otlp_histograms_proto(df: DataFrame) -> DataFrame:
+    """Flat explicit-histogram point rows (``parse_otlp_histograms``
+    shape) → one ``msg`` binary per resource identity — the proto twin
+    of ``to_otlp_histograms_json`` (same grouping: one unnamed scope,
+    metrics per (name, temporality), points by (ts, attrs))."""
+    keyed = df.withColumns(
+        {
+            "_res": _entries("resource"),
+            "_attrs": _entries("attributes"),
+            "_akey": F.to_json(_entries("attributes")),
+            "_rkey": F.to_json(_entries("resource")),
+            "metric_name": _nn("metric_name"),
+            "aggregation_temporality": F.coalesce(
+                F.col("aggregation_temporality"), F.lit(0)
+            ),
+        }
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "_akey"], kind="mergesort")
+        res = _encode_resource(pdf.iloc[0]["_res"])
+        body = bytearray()  # one unnamed scope, like the JSON arm
+        for (mname, at), mg in pdf.groupby(
+            ["metric_name", "aggregation_temporality"], sort=True
+        ):
+            pts = bytearray()
+            for r in mg.to_dict("records"):
+                pts += _f_msg(1, _encode_hist_point(r))  # data_points=1
+            h = bytes(pts) + _f_varint(2, int(at))
+            m = _f_str(1, mname) + _f_msg(9, h)  # Metric.histogram=9
+            body += _f_msg(2, m)  # ScopeMetrics.metrics=2
+        rm = _f_msg(1, res) + _f_msg(2, bytes(body))  # scope_metrics=2
+        return pd.DataFrame({"msg": [_f_msg(1, rm)]})
+
+    return keyed.groupBy("_rkey").applyInPandas(encode, "msg binary")
+
+
+def decode_histograms_data(msg: bytes) -> list[dict]:
+    """One MetricsData message → flat explicit-histogram point dicts
+    (parse_otlp_histograms shape)."""
+    rows: list[dict] = []
+    for f_rm, _, rm in _fields(msg):
+        if f_rm != 1:
+            continue
+        res_attrs: dict[str, str] = {}
+        scope_msgs: list[bytes] = []
+        for f, _, v in _fields(rm):
+            if f == 1:
+                res_attrs = _dec_kvs([kv for fn, _, kv in _fields(v) if fn == 1])
+            elif f == 2:
+                scope_msgs.append(v)
+        for sm in scope_msgs:
+            for f_m, _, m in _fields(sm):
+                if f_m != 2:
+                    continue
+                name, at = "", 0
+                pts: list[bytes] = []
+                for f, _, v in _fields(m):
+                    if f == 1:
+                        name = v.decode("utf-8")
+                    elif f == 9:  # Histogram
+                        for fn, _, sv in _fields(v):
+                            if fn == 1:
+                                pts.append(sv)
+                            elif fn == 2:
+                                at = sv
+                for p in pts:
+                    r = {
+                        "metric_name": name, "aggregation_temporality": at,
+                        "start_ts": None, "ts": None, "count": 0,
+                        "sum": None, "min": None, "max": None,
+                        "bucket_counts": [], "explicit_bounds": [],
+                        "attributes": {}, "resource": res_attrs,
+                    }
+                    attr_msgs: list[bytes] = []
+                    for f, _, v in _fields(p):
+                        if f == 2:
+                            r["start_ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 3:
+                            r["ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 4:
+                            r["count"] = v
+                        elif f == 5:
+                            r["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                        elif f == 6:
+                            r["bucket_counts"] = _dec_packed_fixed64(v)
+                        elif f == 7:
+                            r["explicit_bounds"] = _dec_packed_doubles(v)
+                        elif f == 9:
+                            attr_msgs.append(v)
+                        elif f == 11:
+                            r["min"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                        elif f == 12:
+                            r["max"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                    r["attributes"] = _dec_kvs(attr_msgs)
+                    rows.append(r)
+    return rows
+
+
+def parse_otlp_proto_histograms(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Framed MetricsData messages → one row per explicit-histogram
+    point, the proto twin of ``parse_otlp_histograms``."""
+    return df.mapInPandas(
+        _framed_decoder(frame_col, decode_histograms_data, [
+                    "metric_name", "aggregation_temporality", "start_ts",
+                    "ts", "count", "sum", "min", "max", "bucket_counts",
+                    "explicit_bounds", "attributes", "resource",
+                ]),
+        _HIST_FLAT_DDL,
+    )
+
+
+# ---------------------------------------------------------------------------
+# metrics signal, summary points
+# ---------------------------------------------------------------------------
+
+_SUMMARY_FLAT_DDL = (
+    "metric_name string, unit string, start_ts timestamp_ntz, "
+    "ts timestamp_ntz, count long, sum double, "
+    "quantiles array<struct<quantile:double,value:double>>, "
+    "attributes map<string,string>, resource map<string,string>, "
+    "scope_name string"
+)
+
+
+def _q_pair(q) -> tuple[float, float]:
+    """struct<quantile,value> from Arrow — dict or tuple, like _kv_pair."""
+    if isinstance(q, dict):
+        return q["quantile"], q["value"]
+    return q[0], q[1]
+
+
+def _encode_summary_point(r) -> bytes:
+    """SummaryDataPoint per metrics.proto: start=2 fixed64, time=3
+    fixed64, count=4 fixed64, sum=5 double (NO presence bit in proto3 —
+    a NULL sum marshals as absent, decoding to 0.0 like pdata), quantile
+    _values=6 repeated ValueAtQuantile{quantile=1, value=2}, attrs=7."""
+    out = bytearray()
+    out += _f_fixed64(2, _ts_ns(r["start_ts"]))
+    out += _f_fixed64(3, _ts_ns(r["ts"]))
+    out += _f_fixed64(4, int(r["count"] or 0))
+    s = r["sum"]
+    if s is not None and s == s and s != 0.0:
+        out += _tag(5, 1) + struct.pack("<d", float(s))
+    qs = r["quantiles"]
+    # Arrow hands the list column as a numpy array — no truthiness
+    for q in (qs if qs is not None else []):
+        qv, vv = _q_pair(q)
+        qb = b""
+        if qv:  # plain doubles: zero omitted
+            qb += _tag(1, 1) + struct.pack("<d", float(qv))
+        if vv:
+            qb += _tag(2, 1) + struct.pack("<d", float(vv))
+        # an all-zero ValueAtQuantile still occupies a list slot
+        out += _tag(6, 2) + _varint(len(qb)) + qb
+    for kv in r["_attrs"]:
+        out += _f_msg(7, _keyvalue(*_kv_pair(kv)))
+    return bytes(out)
+
+
+def to_otlp_summaries_proto(df: DataFrame) -> DataFrame:
+    """Flat summary point rows (``parse_otlp_summaries`` shape) → one
+    ``msg`` binary per resource identity — the proto twin of
+    ``to_otlp_summaries_json`` (scopes by name, metrics per (name,
+    unit), points by (ts, attrs))."""
+    keyed = df.withColumns(
+        {
+            "_res": _entries("resource"),
+            "_attrs": _entries("attributes"),
+            "_akey": F.to_json(_entries("attributes")),
+            "_rkey": F.to_json(_entries("resource")),
+            "scope_name": _nn("scope_name"),
+            "metric_name": _nn("metric_name"),
+            "unit": _nn("unit"),
+        }
+    )
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "_akey"], kind="mergesort")
+        res = _encode_resource(pdf.iloc[0]["_res"])
+        scope_metrics = bytearray()
+        for sname, sg in pdf.groupby("scope_name", sort=True):
+            body = bytearray(_f_msg(1, _f_str(1, sname)))  # ScopeMetrics.scope=1
+            for (mname, unit), mg in sg.groupby(["metric_name", "unit"], sort=True):
+                pts = bytearray()
+                for r in mg.to_dict("records"):
+                    pts += _f_msg(1, _encode_summary_point(r))  # data_points=1
+                m = _f_str(1, mname) + _f_str(3, unit) + _f_msg(11, bytes(pts))
+                body += _f_msg(2, bytes(m))  # Metric.summary=11
+            scope_metrics += _f_msg(2, bytes(body))
+        rm = _f_msg(1, res) + bytes(scope_metrics)
+        return pd.DataFrame({"msg": [_f_msg(1, rm)]})
+
+    return keyed.groupBy("_rkey").applyInPandas(encode, "msg binary")
+
+
+def decode_summaries_data(msg: bytes) -> list[dict]:
+    """One MetricsData message → flat summary point dicts
+    (parse_otlp_summaries shape; absent sum decodes to 0.0 — proto3
+    Summary sum has no presence)."""
+    rows: list[dict] = []
+    for f_rm, _, rm in _fields(msg):
+        if f_rm != 1:
+            continue
+        res_attrs: dict[str, str] = {}
+        scope_msgs: list[bytes] = []
+        for f, _, v in _fields(rm):
+            if f == 1:
+                res_attrs = _dec_kvs([kv for fn, _, kv in _fields(v) if fn == 1])
+            elif f == 2:
+                scope_msgs.append(v)
+        for sm in scope_msgs:
+            scope_name = ""
+            metrics: list[bytes] = []
+            for f, _, v in _fields(sm):
+                if f == 1:
+                    for fn, _, sv in _fields(v):
+                        if fn == 1:
+                            scope_name = sv.decode("utf-8")
+                elif f == 2:
+                    metrics.append(v)
+            for m in metrics:
+                name, unit = "", ""
+                pts: list[bytes] = []
+                for f, _, v in _fields(m):
+                    if f == 1:
+                        name = v.decode("utf-8")
+                    elif f == 3:
+                        unit = v.decode("utf-8")
+                    elif f == 11:  # Summary
+                        for fn, _, sv in _fields(v):
+                            if fn == 1:
+                                pts.append(sv)
+                for p in pts:
+                    r = {
+                        "metric_name": name, "unit": unit,
+                        "start_ts": None, "ts": None, "count": 0,
+                        "sum": 0.0, "quantiles": [],
+                        "attributes": {}, "resource": res_attrs,
+                        "scope_name": scope_name,
+                    }
+                    attr_msgs: list[bytes] = []
+                    qs: list[dict] = []
+                    for f, _, v in _fields(p):
+                        if f == 2:
+                            r["start_ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 3:
+                            r["ts"] = pd.Timestamp(v // 1000, unit="us")
+                        elif f == 4:
+                            r["count"] = v
+                        elif f == 5:
+                            r["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
+                        elif f == 6:
+                            q = {"quantile": 0.0, "value": 0.0}
+                            for fn, _, sv in _fields(v):
+                                if fn == 1:
+                                    q["quantile"] = struct.unpack(
+                                        "<d", struct.pack("<Q", sv)
+                                    )[0]
+                                elif fn == 2:
+                                    q["value"] = struct.unpack(
+                                        "<d", struct.pack("<Q", sv)
+                                    )[0]
+                            qs.append(q)
+                        elif f == 7:
+                            attr_msgs.append(v)
+                    r["quantiles"] = qs
+                    r["attributes"] = _dec_kvs(attr_msgs)
+                    rows.append(r)
+    return rows
+
+
+def parse_otlp_proto_summaries(df: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """Framed MetricsData messages → one row per summary point, the
+    proto twin of ``parse_otlp_summaries``."""
+    return df.mapInPandas(
+        _framed_decoder(frame_col, decode_summaries_data, [
+                    "metric_name", "unit", "start_ts", "ts", "count",
+                    "sum", "quantiles", "attributes", "resource",
+                    "scope_name",
+                ]),
+        _SUMMARY_FLAT_DDL,
+    )
+
+
 def trace_proto_sizes(
     df: DataFrame,
     trace_col: str = "trace_id",

@@ -363,13 +363,18 @@ FROM res""",
         "stratified_sample",
         "host_quality_filter",
         "stanza_router_attrs",
-        "url_canonicalize",
-        "crawl_latest_snapshot",
-        "corpus_stats",
         "corpus_prep_shards",
-        "multimodal_audio_windows",
         "stanza_filter_ratio",
         "group_by_attrs_promote",
+        # A (late r5): explicit-histogram + summary marshal round trips
+        # (both formats) — first driver rows for the r5-new fileexporter
+        # arms.  They take the slots of four single-green r4 queries
+        # whose code did not change this round (url_canonicalize,
+        # crawl_latest_snapshot, corpus_stats, multimodal_audio_windows).
+        "otlpjson_hist_roundtrip",
+        "otlpproto_hist_roundtrip",
+        "otlpjson_summary_roundtrip",
+        "otlpproto_summary_roundtrip",
         # (unroll_words' second-row pin yields its slot to the unhinted
         # cardinality_guardian join-back, changed this round)
         "cardinality_guardian",
@@ -1260,6 +1265,189 @@ FROM events"""
         return _exph_flat(parse_otlp_proto_exp_histograms(framed))
 
     q["otlpproto_exp_roundtrip"] = Query(proto_exph_roundtrip_q, _EXPH_ORACLE)
+
+    # --- explicit-histogram + summary marshal round trips (r5: these
+    # two metric shapes were parse-only in both formats — the last
+    # fileexporter marshal gap).  Fixture histogram points carry
+    # conditional min/max so the optional-presence arms (JSON omission,
+    # proto presence bit) are exercised, not just NULL-everywhere.
+    _HRT_FMT = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{},"metrics":['
+        '{"name":"h.latency","histogram":{"aggregationTemporality":2,'
+        '"dataPoints":[{"startTimeUnixNano":"%d","timeUnixNano":"%d",'
+        '"count":"%d","sum":%s%s,'
+        '"bucketCounts":["%d","%d","%d"],"explicitBounds":[1.0,5.0],'
+        '"attributes":[{"key":"et","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+
+    def _hist_rt_frame(spark, sf):
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        minmax = F.when(
+            F.col("event_type") == "error",
+            F.format_string(
+                ',"min":%s,"max":%s',
+                (F.col("value") - 2).cast("string"),
+                (F.col("value") + 2).cast("string"),
+            ),
+        ).otherwise(F.lit(""))
+        lines = ev.select(
+            F.format_string(
+                _HRT_FMT,
+                F.col("user_id") % 7,
+                (tus - 1_000_000) * 1000,
+                tus * 1000,
+                F.col("event_id") % 9,
+                F.col("value").cast("string"),
+                minmax,
+                F.col("event_id") % 3,
+                F.col("user_id") % 4,
+                F.col("event_id") % 5,
+                F.col("event_type"),
+            ).alias("line")
+        )
+        return parse_otlp_histograms(lines)
+
+    def _hist_rt_flat(m):
+        return m.select(
+            "metric_name",
+            "aggregation_temporality",
+            "start_ts",
+            "ts",
+            "count",
+            "sum",
+            "min",
+            "max",
+            F.array_join(F.col("bucket_counts").cast("array<string>"), ",").alias(
+                "buckets"
+            ),
+            F.array_join(F.col("explicit_bounds").cast("array<string>"), ",").alias(
+                "bounds"
+            ),
+            F.col("attributes")["et"].alias("attr_et"),
+            F.col("resource")["host.name"].alias("host_name"),
+        )
+
+    _HIST_RT_ORACLE = """SELECT 'h.latency' AS metric_name,
+  CAST(2 AS INT) AS aggregation_temporality,
+  ts - INTERVAL 1 SECOND AS start_ts,
+  ts,
+  CAST(event_id % 9 AS BIGINT) AS count,
+  value AS sum,
+  CASE WHEN event_type = 'error' THEN value - 2 END AS min,
+  CASE WHEN event_type = 'error' THEN value + 2 END AS max,
+  CAST(event_id % 3 AS VARCHAR) || ',' || CAST(user_id % 4 AS VARCHAR) || ',' ||
+    CAST(event_id % 5 AS VARCHAR) AS buckets,
+  '1.0,5.0' AS bounds,
+  event_type AS attr_et,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name
+FROM events"""
+
+    def hist_json_roundtrip_q(spark, sf):
+        from sparkotel.otlpjson import to_otlp_histograms_json
+
+        return _hist_rt_flat(
+            parse_otlp_histograms(to_otlp_histograms_json(_hist_rt_frame(spark, sf)))
+        )
+
+    q["otlpjson_hist_roundtrip"] = Query(hist_json_roundtrip_q, _HIST_RT_ORACLE)
+
+    def hist_proto_roundtrip_q(spark, sf):
+        from sparkotel.otlpproto import (
+            frame_messages,
+            parse_otlp_proto_histograms,
+            to_otlp_histograms_proto,
+        )
+
+        framed = frame_messages(to_otlp_histograms_proto(_hist_rt_frame(spark, sf)))
+        return _hist_rt_flat(parse_otlp_proto_histograms(framed))
+
+    q["otlpproto_hist_roundtrip"] = Query(hist_proto_roundtrip_q, _HIST_RT_ORACLE)
+
+    _SUMM_RT_FMT = (
+        '{"resourceMetrics":[{"resource":{"attributes":['
+        '{"key":"host.name","value":{"stringValue":"host-%d"}}]},'
+        '"scopeMetrics":[{"scope":{"name":"meter"},"metrics":['
+        '{"name":"s.latency","unit":"ms","summary":{'
+        '"dataPoints":[{"startTimeUnixNano":"%d","timeUnixNano":"%d",'
+        '"count":"%d","sum":%s,'
+        '"quantileValues":[{"quantile":0.5,"value":%s},'
+        '{"quantile":0.99,"value":%s}],'
+        '"attributes":[{"key":"et","value":{"stringValue":"%s"}}]}]}}]}]}]}'
+    )
+
+    def _summ_rt_frame(spark, sf):
+        from sparkotel.otlpjson import parse_otlp_summaries
+
+        ev = _events(spark, sf)
+        tus = F.unix_micros(F.col("ts").cast("timestamp"))
+        lines = ev.select(
+            F.format_string(
+                _SUMM_RT_FMT,
+                F.col("user_id") % 7,
+                (tus - 1_000_000) * 1000,
+                tus * 1000,
+                F.col("event_id") % 12,
+                F.col("value").cast("string"),
+                (F.col("value") / 2).cast("string"),
+                (F.col("value") * 2).cast("string"),
+                F.col("event_type"),
+            ).alias("line")
+        )
+        return parse_otlp_summaries(lines)
+
+    def _summ_rt_flat(m):
+        qs = F.col("quantiles")
+        return m.select(
+            "metric_name",
+            "unit",
+            "start_ts",
+            "ts",
+            "count",
+            "sum",
+            qs[0]["quantile"].alias("p_lo"),
+            qs[0]["value"].alias("q50"),
+            qs[1]["quantile"].alias("p_hi"),
+            qs[1]["value"].alias("q99"),
+            F.col("attributes")["et"].alias("attr_et"),
+            F.col("resource")["host.name"].alias("host_name"),
+            "scope_name",
+        )
+
+    _SUMM_RT_ORACLE = """SELECT 's.latency' AS metric_name, 'ms' AS unit,
+  ts - INTERVAL 1 SECOND AS start_ts,
+  ts,
+  CAST(event_id % 12 AS BIGINT) AS count,
+  value AS sum,
+  0.5 AS p_lo, value / 2 AS q50,
+  0.99 AS p_hi, value * 2 AS q99,
+  event_type AS attr_et,
+  'host-' || CAST(user_id % 7 AS VARCHAR) AS host_name,
+  'meter' AS scope_name
+FROM events"""
+
+    def summ_json_roundtrip_q(spark, sf):
+        from sparkotel.otlpjson import parse_otlp_summaries, to_otlp_summaries_json
+
+        return _summ_rt_flat(
+            parse_otlp_summaries(to_otlp_summaries_json(_summ_rt_frame(spark, sf)))
+        )
+
+    q["otlpjson_summary_roundtrip"] = Query(summ_json_roundtrip_q, _SUMM_RT_ORACLE)
+
+    def summ_proto_roundtrip_q(spark, sf):
+        from sparkotel.otlpproto import (
+            frame_messages,
+            parse_otlp_proto_summaries,
+            to_otlp_summaries_proto,
+        )
+
+        framed = frame_messages(to_otlp_summaries_proto(_summ_rt_frame(spark, sf)))
+        return _summ_rt_flat(parse_otlp_proto_summaries(framed))
+
+    q["otlpproto_summary_roundtrip"] = Query(summ_proto_roundtrip_q, _SUMM_RT_ORACLE)
 
     # --- ingested exp-histogram points feeding the transformprocessor
     # exp→explicit converter (func_convert_exponential_hist_to_explicit_

@@ -412,3 +412,136 @@ def test_null_maps_and_scope_encode_like_zero_values(spark):
     back = parse_otlp_proto_logs(frame_messages(nulls))
     assert back.count() == 2
     assert sorted(r["body"] for r in back.collect()) == ["hello", "other"]
+
+
+def _hist_flat(spark):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            ("h.lat", 1, t0, t0, 10, 55.5, 0.5, 20.0, [1, 2, 3, 4],
+             [5.0, 10.0, 50.0], {"route": "/a"}, {"service.name": "s"}),
+            ("h.lat", 1, t0, datetime(2024, 1, 1, 0, 1), 3, None, None, None,
+             [3], [], {}, {"service.name": "s"}),
+        ],
+        "metric_name string, aggregation_temporality int, "
+        "start_ts timestamp_ntz, ts timestamp_ntz, count long, sum double, "
+        "min double, max double, bucket_counts array<long>, "
+        "explicit_bounds array<double>, attributes map<string,string>, "
+        "resource map<string,string>",
+    )
+
+
+def _summ_flat(spark):
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            ("s.lat", "ms", t0, t0, 9, 12.5, [(0.5, 1.0), (0.99, 7.5)],
+             {"r": "/b"}, {"service.name": "s"}, "app"),
+            ("s.lat", "ms", t0, datetime(2024, 1, 1, 0, 2), 2, 3.5, [],
+             {}, {"service.name": "s"}, ""),
+        ],
+        "metric_name string, unit string, start_ts timestamp_ntz, "
+        "ts timestamp_ntz, count long, sum double, "
+        "quantiles array<struct<quantile:double,value:double>>, "
+        "attributes map<string,string>, resource map<string,string>, "
+        "scope_name string",
+    )
+
+
+def test_histogram_proto_roundtrip_exact(spark):
+    """Explicit-histogram points survive marshal→frame→parse bit-exactly,
+    including optional sum/min/max presence (row 2 has all three NULL)
+    and the packed fixed64 bucket_counts / packed double explicit_bounds
+    encodings."""
+    from sparkotel.otlpproto import parse_otlp_proto_histograms, to_otlp_histograms_proto
+
+    df = _hist_flat(spark)
+    back = parse_otlp_proto_histograms(frame_messages(to_otlp_histograms_proto(df)))
+    key = lambda r: (str(r["ts"]), r["count"])
+    got = sorted(([r["count"], r["sum"], r["min"], r["max"],
+                   list(r["bucket_counts"]), list(r["explicit_bounds"]),
+                   dict(r["attributes"])] for r in back.collect()),
+                 key=lambda x: x[0])
+    assert got == [
+        [3, None, None, None, [3], [], {}],
+        [10, 55.5, 0.5, 20.0, [1, 2, 3, 4], [5.0, 10.0, 50.0], {"route": "/a"}],
+    ]
+
+
+def test_summary_proto_roundtrip_exact(spark):
+    """Summary points survive marshal→frame→parse, quantile order
+    preserved; proto3 Summary.sum has no presence bit so fixtures use
+    non-zero sums (absent decodes to 0.0, like pdata)."""
+    from sparkotel.otlpproto import parse_otlp_proto_summaries, to_otlp_summaries_proto
+
+    df = _summ_flat(spark)
+    back = parse_otlp_proto_summaries(frame_messages(to_otlp_summaries_proto(df)))
+    got = sorted(
+        ([r["count"], r["sum"], [(q["quantile"], q["value"]) for q in r["quantiles"]],
+          r["scope_name"], r["unit"]] for r in back.collect()),
+        key=lambda x: x[0],
+    )
+    assert got == [
+        [2, 3.5, [], "", "ms"],
+        [9, 12.5, [(0.5, 1.0), (0.99, 7.5)], "app", "ms"],
+    ]
+
+
+def test_histogram_summary_cross_marshal_equivalence(spark):
+    """The JSON and proto arms of the new histogram/summary marshals
+    must parse back to identical flat rows — same contract the logs and
+    number-point arms already carry."""
+    from sparkotel.otlpjson import (
+        parse_otlp_histograms,
+        parse_otlp_summaries,
+        to_otlp_histograms_json,
+        to_otlp_summaries_json,
+    )
+    from sparkotel.otlpproto import (
+        parse_otlp_proto_histograms,
+        parse_otlp_proto_summaries,
+        to_otlp_histograms_proto,
+        to_otlp_summaries_proto,
+    )
+
+    h = _hist_flat(spark)
+    via_json = parse_otlp_histograms(to_otlp_histograms_json(h))
+    via_proto = parse_otlp_proto_histograms(
+        frame_messages(to_otlp_histograms_proto(h))
+    )
+    # normalize the one flat-model artifact: JSON omission of an empty
+    # bounds list parses to NULL, proto decode normalizes to [] — both
+    # mean "no bounds" (proto3 zero value)
+    import pyspark.sql.functions as SF
+
+    def norm(df):
+        return sorted(
+            (
+                str(r["ts"]), r["count"], r["sum"], r["min"], r["max"],
+                list(r["bucket_counts"] or []), list(r["explicit_bounds"] or []),
+                dict(r["attributes"] or {}),
+            )
+            for r in df.collect()
+        )
+
+    assert norm(via_json) == norm(via_proto)
+
+    s = _summ_flat(spark)
+    sj = parse_otlp_summaries(to_otlp_summaries_json(s))
+    sp = parse_otlp_proto_summaries(frame_messages(to_otlp_summaries_proto(s)))
+
+    def snorm(df):
+        return sorted(
+            (
+                str(r["ts"]), r["count"], r["sum"],
+                [(q["quantile"], q["value"]) for q in (r["quantiles"] or [])],
+                r["scope_name"],
+            )
+            for r in df.collect()
+        )
+
+    assert snorm(sj) == snorm(sp)
