@@ -505,33 +505,7 @@ def to_otlp_exp_histograms_json(df: DataFrame) -> DataFrame:
     per_res = per_metric.groupBy("_res").agg(
         F.array_sort(F.collect_list(metric_entry)).alias("_metrics")
     )
-    req = F.struct(
-        F.array(
-            F.struct(
-                F.struct(
-                    F.when(
-                        F.size("_res") > 0,
-                        F.transform(
-                            F.col("_res"),
-                            lambda e: F.struct(
-                                e.getField("key").alias("key"),
-                                F.struct(e.getField("value").alias("stringValue")).alias("value"),
-                            ),
-                        ),
-                    ).alias("attributes")
-                ).alias("resource"),
-                F.array(
-                    F.struct(
-                        F.struct(
-                            F.lit(None).cast("string").alias("name"),
-                        ).alias("scope"),
-                        F.col("_metrics").alias("metrics"),
-                    )
-                ).alias("scopeMetrics"),
-            )
-        ).alias("resourceMetrics")
-    )
-    return per_res.select(F.to_json(req).alias("line"))
+    return per_res.select(F.to_json(_metrics_req(F.col("_res"))).alias("line"))
 
 
 def to_otlp_histograms_json(df: DataFrame) -> DataFrame:
@@ -929,7 +903,9 @@ def parse_otlp_histograms(df: DataFrame, line_col: str = "line") -> DataFrame:
         ).alias("aggregation_temporality"),
         F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
         F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
-        dp.getField("count").cast("long").alias("count"),
+        # count is a plain fixed64 (no presence bit): absent == 0, like
+        # pdata — keeps the JSON and proto parse twins identical
+        F.coalesce(dp.getField("count").cast("long"), F.lit(0)).alias("count"),
         dp.getField("sum").alias("sum"),
         dp.getField("min").alias("min"),
         dp.getField("max").alias("max"),
@@ -983,7 +959,9 @@ def parse_otlp_exp_histograms(df: DataFrame, line_col: str = "line") -> DataFram
         ).alias("aggregation_temporality"),
         F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
         F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
-        dp.getField("count").cast("long").alias("count"),
+        # plain fixed64 count: absent == 0 (sum/min/max are presence-
+        # tracked optionals and stay NULL when absent)
+        F.coalesce(dp.getField("count").cast("long"), F.lit(0)).alias("count"),
         dp.getField("sum").alias("sum"),
         dp.getField("min").alias("min"),
         dp.getField("max").alias("max"),
@@ -1024,8 +1002,11 @@ def parse_otlp_summaries(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.coalesce(F.col("m").getField("unit"), F.lit("")).alias("unit"),
         F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
         F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
-        dp.getField("count").cast("long").alias("count"),
-        dp.getField("sum").alias("sum"),
+        # SummaryDataPoint has NO presence-tracked fields: absent count
+        # and sum are the zero values, like pdata (and like the proto
+        # decode twin) — not NULL
+        F.coalesce(dp.getField("count").cast("long"), F.lit(0)).alias("count"),
+        F.coalesce(dp.getField("sum"), F.lit(0.0)).alias("sum"),
         dp.getField("quantileValues").alias("quantiles"),
         _kv_to_map(dp.getField("attributes")).alias("attributes"),
         _kv_to_map(F.col("res").getField("attributes")).alias("resource"),

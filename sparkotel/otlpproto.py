@@ -90,6 +90,13 @@ def _f_msg(field: int, payload: bytes) -> bytes:
     return b"" if not payload else _tag(field, 2) + _varint(len(payload)) + payload
 
 
+def _f_msg_elem(field: int, payload: bytes) -> bytes:
+    """Repeated-message LIST ELEMENT — always emitted, even zero-length
+    (an all-default data point / log record / span is still one element;
+    ``_f_msg`` would silently drop it and lose the row on round trip)."""
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
 def _anyvalue_str(s: str) -> bytes:
     # AnyValue{string_value=1}.  The engine's flat rows coalesce an
     # ABSENT value to "", so "" deliberately encodes as an unset
@@ -128,6 +135,16 @@ def _nn(col: str):
     return F.coalesce(F.col(col), F.lit(""))
 
 
+def _i0(v) -> int:
+    """NULL/NaN integer → proto3 zero value.  Arrow hands a NULL long
+    column to pandas as float NaN, which is TRUTHY — ``int(v or 0)``
+    raises ``cannot convert float NaN to integer`` and kills the whole
+    Arrow batch."""
+    if v is None or (isinstance(v, float) and v != v):
+        return 0
+    return int(v)
+
+
 def _ts_ns(ts) -> int:
     """pandas Timestamp (µs precision in the engine) → epoch nanos."""
     if ts is None or ts is pd.NaT or pd.isna(ts):
@@ -149,13 +166,13 @@ def _encode_log_record(r) -> bytes:
     dropped=7, flags=8 fixed32, trace_id=9 bytes, span_id=10 bytes."""
     out = bytearray()
     out += _f_fixed64(1, _ts_ns(r["ts"]))
-    out += _f_varint(2, int(r["severity_number"] or 0))
+    out += _f_varint(2, _i0(r["severity_number"]))
     out += _f_str(3, r["severity_text"] or "")
     out += _f_msg(5, _anyvalue_str(r["body"] or ""))
     for kv in r["_attrs"]:  # pre-sorted entries, not the raw map
         out += _f_msg(6, _keyvalue(*_kv_pair(kv)))
-    out += _f_varint(7, int(r["dropped_attributes_count"] or 0))
-    out += _f_fixed32(8, int(r["flags"] or 0))
+    out += _f_varint(7, _i0(r["dropped_attributes_count"]))
+    out += _f_fixed32(8, _i0(r["flags"]))
     out += _f_bytes(9, bytes.fromhex(r["trace_id"] or ""))
     out += _f_bytes(10, bytes.fromhex(r["span_id"] or ""))
     out += _f_fixed64(11, _ts_ns(r["observed_ts"]))
@@ -204,7 +221,7 @@ def to_otlp_logs_proto(df: DataFrame) -> DataFrame:
         ):
             body = bytearray(_f_msg(1, _encode_scope(name, version)))
             for r in g.to_dict("records"):
-                body += _f_msg(2, _encode_log_record(r))
+                body += _f_msg_elem(2, _encode_log_record(r))
             scope_logs += _f_msg(2, bytes(body))  # ResourceLogs.scope_logs=2
         rl = _f_msg(1, res) + bytes(scope_logs)  # ResourceLogs{resource=1,...}
         msg = _f_msg(1, rl)  # LogsData{resource_logs=1}
@@ -443,13 +460,13 @@ def _encode_span(r) -> bytes:
     out += _f_str(3, r["trace_state"] or "")
     out += _f_bytes(4, bytes.fromhex(r["parent_span_id"] or ""))
     out += _f_str(5, r["name"] or "")
-    out += _f_varint(6, int(r["kind"] or 0))
+    out += _f_varint(6, _i0(r["kind"]))
     out += _f_fixed64(7, _ts_ns(r["start_ts"]))
     out += _f_fixed64(8, _ts_ns(r["end_ts"]))
     for kv in r["_attrs"]:
         out += _f_msg(9, _keyvalue(*_kv_pair(kv)))
     status = _f_str(2, r["status_message"] or "") + _f_varint(
-        3, int(r["status_code"] or 0)
+        3, _i0(r["status_code"])
     )
     out += _f_msg(15, status)
     return bytes(out)
@@ -467,7 +484,7 @@ def _encode_traces_group(pdf: pd.DataFrame) -> bytes:
     for name, g in pdf.groupby("scope_name", sort=True):
         body = bytearray(_f_msg(1, _f_str(1, name)))  # ScopeSpans.scope=1
         for r in g.to_dict("records"):
-            body += _f_msg(2, _encode_span(r))  # ScopeSpans.spans=2
+            body += _f_msg_elem(2, _encode_span(r))  # ScopeSpans.spans=2
         scope_spans += _f_msg(2, bytes(body))  # ResourceSpans.scope_spans=2
     rs = _f_msg(1, res) + bytes(scope_spans)  # ResourceSpans{resource=1,...}
     return _f_msg(1, rs)  # TracesData.resource_spans=1
@@ -641,7 +658,7 @@ def to_otlp_metrics_proto(df: DataFrame) -> DataFrame:
                 m = bytearray(_f_str(1, mname) + _f_str(3, unit))
                 pts = bytearray()
                 for r in mg.to_dict("records"):
-                    pts += _f_msg(1, _encode_number_point(r))  # data_points=1
+                    pts += _f_msg_elem(1, _encode_number_point(r))  # data_points=1
                 if mtype == "gauge":
                     m += _f_msg(5, bytes(pts))  # Metric.gauge=5
                 else:
@@ -806,10 +823,10 @@ def _encode_exp_point(r) -> bytes:
         out += _f_msg(1, _keyvalue(*_kv_pair(kv)))
     out += _f_fixed64(2, _ts_ns(r["start_ts"]))
     out += _f_fixed64(3, _ts_ns(r["ts"]))
-    out += _f_fixed64(4, int(r["count"] or 0))
+    out += _f_fixed64(4, _i0(r["count"]))
     out += _f_double_opt(5, r["sum"])
-    out += _f_sint(6, int(r["scale"] or 0))
-    out += _f_fixed64(7, int(r["zero_count"] or 0))
+    out += _f_sint(6, _i0(r["scale"]))
+    out += _f_fixed64(7, _i0(r["zero_count"]))
     out += _f_msg(8, _encode_buckets(r["positive_offset"], r["positive_bucket_counts"]))
     out += _f_msg(9, _encode_buckets(r["negative_offset"], r["negative_bucket_counts"]))
     out += _f_double_opt(12, r["min"])
@@ -848,7 +865,7 @@ def to_otlp_exp_histograms_proto(df: DataFrame) -> DataFrame:
         ):
             pts = bytearray()
             for r in mg.to_dict("records"):
-                pts += _f_msg(1, _encode_exp_point(r))  # data_points=1
+                pts += _f_msg_elem(1, _encode_exp_point(r))  # data_points=1
             eh = bytes(pts) + _f_varint(2, int(at))
             m = _f_str(1, mname) + _f_msg(10, eh)  # Metric.exponential_histogram=10
             body += _f_msg(2, m)  # ScopeMetrics.metrics=2
@@ -1011,7 +1028,7 @@ def _encode_hist_point(r) -> bytes:
     out = bytearray()
     out += _f_fixed64(2, _ts_ns(r["start_ts"]))
     out += _f_fixed64(3, _ts_ns(r["ts"]))
-    out += _f_fixed64(4, int(r["count"] or 0))
+    out += _f_fixed64(4, _i0(r["count"]))
     out += _f_double_opt(5, r["sum"])
     out += _f_packed_fixed64(6, r["bucket_counts"])
     out += _f_packed_double(7, r["explicit_bounds"])
@@ -1049,7 +1066,7 @@ def to_otlp_histograms_proto(df: DataFrame) -> DataFrame:
         ):
             pts = bytearray()
             for r in mg.to_dict("records"):
-                pts += _f_msg(1, _encode_hist_point(r))  # data_points=1
+                pts += _f_msg_elem(1, _encode_hist_point(r))  # data_points=1
             h = bytes(pts) + _f_varint(2, int(at))
             m = _f_str(1, mname) + _f_msg(9, h)  # Metric.histogram=9
             body += _f_msg(2, m)  # ScopeMetrics.metrics=2
@@ -1097,7 +1114,7 @@ def decode_histograms_data(msg: bytes) -> list[dict]:
                         "attributes": {}, "resource": res_attrs,
                     }
                     attr_msgs: list[bytes] = []
-                    for f, _, v in _fields(p):
+                    for f, w, v in _fields(p):
                         if f == 2:
                             r["start_ts"] = pd.Timestamp(v // 1000, unit="us")
                         elif f == 3:
@@ -1107,9 +1124,18 @@ def decode_histograms_data(msg: bytes) -> list[dict]:
                         elif f == 5:
                             r["sum"] = struct.unpack("<d", struct.pack("<Q", v))[0]
                         elif f == 6:
-                            r["bucket_counts"] = _dec_packed_fixed64(v)
+                            # parsers MUST accept packed AND unpacked
+                            # repeated encodings (the exp-histogram
+                            # _dec_buckets carries the same guard)
+                            r["bucket_counts"] = r["bucket_counts"] + (
+                                _dec_packed_fixed64(v) if w == 2 else [v]
+                            )
                         elif f == 7:
-                            r["explicit_bounds"] = _dec_packed_doubles(v)
+                            r["explicit_bounds"] = r["explicit_bounds"] + (
+                                _dec_packed_doubles(v)
+                                if w == 2
+                                else [struct.unpack("<d", struct.pack("<Q", v))[0]]
+                            )
                         elif f == 9:
                             attr_msgs.append(v)
                         elif f == 11:
@@ -1162,7 +1188,7 @@ def _encode_summary_point(r) -> bytes:
     out = bytearray()
     out += _f_fixed64(2, _ts_ns(r["start_ts"]))
     out += _f_fixed64(3, _ts_ns(r["ts"]))
-    out += _f_fixed64(4, int(r["count"] or 0))
+    out += _f_fixed64(4, _i0(r["count"]))
     s = r["sum"]
     if s is not None and s == s and s != 0.0:
         out += _tag(5, 1) + struct.pack("<d", float(s))
@@ -1208,7 +1234,7 @@ def to_otlp_summaries_proto(df: DataFrame) -> DataFrame:
             for (mname, unit), mg in sg.groupby(["metric_name", "unit"], sort=True):
                 pts = bytearray()
                 for r in mg.to_dict("records"):
-                    pts += _f_msg(1, _encode_summary_point(r))  # data_points=1
+                    pts += _f_msg_elem(1, _encode_summary_point(r))  # data_points=1
                 m = _f_str(1, mname) + _f_str(3, unit) + _f_msg(11, bytes(pts))
                 body += _f_msg(2, bytes(m))  # Metric.summary=11
             scope_metrics += _f_msg(2, bytes(body))

@@ -461,7 +461,6 @@ def test_histogram_proto_roundtrip_exact(spark):
 
     df = _hist_flat(spark)
     back = parse_otlp_proto_histograms(frame_messages(to_otlp_histograms_proto(df)))
-    key = lambda r: (str(r["ts"]), r["count"])
     got = sorted(([r["count"], r["sum"], r["min"], r["max"],
                    list(r["bucket_counts"]), list(r["explicit_bounds"]),
                    dict(r["attributes"])] for r in back.collect()),
@@ -516,8 +515,6 @@ def test_histogram_summary_cross_marshal_equivalence(spark):
     # normalize the one flat-model artifact: JSON omission of an empty
     # bounds list parses to NULL, proto decode normalizes to [] — both
     # mean "no bounds" (proto3 zero value)
-    import pyspark.sql.functions as SF
-
     def norm(df):
         return sorted(
             (
@@ -545,3 +542,99 @@ def test_histogram_summary_cross_marshal_equivalence(spark):
         )
 
     assert snorm(sj) == snorm(sp)
+
+
+def test_null_count_encodes_as_zero_not_crash(spark):
+    """Arrow hands a NULL long as float NaN — int(NaN or 0) is a batch
+    killer (NaN is truthy).  pdata unmarshals an omitted count as 0, so
+    a NULL-count point must encode like count=0 and round-trip to 0."""
+    from datetime import datetime
+
+    from sparkotel.otlpproto import (
+        parse_otlp_proto_histograms,
+        parse_otlp_proto_summaries,
+        to_otlp_histograms_proto,
+        to_otlp_summaries_proto,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    h = spark.createDataFrame(
+        [("h", 1, t0, t0, None, 1.5, None, None, [1], [2.0], {}, {})],
+        "metric_name string, aggregation_temporality int, "
+        "start_ts timestamp_ntz, ts timestamp_ntz, count long, sum double, "
+        "min double, max double, bucket_counts array<long>, "
+        "explicit_bounds array<double>, attributes map<string,string>, "
+        "resource map<string,string>",
+    )
+    [hr] = parse_otlp_proto_histograms(
+        frame_messages(to_otlp_histograms_proto(h))
+    ).collect()
+    assert hr["count"] == 0 and hr["sum"] == 1.5
+
+    s = spark.createDataFrame(
+        [("s", "", t0, t0, None, None, [], {}, {}, "")],
+        "metric_name string, unit string, start_ts timestamp_ntz, "
+        "ts timestamp_ntz, count long, sum double, "
+        "quantiles array<struct<quantile:double,value:double>>, "
+        "attributes map<string,string>, resource map<string,string>, "
+        "scope_name string",
+    )
+    [sr] = parse_otlp_proto_summaries(
+        frame_messages(to_otlp_summaries_proto(s))
+    ).collect()
+    assert sr["count"] == 0 and sr["sum"] == 0.0  # Summary.sum: no presence
+
+
+def test_decode_accepts_unpacked_repeated_fields():
+    """Conforming proto3 parsers MUST accept unpacked encodings of
+    packed-by-default repeated scalars (bucket_counts fixed64,
+    explicit_bounds double)."""
+    import struct as st
+
+    from sparkotel.otlpproto import _tag, _varint, decode_histograms_data
+
+    # HistogramDataPoint: count=4 fixed64(7), then UNPACKED field 6
+    # (two fixed64 elements) and UNPACKED field 7 (one double)
+    pt = (
+        _tag(4, 1) + st.pack("<Q", 7)
+        + _tag(6, 1) + st.pack("<Q", 3)
+        + _tag(6, 1) + st.pack("<Q", 4)
+        + _tag(7, 1) + st.pack("<d", 2.5)
+    )
+    hist = _tag(1, 2) + _varint(len(pt)) + pt + _tag(2, 0) + _varint(1)
+    metric = _tag(1, 2) + _varint(1) + b"h" + _tag(9, 2) + _varint(len(hist)) + hist
+    sm = _tag(2, 2) + _varint(len(metric)) + metric
+    rm = _tag(2, 2) + _varint(len(sm)) + sm
+    msg = _tag(1, 2) + _varint(len(rm)) + rm
+    [r] = decode_histograms_data(msg)
+    assert r["count"] == 7
+    assert r["bucket_counts"] == [3, 4]
+    assert r["explicit_bounds"] == [2.5]
+
+
+def test_all_default_point_survives_roundtrip(spark):
+    """An all-default data point / log record is still a list element:
+    pdata emits tag + len 0 and keeps the row — dropping it would lose
+    records silently."""
+    from datetime import datetime
+
+    from sparkotel.otlpproto import (
+        parse_otlp_proto_summaries,
+        to_otlp_summaries_proto,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    s = spark.createDataFrame(
+        [
+            # row 1: everything at the proto3 zero value → b'' payload
+            ("", "", None, None, 0, 0.0, [], {}, {}, ""),
+            ("s", "ms", t0, t0, 1, 2.0, [], {}, {}, ""),
+        ],
+        "metric_name string, unit string, start_ts timestamp_ntz, "
+        "ts timestamp_ntz, count long, sum double, "
+        "quantiles array<struct<quantile:double,value:double>>, "
+        "attributes map<string,string>, resource map<string,string>, "
+        "scope_name string",
+    )
+    back = parse_otlp_proto_summaries(frame_messages(to_otlp_summaries_proto(s)))
+    assert back.count() == 2  # the zero-value point did NOT vanish
