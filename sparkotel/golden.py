@@ -90,6 +90,31 @@ def _spark_percentile(values: np.ndarray, q: float) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _k(p) -> float:
+    """twin of coalesce(get_json_object(props,'$.k').try_cast(double),
+    0.0) — non-object JSON (array/scalar) yields NULL in Spark, so guard
+    the .get too; JSON booleans render as 'true'/'false', which Spark's
+    try_cast NULLs (python float(True) would say 1.0 — reject bools
+    explicitly); Infinity/NaN literals are invalid JSON that Spark's
+    parser rejects wholesale, but python's json accepts them as an
+    extension — parse_constant maps them to None → 0.0.  Module level so
+    the equivalence is unit-testable (tests/test_iforest.py)."""
+    try:
+        v = json.loads(p, parse_constant=lambda s: None)
+        kv = v.get("k") if isinstance(v, dict) else None
+        if isinstance(kv, bool):
+            return 0.0
+        if isinstance(kv, float) and (math.isinf(kv) or math.isnan(kv)):
+            # a NUMERIC literal that overflowed python's float (1e999):
+            # Spark's JSON parser rejects it (NULL → 0.0).  A STRING
+            # "Infinity" is different — both engines cast it to inf —
+            # so only non-string values are guarded.
+            return 0.0
+        return float(kv)
+    except (TypeError, ValueError):
+        return 0.0
+
+
 def iforest_golden(
     sf_dir: str,
     num_trees: int = 50,
@@ -108,15 +133,6 @@ def iforest_golden(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "value", "props"],
     )
-
-    def _k(p) -> float:
-        # coalesce(get_json_object(props,'$.k')::double, 0.0) — non-object
-        # JSON (array/scalar) yields NULL in Spark, so guard the .get too
-        try:
-            v = json.loads(p)
-            return float(v.get("k") if isinstance(v, dict) else None)
-        except (TypeError, ValueError):
-            return 0.0
 
     ids = ev["event_id"].to_numpy()
     x = ev["value"].astype(float).to_numpy()

@@ -134,10 +134,17 @@ def geoip_cidr_enrich(
             how="left",
         ).drop("_key")
     defaults = defaults or {}
+    attr_types = {f.name: f.dataType for f in dim.schema["_attrs"].dataType.fields}
     for c in attr_cols:
         cands = [F.col(f"_g{p}")[c] for p in reversed(plens)]  # most specific first
         if c in defaults:
             cands.append(F.lit(defaults[c]))
+        if not cands:
+            # zero valid prefix lengths (empty CIDR table, or every block
+            # skipped as unparseable) and no default: all-miss enrichment,
+            # typed like the attribute column — mirrors the reference
+            # skipping unparseable networks rather than erroring the job
+            cands = [F.lit(None).cast(attr_types[c])]
         out = out.withColumn(c, F.coalesce(*cands))
     return out.drop("_ip_long", *[f"_g{p}" for p in plens])
 

@@ -1931,8 +1931,11 @@ WHERE g.n < 5""",
         pts = ev.select(
             "event_id",
             F.col("value").alias("x"),
+            # try_cast: under ANSI (Spark 4 default) a plain cast THROWS on
+            # a non-numeric k (JSON booleans render 'true'/'false') — one
+            # malformed prop row must not kill the job; NULL → 0.0 instead
             F.coalesce(
-                F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)
+                F.get_json_object("props", "$.k").try_cast("double"), F.lit(0.0)
             ).alias("y"),
         )
         out = isolation_forest(

@@ -238,7 +238,13 @@ def stream_rate_limit(
         frames = [p for p in pdf_iter]
         if not frames:
             return
-        rows = pd.concat(frames).sort_values(
+        all_rows = pd.concat(frames)
+        # same guard as token_bucket_admit.replay: a NULL arrival (no
+        # completed span) or NULL cost has no place in the completion-
+        # order replay — deny it without touching the bucket instead of
+        # crashing the micro-batch on int(NaN)
+        ok = all_rows[arrival_col].notna() & all_rows[n_col].notna()
+        rows = all_rows[ok].sort_values(
             [arrival_col, trace_col], kind="mergesort"
         )
         arrivals = rows[arrival_col].tolist()
@@ -246,14 +252,19 @@ def stream_rate_limit(
         out, tok, last = _bucket_fold(
             arrivals, costs, rate_num, rate_den, burst, tok, last
         )
-        state.update((int(tok), int(last)))
+        if last is not None:
+            state.update((int(tok), int(last)))
+        dead = all_rows[~ok]
         yield pd.DataFrame(
             {
                 "limiter_key": limiter,
-                "trace_id": rows[trace_col].tolist(),
-                "arrival_us": [int(a) for a in arrivals],
-                "n": [int(n) for n in costs],
-                "final_decision": ["sampled" if a else "not_sampled" for a in out],
+                "trace_id": rows[trace_col].tolist() + dead[trace_col].tolist(),
+                "arrival_us": [int(a) for a in arrivals]
+                + [None if pd.isna(a) else int(a) for a in dead[arrival_col]],
+                "n": [int(n) for n in costs]
+                + [None if pd.isna(n) else int(n) for n in dead[n_col]],
+                "final_decision": ["sampled" if a else "not_sampled" for a in out]
+                + ["not_sampled"] * len(dead),
             },
             columns=cols,
         )

@@ -124,3 +124,31 @@ def test_approx_threshold_close_to_exact(spark, clustered):
     ).where("anomaly_is_anomaly").count()
     total = clustered.count()
     assert abs(exact - approx) <= max(2, total * 0.02)
+
+
+def test_golden_k_twin_matches_spark_cast(spark):
+    """golden._k must mirror the registry's
+    coalesce(get_json_object(props,'$.k').try_cast(double), 0.0) exactly
+    — including JSON booleans (try_cast NULLs 'true'/'false' where
+    python float() would say 1.0/0.0) and Infinity literals (invalid
+    JSON to Spark, a python-json extension the twin must suppress)."""
+    from pyspark.sql import functions as F
+
+    from sparkotel.golden import _k
+
+    cases = [
+        '{"k": 2.5}', '{"k": -3}', '{"k": true}', '{"k": false}',
+        '{"k": "1.5"}', '{"k": "abc"}', '{"k": null}', '{"j": 1}',
+        '{"k": Infinity}', '{"k": 1e999}',
+        "[1,2]", "7", "not json", None,
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "props string")
+    spark_vals = [
+        r["v"]
+        for r in df.select(
+            F.coalesce(
+                F.get_json_object("props", "$.k").try_cast("double"), F.lit(0.0)
+            ).alias("v")
+        ).collect()
+    ]
+    assert [_k(c) for c in cases] == spark_vals

@@ -599,3 +599,18 @@ def test_geoip_cidr_skips_out_of_range_prefix(spark):
         for r in E.geoip_cidr_enrich(df, cidr, defaults={"geo_country": "--"}).collect()
     }
     assert got == {"10.0.0.5": "A0", "9.9.9.9": "--"}
+
+
+def test_geoip_cidr_all_blocks_unparseable(spark):
+    """Zero valid prefix lengths (empty table, or every block skipped as
+    unparseable) must yield the all-miss enrichment — defaults where
+    given, typed NULL otherwise — not a plan-time coalesce() crash."""
+    cidr = spark.createDataFrame(
+        [("10.0.0.0/40", "XX", 1)], "cidr string, geo_country string, geo_asn int"
+    )
+    df = spark.createDataFrame([("10.0.0.5",), (None,)], "ip string")
+    rows = E.geoip_cidr_enrich(df, cidr, defaults={"geo_country": "--"}).collect()
+    assert {(r["geo_country"], r["geo_asn"]) for r in rows} == {("--", None)}
+    empty = cidr.limit(0)
+    rows = E.geoip_cidr_enrich(df, empty, defaults={"geo_country": "--"}).collect()
+    assert {(r["geo_country"], r["geo_asn"]) for r in rows} == {("--", None)}

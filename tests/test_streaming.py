@@ -424,3 +424,44 @@ def test_streaming_rate_limit_equals_batch(spark, tmp_path):
     assert streamed == batch
     # sanity on the fixture itself: both paths must exercise both sides
     assert set(batch.values()) == {"sampled", "not_sampled"}
+
+
+def test_streaming_rate_limit_null_arrival_denied(spark, tmp_path):
+    """A trace with NULL arrival (no completed span) or NULL cost must be
+    DENIED without touching the bucket — same guard as the batch twin —
+    not crash the micro-batch on int(NaN)."""
+    from sparkotel.operators.tailsample import token_bucket_admit
+
+    schema = "limiter_key string, trace_id string, arrival_us long, n long"
+    rows = [
+        ("k", "t01", None, 2),  # NULL arrival → denied, bucket untouched
+        ("k", "t02", 0, None),  # NULL cost → denied, bucket untouched
+        ("k", "t03", 0, 4),  # drains the full burst
+        ("k", "t04", 1_000_000, 2),  # only 1 token refilled → denied
+    ]
+    batch = {
+        r["trace_id"]: r["final_decision"]
+        for r in token_bucket_admit(
+            spark.createDataFrame(rows, schema), 1, 1, 4
+        ).collect()
+    }
+    src = spark.createDataFrame(rows, schema)
+    src.write.mode("overwrite").parquet(str(tmp_path / "traces"))
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "traces"))
+    q = (
+        S.stream_rate_limit(stream, 1, 1, 4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rate_limited_nulls")
+        .option("checkpointLocation", str(tmp_path / "ck_rln"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["trace_id"]: r["final_decision"]
+        for r in spark.sql("SELECT * FROM rate_limited_nulls").collect()
+    }
+    assert got == batch
+    assert got["t01"] == "not_sampled" and got["t02"] == "not_sampled"
+    assert got["t03"] == "sampled" and got["t04"] == "not_sampled"
