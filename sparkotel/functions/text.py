@@ -433,17 +433,22 @@ def _run_fold(sorted_grams: Column) -> Column:
 
 
 def repetition_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(doc, top{2,3,4}_char_frac, dup{5,10}_char_frac).
 
     Scale shape: a PURE PROJECTION — repetition metrics are
-    per-document, so no row ever needs another row: each n's gram array
-    is array_sort'ed and folded over adjacent runs in one
-    single pass (O(m log m) per doc, m bounded by document length).
-    Zero shuffle; scales linearly with input splits, and column pruning
-    means consumers selecting fewer fractions skip those folds entirely
-    (corpus_keep benched 3x faster from pruning alone).  Measured at
+    per-document, so no row ever needs another row; zero shuffle under
+    BOTH engines, scales linearly with input splits.
+
+    ``engine='native'``: each n's gram array is array_sort'ed and
+    folded over adjacent runs in one single pass (O(m log m) per doc, m
+    bounded by document length); column pruning means consumers
+    selecting fewer fractions skip those folds entirely (corpus_keep
+    benched 3x faster from pruning alone).  Measured at
     500k docs/local[32]: explode-through-two-hash-aggregates form 12.7 s
     + a ~230-gram-strings-per-doc shuffle; the fold form with per-fold
     re-split 8.6 s; this two-projection form (word array materialized
@@ -463,7 +468,29 @@ def repetition_features(
     ``aggregate`` lambda machinery per gram costs more than one native
     ``slice``+``concat_ws`` call pair; string compares in ``array_sort``
     are not the bottleneck at this gram length.
+
+    ``engine='arrow'``: Arrow-batched ``mapInPandas`` running the
+    vectorized factorize-chain kernel (``_repetition_kernel``) — one
+    word-level factorize per batch, then gram identities built
+    incrementally by packing (gram-of-(m-1) id << 31 | next word id)
+    and re-factorizing, so each n ∈ {2,3,4,5,10} is counted with one
+    int64 sort instead of per-gram string building.  Value-identical to
+    the native fold on every fixture and adversarial shape
+    (tests/test_scale_features.py); still a per-partition map — zero
+    shuffle, no driver involvement.
+
+    Default is ``arrow`` by measurement (r5, interleaved best-of-3 at
+    500k docs/local[32], identical cached input): full five-column
+    materialization 23.4 s vs 127.2 s native (5.4×); corpus_keep end to
+    end 35.1 s vs 145.6 s (4.2×).  ``native`` remains the zero-Python
+    path for callers that prune to a subset of fractions (the Column
+    form skips unused folds entirely; the kernel always computes all
+    five).
     """
+    if engine == "arrow":
+        return _repetition_arrow(df, id_col, text_col)
+    if engine != "native":
+        raise ValueError(f"unknown engine: {engine!r} (native|arrow)")
     c = F.col(text_col)
     base = df.select(
         F.col(id_col),
@@ -472,21 +499,143 @@ def repetition_features(
     )
     ws, n_chars = F.col("_words"), F.col("_n_chars")
     cols = [F.col(id_col)]
+    # try_divide: under ANSI (Spark 4 default) integral `/` THROWS on a
+    # zero divisor — an empty document must not kill the job; NULL → 0.0
+    # also matches the SQL oracle (no gram rows → LEFT JOIN NULL → 0.0)
     for n in REP_TOP_NS:
         r = _run_fold(F.array_sort(shingles_of_words(ws, n)))
         cols.append(
-            F.coalesce(F.round(r["best"] / n_chars, 6), F.lit(0.0)).alias(
+            F.coalesce(F.round(F.try_divide(r["best"], n_chars), 6), F.lit(0.0)).alias(
                 f"top{n}_char_frac"
             )
         )
     for n in REP_DUP_NS:
         r = _run_fold(F.array_sort(shingles_of_words(ws, n)))
         cols.append(
-            F.coalesce(F.round(r["dup"] / n_chars, 6), F.lit(0.0)).alias(
+            F.coalesce(F.round(F.try_divide(r["dup"], n_chars), 6), F.lit(0.0)).alias(
                 f"dup{n}_char_frac"
             )
         )
     return base.select(*cols)
+
+
+def _repetition_kernel(pdf, id_col: str, text_col: str):
+    """Vectorized per-batch twin of the native repetition fold.
+
+    Exactness contract (mirrors the Column form line by line):
+    words = text.split(" ") (keeps empties — Java split limit -1);
+    gram char len = sum(word lens) + (n-1); best = lexicographic max of
+    (count, len) over distinct grams, then product; dup = Σ count·len
+    over grams with count > 1; frac = coalesce(round(try_divide(x,
+    n_chars), 6 HALF_UP), 0.0) — NULL/empty text → 0.0.
+
+    Gram identity is exact, not hashed: one word-level ``pd.factorize``
+    per batch, then gram-of-m ids are built by packing
+    (gram-of-(m-1) id << 31 | next word id) into int64 and
+    re-factorizing — injective while ids stay below 2³¹ (asserted; an
+    Arrow batch of ~10⁴ docs has ~10⁶ gram positions).  Counting a
+    level is then one int64 argsort + run-length encode.
+    """
+    import numpy as np
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(v: float) -> float:
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    texts = pdf[text_col]
+    ndocs = len(texts)
+    null = texts.isna().to_numpy()
+    word_lists = [[] if null[i] else t.split(" ") for i, t in enumerate(texts)]
+    counts = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=ndocs)
+    total = int(counts.sum())
+    out = {id_col: pdf[id_col].to_numpy()}
+    n_chars = np.array(
+        [0.0 if null[i] else float(len(t)) for i, t in enumerate(texts)]
+    )
+    zero = null | (n_chars == 0)  # try_divide: zero divisor → NULL → 0.0
+
+    want = sorted({*REP_TOP_NS, *REP_DUP_NS})
+    results: dict[int, tuple] = {}
+    if total:
+        flat = [w for ws in word_lists for w in ws]
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        ulens = np.fromiter(
+            (len(u) for u in uniques), dtype=np.int64, count=len(uniques)
+        )
+        gdoc = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        cl = np.concatenate([[0], np.cumsum(ulens[codes])])
+        cur = codes  # gram-of-1 id at each start position
+        for m in range(2, max(want) + 1):
+            length = total - (m - 1)
+            if length <= 0:
+                cur = cur[:0]
+            else:
+                assert (
+                    cur[:length].max(initial=0) < (1 << 31)
+                    and codes.max(initial=0) < (1 << 31)
+                ), "factorize-chain id overflow; shrink the Arrow batch"
+                packed = (cur[:length] << 31) | codes[m - 1 : m - 1 + length]
+                cur = pd.factorize(packed)[0].astype(np.int64)
+            if m not in want:
+                continue
+            length = len(cur)
+            valid = gdoc[:length] == gdoc[m - 1 : m - 1 + length]
+            gid = cur[valid]
+            if len(gid) == 0:
+                results[m] = (np.zeros(ndocs, np.int64), np.zeros(ndocs, np.int64))
+                continue
+            docidx = gdoc[:length][valid]
+            starts_idx = np.flatnonzero(valid)
+            glen_all = cl[starts_idx + m] - cl[starts_idx] + (m - 1)
+            key = gid * np.int64(ndocs) + docidx
+            order = np.argsort(key, kind="stable")
+            sk = key[order]
+            boundary = np.concatenate([[True], sk[1:] != sk[:-1]])
+            starts = np.flatnonzero(boundary)
+            cnts = np.diff(np.append(starts, len(sk)))
+            glen = glen_all[order][starts]
+            gd = docidx[order][starts]
+            big = np.int64(glen.max(initial=0) + 1)
+            best = np.zeros(ndocs, np.int64)
+            np.maximum.at(best, gd, cnts * big + glen)  # lex-max (count, len)
+            dup = np.zeros(ndocs, np.int64)
+            dmask = cnts > 1
+            np.add.at(dup, gd[dmask], cnts[dmask] * glen[dmask])
+            results[m] = ((best // big) * (best % big), dup)
+    else:
+        for m in want:
+            results[m] = (np.zeros(ndocs, np.int64), np.zeros(ndocs, np.int64))
+
+    for which, ns in ((0, REP_TOP_NS), (1, REP_DUP_NS)):
+        pre = "top" if which == 0 else "dup"
+        for n in ns:
+            num = results[n][which]
+            out[f"{pre}{n}_char_frac"] = [
+                0.0 if zero[i] else _round6(num[i] / n_chars[i])
+                for i in range(ndocs)
+            ]
+    return pd.DataFrame(out)
+
+
+def _repetition_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """mapInPandas arm of ``repetition_features`` — see its docstring."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    frac_cols = [f"top{n}_char_frac" for n in REP_TOP_NS] + [
+        f"dup{n}_char_frac" for n in REP_DUP_NS
+    ]
+    schema = f"{id_col} {id_type}, " + ", ".join(f"{c} double" for c in frac_cols)
+
+    def run(batches):
+        for pdf in batches:
+            yield _repetition_kernel(pdf, id_col, text_col)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def duck_repetition(table: str = "documents") -> str:

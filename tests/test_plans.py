@@ -182,10 +182,11 @@ def test_repetition_and_scrub_plan_shape(spark):
     from sparkotel.functions import text as T
 
     docs = P.pages(spark, SF_DIR).select("doc_id", "text")
-    # repetition metrics are per-document: the plan must be a pure
-    # projection — zero Exchange, zero joins
-    rep = plan_of(T.repetition_features(docs))
-    assert "Exchange" not in rep and "Join" not in rep and "Window" not in rep
+    # repetition metrics are per-document: both engines must plan as a
+    # per-partition map — zero Exchange, zero joins
+    for eng in ("native", "arrow"):
+        rep = plan_of(T.repetition_features(docs, engine=eng))
+        assert "Exchange" not in rep and "Join" not in rep and "Window" not in rep
     scrub = plan_of(T.scrub_repeated_spans(docs, w=4))
     assert "Cartesian" not in scrub and "Window" not in scrub
 
@@ -200,7 +201,10 @@ def test_repetition_splits_text_once(spark):
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = (
-        repetition_features(docs)._jdf.queryExecution().optimizedPlan().toString()
+        repetition_features(docs, engine="native")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
     )
     assert plan.count("split(") == 1, plan
 

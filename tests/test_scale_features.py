@@ -767,3 +767,42 @@ def test_decontaminate_boilerplate_shingle_not_enough(spark):
     flagged = [d for d, (_, c) in got.items() if c]
     assert flagged == [19]
     assert all(h >= 1 for h, _ in got.values())  # boilerplate hits everyone
+
+
+def test_repetition_engines_value_identical(spark):
+    """The arrow factorize-chain kernel must reproduce the native fold
+    bit-for-bit on every shape: NULL text, empty text (try_divide → 0.0,
+    not an ANSI divide-by-zero crash), single/short docs, empty words
+    from double spaces, multi-byte chars, heavy repetition, and the
+    fixture corpus."""
+    from sparkotel.functions import text as T
+
+    adv = spark.createDataFrame(
+        [
+            (9000001, None),
+            (9000002, ""),
+            (9000003, " "),
+            (9000004, "a"),
+            (9000005, "a a"),
+            (9000006, "a a a a a a a a a a a a"),
+            (9000007, "x  y  x  y  x  y"),
+            (9000008, "w1 w2 w1 w2 w1 w2 w1 w2 w1 w2 w1 w2 w1 w2"),
+            (9000009, "é ü é ü é ü é ü 漢 字 漢 字"),
+            (
+                9000010,
+                "one two three four five six seven eight nine ten "
+                "one two three four five six seven eight nine ten",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .unionByName(adv)
+    )
+    native = T.repetition_features(docs, engine="native").orderBy("doc_id").collect()
+    arrow = T.repetition_features(docs, engine="arrow").orderBy("doc_id").collect()
+    assert native == arrow
+    with pytest.raises(ValueError, match="unknown engine"):
+        T.repetition_features(docs, engine="pandas")
