@@ -806,3 +806,70 @@ def test_repetition_engines_value_identical(spark):
     assert native == arrow
     with pytest.raises(ValueError, match="unknown engine"):
         T.repetition_features(docs, engine="pandas")
+
+
+def test_repetition_kernel_property_vs_bruteforce():
+    """Property: the factorize-chain kernel equals an independent
+    brute-force Counter implementation of the spec on random docs drawn
+    from a tiny alphabet (maximal gram collisions, empty words, unicode,
+    None docs).  No Spark needed — this isolates the numpy kernel."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparkotel.functions.text import (
+        REP_DUP_NS,
+        REP_TOP_NS,
+        _repetition_kernel,
+    )
+
+    def r6(v):
+        return float(
+            Decimal(repr(float(v))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    def brute(text):
+        fr = {}
+        nc = 0 if text is None else len(text)
+        ws = None if text is None else text.split(" ")
+        for kind, ns in (("top", REP_TOP_NS), ("dup", REP_DUP_NS)):
+            for n in ns:
+                val = 0.0
+                if ws is not None and len(ws) >= n and nc > 0:
+                    grams = Counter(
+                        " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                    )
+                    if kind == "top":
+                        c, l = max((c, len(g)) for g, c in grams.items())
+                        val = r6(c * l / nc)
+                    else:
+                        val = r6(
+                            sum(c * len(g) for g, c in grams.items() if c > 1) / nc
+                        )
+                fr[f"{kind}{n}_char_frac"] = val
+        return fr
+
+    word = st.sampled_from(["", "a", "b", "ab", "ba", "é", "aa"])
+    doc = st.one_of(
+        st.none(), st.lists(word, min_size=0, max_size=24).map(" ".join)
+    )
+
+    @settings(
+        max_examples=120, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def go(texts):
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        # pandas None->NaN for object col keeps isna() true
+        got = _repetition_kernel(pdf, "doc_id", "text")
+        for i, t in enumerate(texts):
+            want = brute(t)
+            for k, v in want.items():
+                assert got[k][i] == v, (t, k, got[k][i], v)
+
+    go()
