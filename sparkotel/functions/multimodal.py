@@ -77,9 +77,13 @@ def extract_features(df: DataFrame, bin_col: str = "html", url_col: str = "url")
                 {
                     "url": pdf[url_col],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf[bin_col].map(len),
+                    # NULL payloads pass through as NULL rows (a crawl
+                    # table always has some) instead of crashing on len()
+                    "n_bytes": pdf[bin_col].map(
+                        lambda p: None if p is None else len(p)
+                    ),
                     "features": [
-                        decode_stub(bytes(p), m)
+                        None if p is None else decode_stub(bytes(p), m)
                         for p, m in zip(pdf[bin_col], pdf["media_type"])
                     ],
                 }

@@ -81,9 +81,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_chars", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("n_tokens_bpe", token_count_bpe(c))
-        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
-        .withColumn("stopword_ratio", F.round(n_stop / n_tokens, 6))
-        .withColumn("mean_word_len", F.round((n_chars - n_tokens + 1) / n_tokens, 6))
+        # try_divide: ANSI integral `/` throws on an empty document
+        # (n_chars=0); NULL matches the DuckDB oracle, where /0 is NULL
+        .withColumn("punct_ratio", F.round(F.try_divide(n_punct, n_chars), 6))
+        .withColumn("stopword_ratio", F.round(F.try_divide(n_stop, n_tokens), 6))
+        .withColumn(
+            "mean_word_len",
+            F.round(F.try_divide(n_chars - n_tokens + 1, n_tokens), 6),
+        )
     )
 
 
@@ -132,9 +137,15 @@ def lang_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "bigint"
             ),
         )
-        .withColumn("punct_ratio", F.round(n_punct / n_chars, 6))
-        .withColumn("stopword_ratio", F.round(F.col("hits_en") / n_tokens, 6))
-        .withColumn("mean_word_len", F.round((n_chars - n_tokens + 1) / n_tokens, 6))
+        # try_divide: same empty-document ANSI guard as quality_features
+        .withColumn("punct_ratio", F.round(F.try_divide(n_punct, n_chars), 6))
+        .withColumn(
+            "stopword_ratio", F.round(F.try_divide(F.col("hits_en"), n_tokens), 6)
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(F.try_divide(n_chars - n_tokens + 1, n_tokens), 6),
+        )
     )
     raw = (
         F.lit(0.5)

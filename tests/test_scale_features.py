@@ -873,3 +873,42 @@ def test_repetition_kernel_property_vs_bruteforce():
                 assert got[k][i] == v, (t, k, got[k][i], v)
 
     go()
+
+
+def test_degenerate_documents_do_not_crash(spark):
+    """A crawl table always carries empty, whitespace-only, and NULL
+    documents; under ANSI (Spark 4 default) an integral division by a
+    zero token/char count THROWS, so every text stage guards with
+    try_divide (NULL — the same value the DuckDB oracle's /0 yields),
+    and the multimodal feature extractor passes NULL payloads through."""
+    from sparkotel.functions import multimodal as MM
+    from sparkotel.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, " "),
+            (3, None),
+            (4, "a"),
+            (5, "!!! ??? ..."),
+            (6, "the a and of to the a and of to"),
+        ],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in T.quality_score(docs).collect()}
+    # empty text: punct_ratio is NULL (0/0), and BOTH engines' greatest/
+    # least skip NULLs, so quality clamps to 1.0 — Spark and DuckDB agree
+    assert q[1]["punct_ratio"] is None and q[1]["quality"] == 1.0
+    assert q[6]["quality"] is not None
+    lq = {r["doc_id"]: r for r in T.lang_quality(docs).collect()}
+    for d in (1, 2, 4, 5, 6):
+        assert lq[d]["punct_ratio"] == q[d]["punct_ratio"]
+        assert lq[d]["quality"] == q[d]["quality"]
+    assert T.corpus_keep(docs).count() == 5  # NULL text has no md5 group
+    bins = spark.createDataFrame(
+        [("u1", bytearray(b"<html>plain</html>")), ("u2", None)],
+        "url string, html binary",
+    )
+    feats = {r["url"]: r for r in MM.extract_features(bins).collect()}
+    assert feats["u2"]["n_bytes"] is None and feats["u2"]["features"] is None
+    assert feats["u1"]["n_bytes"] == 18
