@@ -37,7 +37,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm (all-zero or empty) vector has no cosine —
+    # NULL, exactly what the DuckDB oracle's /0 yields — instead of an
+    # ANSI divide-by-zero killing the job on one degenerate embedding
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -382,7 +385,12 @@ def ivf_kmeans_centroids(
         lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("bigint")
         + F.lit(KMEANS_OFFSET),
     )
-    base = df.select(F.col(id_col), F.col(vec_col), vint.alias("_vi"))
+    # vectors of the wrong dimensionality (NULL, empty, truncated) are
+    # excluded from training — an ANN index rejects them — and ANSI's
+    # GetArrayItem would otherwise error on _vi[d] past the end
+    base = df.filter(F.size(F.col(vec_col)) >= dim).select(
+        F.col(id_col), F.col(vec_col), vint.alias("_vi")
+    )
     for _ in range(iters):
         assigned = ivf_assign(base, cents, id_col, vec_col)
         rows = (

@@ -128,8 +128,8 @@ def parse_otlp_logs(df: DataFrame, line_col: str = "line") -> DataFrame:
     # ns → µs MUST be integral division: float `/` loses the low bits of
     # an epoch-nano long (53-bit mantissa) and lands a µs off.
     rec = rec.withColumns({
-        "_tus": F.expr("lr.timeUnixNano::long div 1000"),
-        "_ous": F.expr("lr.observedTimeUnixNano::long div 1000"),
+        "_tus": F.expr("try_cast(lr.timeUnixNano as long) div 1000"),
+        "_ous": F.expr("try_cast(lr.observedTimeUnixNano as long) div 1000"),
     })
     return rec.select(
         F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
@@ -730,8 +730,8 @@ def parse_otlp_traces(df: DataFrame, line_col: str = "line") -> DataFrame:
     rec = sl.select("res", F.col("ss.scope").alias("scope"), F.explode("ss.spans").alias("sp"))
     sp = F.col("sp")
     rec = rec.withColumns({
-        "_sus": F.expr("sp.startTimeUnixNano::long div 1000"),
-        "_eus": F.expr("sp.endTimeUnixNano::long div 1000"),
+        "_sus": F.expr("try_cast(sp.startTimeUnixNano as long) div 1000"),
+        "_eus": F.expr("try_cast(sp.endTimeUnixNano as long) div 1000"),
     })
     return rec.select(
         F.coalesce(sp.getField("traceId"), F.lit("")).alias("trace_id"),
@@ -767,7 +767,7 @@ def parse_otlp_spanevents(df: DataFrame, line_col: str = "line") -> DataFrame:
     ev = F.col("ev")
     return rec.select(
         F.coalesce(ev.getField("name"), F.lit("")).alias("event_name"),
-        F.timestamp_micros(F.expr("ev.timeUnixNano::long div 1000"))
+        F.timestamp_micros(F.expr("try_cast(ev.timeUnixNano as long) div 1000"))
         .cast("timestamp_ntz")
         .alias("ts"),
         F.col("event_index"),
@@ -860,8 +860,8 @@ def parse_otlp_metrics(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
     dp = F.col("dp")
     rec = rec.withColumns({
-        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
-        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+        "_sus": F.expr("try_cast(dp.startTimeUnixNano as long) div 1000"),
+        "_tus": F.expr("try_cast(dp.timeUnixNano as long) div 1000"),
     })
     msum = F.col("m").getField("sum")
     return rec.select(
@@ -893,8 +893,8 @@ def parse_otlp_histograms(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
     dp = F.col("dp")
     rec = rec.withColumns({
-        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
-        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+        "_sus": F.expr("try_cast(dp.startTimeUnixNano as long) div 1000"),
+        "_tus": F.expr("try_cast(dp.timeUnixNano as long) div 1000"),
     })
     return rec.select(
         F.col("m").getField("name").alias("metric_name"),
@@ -905,11 +905,11 @@ def parse_otlp_histograms(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
         # count is a plain fixed64 (no presence bit): absent == 0, like
         # pdata — keeps the JSON and proto parse twins identical
-        F.coalesce(dp.getField("count").cast("long"), F.lit(0)).alias("count"),
+        F.coalesce(dp.getField("count").try_cast("long"), F.lit(0)).alias("count"),
         dp.getField("sum").alias("sum"),
         dp.getField("min").alias("min"),
         dp.getField("max").alias("max"),
-        F.transform(dp.getField("bucketCounts"), lambda c: c.cast("long")).alias("bucket_counts"),
+        F.transform(dp.getField("bucketCounts"), lambda c: c.try_cast("long")).alias("bucket_counts"),
         dp.getField("explicitBounds").alias("explicit_bounds"),
         _kv_to_map(dp.getField("attributes")).alias("attributes"),
         _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
@@ -943,12 +943,12 @@ def parse_otlp_exp_histograms(df: DataFrame, line_col: str = "line") -> DataFram
     )
     dp = F.col("dp")
     rec = rec.withColumns({
-        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
-        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+        "_sus": F.expr("try_cast(dp.startTimeUnixNano as long) div 1000"),
+        "_tus": F.expr("try_cast(dp.timeUnixNano as long) div 1000"),
     })
     _counts = lambda half: F.coalesce(
         F.transform(dp.getField(half).getField("bucketCounts"),
-                    lambda c: c.cast("long")),
+                    lambda c: c.try_cast("long")),
         F.array().cast("array<long>"),
     )
     return rec.select(
@@ -961,12 +961,12 @@ def parse_otlp_exp_histograms(df: DataFrame, line_col: str = "line") -> DataFram
         F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
         # plain fixed64 count: absent == 0 (sum/min/max are presence-
         # tracked optionals and stay NULL when absent)
-        F.coalesce(dp.getField("count").cast("long"), F.lit(0)).alias("count"),
+        F.coalesce(dp.getField("count").try_cast("long"), F.lit(0)).alias("count"),
         dp.getField("sum").alias("sum"),
         dp.getField("min").alias("min"),
         dp.getField("max").alias("max"),
         F.coalesce(dp.getField("scale"), F.lit(0)).alias("scale"),
-        F.coalesce(dp.getField("zeroCount").cast("long"), F.lit(0)).alias("zero_count"),
+        F.coalesce(dp.getField("zeroCount").try_cast("long"), F.lit(0)).alias("zero_count"),
         F.coalesce(dp.getField("zeroThreshold"), F.lit(0.0)).alias("zero_threshold"),
         F.coalesce(dp.getField("positive").getField("offset"), F.lit(0)).alias("positive_offset"),
         _counts("positive").alias("positive_bucket_counts"),
@@ -994,8 +994,8 @@ def parse_otlp_summaries(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
     dp = F.col("dp")
     rec = rec.withColumns({
-        "_sus": F.expr("dp.startTimeUnixNano::long div 1000"),
-        "_tus": F.expr("dp.timeUnixNano::long div 1000"),
+        "_sus": F.expr("try_cast(dp.startTimeUnixNano as long) div 1000"),
+        "_tus": F.expr("try_cast(dp.timeUnixNano as long) div 1000"),
     })
     return rec.select(
         F.col("m").getField("name").alias("metric_name"),
@@ -1005,7 +1005,7 @@ def parse_otlp_summaries(df: DataFrame, line_col: str = "line") -> DataFrame:
         # SummaryDataPoint has NO presence-tracked fields: absent count
         # and sum are the zero values, like pdata (and like the proto
         # decode twin) — not NULL
-        F.coalesce(dp.getField("count").cast("long"), F.lit(0)).alias("count"),
+        F.coalesce(dp.getField("count").try_cast("long"), F.lit(0)).alias("count"),
         F.coalesce(dp.getField("sum"), F.lit(0.0)).alias("sum"),
         dp.getField("quantileValues").alias("quantiles"),
         _kv_to_map(dp.getField("attributes")).alias("attributes"),

@@ -796,7 +796,7 @@ def _f_packed_varint(field: int, vals) -> bytes:
     """repeated uint64, packed encoding (proto3 default for scalars)."""
     if vals is None or len(vals) == 0:
         return b""
-    payload = b"".join(_varint(int(v)) for v in vals)
+    payload = b"".join(_varint(_i0(v)) for v in vals)
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 
@@ -1001,14 +1001,18 @@ def _f_packed_fixed64(field: int, vals) -> bytes:
     uint64."""
     if vals is None or len(vals) == 0:
         return b""
-    payload = b"".join(struct.pack("<Q", int(v)) for v in vals)
+    payload = b"".join(struct.pack("<Q", _i0(v)) for v in vals)
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 
 def _f_packed_double(field: int, vals) -> bytes:
     if vals is None or len(vals) == 0:
         return b""
-    payload = b"".join(struct.pack("<d", float(v)) for v in vals)
+    # NULL element → 0.0 (proto3 zero value; Arrow NULL doubles arrive
+    # as NaN, which would otherwise round-trip as a spurious NaN bound)
+    payload = b"".join(
+        struct.pack("<d", 0.0 if v is None else float(v)) for v in vals
+    )
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 

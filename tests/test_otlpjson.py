@@ -494,3 +494,35 @@ def test_exp_histogram_marshal_plan_bounded(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "SortMergeJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_parse_tolerates_null_numeric_fields(spark):
+    """OTLP/JSON with null timeUnixNano / count / bucketCounts elements
+    must degrade to NULL fields (the reference receiver drops the bad
+    record; a batch engine must not die on one), not throw an ANSI cast
+    error."""
+    from sparkotel.otlpjson import parse_otlp_histograms, parse_otlp_traces
+
+    trace_line = (
+        '{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":[{'
+        '"spans":[{"traceId":"0102030405060708090a0b0c0d0e0f10","spanId":'
+        '"0102030405060708","name":"s","startTimeUnixNano":null,'
+        '"endTimeUnixNano":"2000000"}]}]}]}'
+    )
+    rows = parse_otlp_traces(
+        spark.createDataFrame([(trace_line,)], "line string")
+    ).collect()
+    assert len(rows) == 1 and rows[0]["start_ts"] is None
+
+    hist_line = (
+        '{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":[{'
+        '"metrics":[{"name":"h","histogram":{"dataPoints":[{'
+        '"timeUnixNano":"1000000","count":null,'
+        '"bucketCounts":["1",null,"2"],"explicitBounds":[0.5,1.5]}]}}]}]}]}'
+    )
+    hrows = parse_otlp_histograms(
+        spark.createDataFrame([(hist_line,)], "line string")
+    ).collect()
+    assert len(hrows) == 1
+    assert hrows[0]["count"] == 0  # coalesced like an absent field
+    assert list(hrows[0]["bucket_counts"]) == [1, None, 2]

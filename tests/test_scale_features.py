@@ -912,3 +912,29 @@ def test_degenerate_documents_do_not_crash(spark):
     feats = {r["url"]: r for r in MM.extract_features(bins).collect()}
     assert feats["u2"]["n_bytes"] is None and feats["u2"]["features"] is None
     assert feats["u1"]["n_bytes"] == 18
+
+
+def test_degenerate_embeddings_do_not_crash(spark):
+    """NULL, empty, and zero-norm embedding rows: cosine is NULL (the
+    DuckDB /0 value) instead of an ANSI divide-by-zero, and k-means
+    training excludes wrong-dimensionality vectors like any ANN index."""
+    from sparkotel.functions import similarity as S
+
+    d = 4
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),
+        (2, [0.5, 0.5, 0.0, 0.0], 0),
+        (4, None, 0),
+        (5, [], 0),
+        (6, [0.0] * d, 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = df.select(
+        "vec_id", S.cosine(F.col("embedding"), F.array(*[F.lit(1.0)] * d)).alias("c")
+    ).collect()
+    by = {r["vec_id"]: r["c"] for r in got}
+    assert by[4] is None and by[6] is None  # NULL / zero-norm → NULL
+    assert by[0] is not None
+    cents = S.ivf_kmeans_centroids(df, n_centroids=2, dim=d, iters=1)
+    assert len(cents) >= 1  # trains on the 3 valid vectors, no crash
