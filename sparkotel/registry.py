@@ -354,18 +354,28 @@ FROM res""",
         "otlpjson_roundtrip",
         "corpus_keep_decision",
         "text_repetition",
-        # B: continued coverage for r4's first-row queries (one green
-        # row each; a second row pins them) — the newest corpus family
-        # and the upgraded pytest-only operators.
-        "vocab_topk",
-        "doc_keywords",
-        "train_shards",
-        "stratified_sample",
+        # A (late r5): implementation changed in the final session — the
+        # Arrow repetition engine feeds corpus_keep/corpus_prep_shards,
+        # try_divide landed in the quality/lang projections (text_quality,
+        # text_lang_id, corpus_stats, host_quality_filter), try_cast in
+        # the otlpjson numeric parse paths (the traces and exp-histogram
+        # round trips re-check those paths end to end; the logs/metrics/
+        # hist/summary round trips below already sit in the window), and
+        # cosine's try_divide touches the ANN family (ann_cosine_topk,
+        # ann_ivf_topk here; embedding_near_dup and ann_ivf_kmeans_topk
+        # below).  These displace seven unchanged single-green r4
+        # second-row pins (vocab_topk, doc_keywords, train_shards,
+        # stratified_sample, stanza_router_attrs, stanza_filter_ratio,
+        # group_by_attrs_promote).
+        "text_quality",
+        "text_lang_id",
+        "corpus_stats",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "otlpjson_traces_roundtrip",
+        "otlpjson_exp_roundtrip",
         "host_quality_filter",
-        "stanza_router_attrs",
         "corpus_prep_shards",
-        "stanza_filter_ratio",
-        "group_by_attrs_promote",
         # A (late r5): explicit-histogram + summary marshal round trips
         # (both formats) — first driver rows for the r5-new fileexporter
         # arms.  They take the slots of four single-green r4 queries
