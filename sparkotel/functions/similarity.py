@@ -347,7 +347,15 @@ def ivf_centroid_rows(
     here; seeding keeps the oracle replayable.)  The collect is
     n_centroids rows — plan-time metadata, not a data motion."""
     rows = (
-        df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect()
+        # NULL/empty embeddings cannot seed (the float() unroll below
+        # would crash the driver on one degenerate row)
+        df.filter(
+            (F.col(id_col) < n_centroids)
+            & F.col(vec_col).isNotNull()
+            & (F.size(F.col(vec_col)) > 0)
+        )
+        .select(id_col, vec_col)
+        .collect()
     )
     return sorted((r[id_col], [float(x) for x in r[vec_col]]) for r in rows)
 
@@ -385,12 +393,16 @@ def ivf_kmeans_centroids(
         lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("bigint")
         + F.lit(KMEANS_OFFSET),
     )
-    # vectors of the wrong dimensionality (NULL, empty, truncated) are
-    # excluded from training — an ANN index rejects them — and ANSI's
-    # GetArrayItem would otherwise error on _vi[d] past the end
-    base = df.filter(F.size(F.col(vec_col)) >= dim).select(
-        F.col(id_col), F.col(vec_col), vint.alias("_vi")
-    )
+    # vectors of the wrong dimensionality (NULL, empty, truncated) or
+    # with zero norm are excluded from training — an ANN index rejects
+    # them; ANSI's GetArrayItem would otherwise error on _vi[d] past the
+    # end, and a zero-norm vector has NULL cosine to every centroid, so
+    # greatest() would deterministically dump all of them into one cell
+    # and bias its mean toward the origin
+    base = df.filter(
+        (F.size(F.col(vec_col)) >= dim)
+        & (F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))) > 0)
+    ).select(F.col(id_col), F.col(vec_col), vint.alias("_vi"))
     for _ in range(iters):
         assigned = ivf_assign(base, cents, id_col, vec_col)
         rows = (

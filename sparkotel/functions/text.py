@@ -549,14 +549,8 @@ def _repetition_kernel(pdf, id_col: str, text_col: str):
     """
     import numpy as np
     import pandas as pd
-    from decimal import ROUND_HALF_UP, Decimal
 
-    def _round6(v: float) -> float:
-        return float(
-            Decimal(repr(float(v))).quantize(
-                Decimal("0.000001"), rounding=ROUND_HALF_UP
-            )
-        )
+    from sparkotel.rounding import round_half_up6 as _round6
 
     texts = pdf[text_col]
     ndocs = len(texts)

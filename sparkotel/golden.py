@@ -35,6 +35,8 @@ import math
 import os
 from decimal import ROUND_HALF_UP, Decimal
 
+from sparkotel.rounding import round_half_up6
+
 import numpy as np
 import pandas as pd
 
@@ -59,17 +61,9 @@ def _write(df: pd.DataFrame, path: str) -> str:
 
 
 def _round_half_up6(v: float) -> float:
-    """Spark ``F.round(col, 6)`` = ``BigDecimal.valueOf(double)`` (which
-    goes through ``Double.toString`` — the SHORTEST decimal repr, not the
-    exact binary expansion) then ``setScale(6, HALF_UP)``.  Python's
-    ``repr(float)`` is the same shortest-round-trip decimal, so
-    ``Decimal(repr(v))`` mirrors it; ``Decimal(v)`` would take the exact
-    binary value and round boundary scores the other way (e.g. the
-    double nearest 0.1234565 is exactly 0.12345649999… → 0.123456,
-    where Spark emits 0.123457)."""
-    if math.isnan(v):
-        return v
-    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+    """Canonical twin lives in sparkotel.rounding (shared with the Arrow
+    repetition kernel); kept as an alias for this module's callers."""
+    return round_half_up6(v)
 
 
 def _spark_percentile(values: np.ndarray, q: float) -> float:

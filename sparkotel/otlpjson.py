@@ -876,7 +876,7 @@ def parse_otlp_metrics(df: DataFrame, line_col: str = "line") -> DataFrame:
         .otherwise(F.lit(False)).alias("is_monotonic"),
         F.timestamp_micros(F.col("_sus")).cast("timestamp_ntz").alias("start_ts"),
         F.timestamp_micros(F.col("_tus")).cast("timestamp_ntz").alias("ts"),
-        F.coalesce(dp.getField("asDouble"), dp.getField("asInt").cast("double")).alias("value"),
+        F.coalesce(dp.getField("asDouble"), dp.getField("asInt").try_cast("double")).alias("value"),
         _kv_to_map(dp.getField("attributes")).alias("attributes"),
         _kv_to_map(F.col("res").getField("attributes")).alias("resource"),
         F.coalesce(F.col("scope").getField("name"), F.lit("")).alias("scope_name"),

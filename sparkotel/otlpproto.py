@@ -1008,10 +1008,14 @@ def _f_packed_fixed64(field: int, vals) -> bytes:
 def _f_packed_double(field: int, vals) -> bytes:
     if vals is None or len(vals) == 0:
         return b""
-    # NULL element → 0.0 (proto3 zero value; Arrow NULL doubles arrive
-    # as NaN, which would otherwise round-trip as a spurious NaN bound)
+    # NULL element → 0.0 (proto3 zero value).  Arrow hands a NULL list
+    # element to pandas as float NaN, not None — guard both, like _i0
+    # and _f_double_opt do, or the NaN marshals onto the wire.
     payload = b"".join(
-        struct.pack("<d", 0.0 if v is None else float(v)) for v in vals
+        struct.pack(
+            "<d", 0.0 if (v is None or (isinstance(v, float) and v != v)) else float(v)
+        )
+        for v in vals
     )
     return _tag(field, 2) + _varint(len(payload)) + payload
 

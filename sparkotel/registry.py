@@ -378,9 +378,11 @@ FROM res""",
         "corpus_prep_shards",
         # A (late r5): explicit-histogram + summary marshal round trips
         # (both formats) — first driver rows for the r5-new fileexporter
-        # arms.  They take the slots of four single-green r4 queries
-        # whose code did not change this round (url_canonicalize,
-        # crawl_latest_snapshot, corpus_stats, multimodal_audio_windows).
+        # arms.  They take the slots of single-green r4 queries whose
+        # code did not change (url_canonicalize, crawl_latest_snapshot,
+        # multimodal_audio_windows); corpus_stats later rotated back IN
+        # (the try_divide quality change touches it — see the final-
+        # session block above).
         "otlpjson_hist_roundtrip",
         "otlpproto_hist_roundtrip",
         "otlpjson_summary_roundtrip",
@@ -409,8 +411,9 @@ FROM res""",
         # spanmetrics_exp_datapoint, agg_count_*)
         # A (late r5): the rate_limiting / bytes_limiting / composite
         # tail-sampling policies land this round — first driver rows
-        # (they displace three double-green unchanged r4 queries:
-        # s2m_sum_duration, s2m_exp_histogram, text_quality).
+        # (they displace double-green unchanged r4 queries:
+        # s2m_sum_duration, s2m_exp_histogram; text_quality later
+        # rotated back IN via the final-session try_divide block above).
         "tailsample_rate_limit",
         "tailsample_bytes_limit",
         "tailsample_composite",

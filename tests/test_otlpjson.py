@@ -503,10 +503,14 @@ def test_parse_tolerates_null_numeric_fields(spark):
     error."""
     from sparkotel.otlpjson import parse_otlp_histograms, parse_otlp_traces
 
+    # "xyz" (a malformed NON-null string) is the case that distinguishes
+    # try_cast from cast: a JSON null parses to SQL NULL, which even an
+    # ANSI cast tolerates, so a null-only fixture would go green against
+    # the pre-fix code
     trace_line = (
         '{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":[{'
         '"spans":[{"traceId":"0102030405060708090a0b0c0d0e0f10","spanId":'
-        '"0102030405060708","name":"s","startTimeUnixNano":null,'
+        '"0102030405060708","name":"s","startTimeUnixNano":"xyz",'
         '"endTimeUnixNano":"2000000"}]}]}]}'
     )
     rows = parse_otlp_traces(
@@ -517,8 +521,8 @@ def test_parse_tolerates_null_numeric_fields(spark):
     hist_line = (
         '{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":[{'
         '"metrics":[{"name":"h","histogram":{"dataPoints":[{'
-        '"timeUnixNano":"1000000","count":null,'
-        '"bucketCounts":["1",null,"2"],"explicitBounds":[0.5,1.5]}]}}]}]}]}'
+        '"timeUnixNano":"1000000","count":"not-a-count",'
+        '"bucketCounts":["1","bad","2"],"explicitBounds":[0.5,1.5]}]}}]}]}]}'
     )
     hrows = parse_otlp_histograms(
         spark.createDataFrame([(hist_line,)], "line string")
@@ -526,3 +530,15 @@ def test_parse_tolerates_null_numeric_fields(spark):
     assert len(hrows) == 1
     assert hrows[0]["count"] == 0  # coalesced like an absent field
     assert list(hrows[0]["bucket_counts"]) == [1, None, 2]
+
+    from sparkotel.otlpjson import parse_otlp_metrics
+
+    num_line = (
+        '{"resourceMetrics":[{"resource":{"attributes":[]},"scopeMetrics":[{'
+        '"metrics":[{"name":"m","sum":{"dataPoints":[{'
+        '"timeUnixNano":"1000000","asInt":"12x"}]}}]}]}]}'
+    )
+    nrows = parse_otlp_metrics(
+        spark.createDataFrame([(num_line,)], "line string")
+    ).collect()
+    assert len(nrows) == 1 and nrows[0]["value"] is None
