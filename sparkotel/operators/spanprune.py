@@ -27,10 +27,11 @@ parent's own summary when it too was aggregated.  Summary span ids are
 a deterministic md5 of (trace, group key) rather than the reference's
 random ids, so reruns are replayable.
 
-Spark shape: one ``applyInPandas`` per trace_id — the same single
-shuffle the tail sampler pays; traces are small trees so the Python
-walk is per-group bounded, and at 10^12 spans the partition key is the
-trace id (no global state, no driver involvement).
+Spark shape: one shuffle on trace_id (repartition + partition-local
+sort), then the per-trace tree walk runs batched under ``mapInPandas``
+— one Python invocation per Arrow batch, not per trace; traces are
+small trees so the walk is per-group bounded, and at 10^12 spans the
+partition key is the trace id (no global state, no driver involvement).
 """
 
 from __future__ import annotations
@@ -46,7 +47,7 @@ _STATS_INT = ("span_count", "duration_min_ns", "duration_max_ns",
 
 
 def _prune_trace(
-    pdf: pd.DataFrame,
+    rows: list,
     min_spans: int,
     max_depth: int,
     patterns: tuple,
@@ -55,8 +56,12 @@ def _prune_trace(
     iqr_multiplier: float,
     mad_threshold: float,
     preserve_outliers: bool,
-) -> pd.DataFrame:
-    rows = pdf.to_dict("records")
+) -> list:
+    """One trace's span records → pruned records.  Takes plain dicts so
+    the batch caller pays pandas' to_dict once per Arrow batch, not once
+    per trace (the per-trace ``pdf.to_dict``/frame-construction overhead
+    was ~ms per 5-row group — the same measured cost that dominated
+    ``trace_proto_sizes`` before its batching)."""
     by_id = {r["span_id"]: r for r in rows}
     children: dict[str, list] = {}
     for r in rows:
@@ -218,7 +223,7 @@ def _prune_trace(
         s["attributes"] = attrs
         out.append(s)
 
-    return pd.DataFrame(out, columns=list(pdf.columns)) if out else pdf.iloc[0:0]
+    return out
 
 
 def span_pruning(
@@ -234,15 +239,62 @@ def span_pruning(
 ) -> DataFrame:
     """Apply span pruning to the span frame (``parse_otlp_traces``
     output shape).  One shuffle on trace_id; the per-trace tree walk is
-    a documented Arrow-batched Python path like the tail sampler's."""
+    a documented Arrow-batched Python path like the tail sampler's.
+
+    Execution shape: hash-repartition on trace_id + partition-local sort,
+    then ONE Python invocation per Arrow batch under ``mapInPandas`` with
+    a tail-carry for the batch-straddling trace — NOT
+    ``groupBy(trace_id).applyInPandas``, which pays a Spark↔Python round
+    trip per trace (trace_id is data-scaled cardinality; see
+    ``otlpproto.trace_proto_sizes`` for the measured per-group cost).
+    Records are sorted by (trace_id, span_id) so the max-duration
+    template tie-break is deterministic across reruns, matching the
+    module's md5-replayability contract."""
     if outlier_method not in (None, "iqr", "mad"):
         raise ValueError(f"unknown outlier method {outlier_method!r}")
     patterns = tuple(group_by_attributes)
+    cols = df.columns
 
-    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _prune_trace(
-            pdf, min_spans_to_aggregate, max_parent_depth, patterns, prefix,
-            outlier_method, iqr_multiplier, mad_threshold, preserve_outliers,
-        )
+    def prune_stream(it):
+        import itertools
 
-    return df.groupBy("trace_id").applyInPandas(apply, df.schema)
+        carry = None
+        for pdf in it:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            tail = pdf["trace_id"] == pdf["trace_id"].iloc[-1]
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                out: list = []
+                for _, g in itertools.groupby(
+                    head.to_dict("records"), key=lambda r: r["trace_id"]
+                ):
+                    out.extend(
+                        _prune_trace(
+                            list(g), min_spans_to_aggregate, max_parent_depth,
+                            patterns, prefix, outlier_method, iqr_multiplier,
+                            mad_threshold, preserve_outliers,
+                        )
+                    )
+                if out:
+                    yield pd.DataFrame(out, columns=cols)
+        if carry is not None and len(carry):
+            out = _prune_trace(
+                carry.to_dict("records"), min_spans_to_aggregate,
+                max_parent_depth, patterns, prefix, outlier_method,
+                iqr_multiplier, mad_threshold, preserve_outliers,
+            )
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    from pyspark.sql import functions as F
+
+    return (
+        df.repartition(F.col("trace_id"))
+        .sortWithinPartitions("trace_id", "span_id")
+        .mapInPandas(prune_stream, df.schema)
+    )
