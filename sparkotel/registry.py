@@ -394,7 +394,10 @@ FROM res""",
         "dedup_ngram_jaccard",
         "dedup_clusters",
         "text_scrub_spans",
-        "wet_route_counts",
+        # (wet_route_counts' second-row pin yields its slot to
+        # span_pruning, whose execution shape changed in the final r5
+        # session — per-trace applyInPandas → batched mapInPandas)
+        "span_pruning",
         "html_extract_text",
         # C: flagship pipeline + training-data family, every round
         "route_resource_ctx",
