@@ -179,7 +179,9 @@ def _prune_trace(
         level += 1
 
     # summary ids + parent re-pointing
-    trace_id = rows[0]["trace_id"] if rows else ""
+    # NULL trace_id (possible in caller-built frames; parse_otlp_traces
+    # coalesces to "") must not crash the string concat below
+    trace_id = (rows[0]["trace_id"] if rows else "") or ""
 
     def summary_id(key: tuple) -> str:
         return hashlib.md5(
@@ -265,7 +267,15 @@ def span_pruning(
                 carry = None
             if not len(pdf):
                 continue
-            tail = pdf["trace_id"] == pdf["trace_id"].iloc[-1]
+            # NULL-aware tail mask: `== None` is all-False in pandas, and
+            # a NULL trace group filling a whole batch would otherwise be
+            # split across yields (groupBy(trace_id) kept NULLs together)
+            last = pdf["trace_id"].iloc[-1]
+            tail = (
+                pdf["trace_id"].isna()
+                if pd.isna(last)
+                else pdf["trace_id"] == last
+            )
             carry = pdf[tail]
             head = pdf[~tail]
             if len(head):

@@ -1433,8 +1433,16 @@ def trace_proto_sizes(
             if not len(pdf):
                 continue
             # hold back the trailing trace — its rows may continue in
-            # the next Arrow batch of this (trace-sorted) partition
-            tail = pdf[trace_col] == pdf[trace_col].iloc[-1]
+            # the next Arrow batch of this (trace-sorted) partition.
+            # NULL-aware: `== None` is all-False in pandas, which would
+            # split a batch-filling NULL-key group (groupBy kept NULLs
+            # together as one key).
+            last = pdf[trace_col].iloc[-1]
+            tail = (
+                pdf[trace_col].isna()
+                if pd.isna(last)
+                else pdf[trace_col] == last
+            )
             carry = pdf[tail]
             head = pdf[~tail]
             if len(head):

@@ -146,3 +146,38 @@ def test_determinism(spark, nplus1):
 def test_validation(spark, nplus1):
     with pytest.raises(ValueError, match="unknown outlier method"):
         span_pruning(nplus1, outlier_method="zscore")
+
+
+def test_null_trace_id_single_group_across_batches(spark):
+    """A NULL trace_id group must stay ONE group even when it fills
+    whole Arrow batches: the tail-carry mask uses isna() for a NULL
+    last key (`== None` is all-False in pandas), matching the old
+    groupBy(trace_id) semantics where NULL is a single key.  Also
+    guards the summary-id concat against a None trace_id."""
+    rows = [_s("r", "", "root", 0, 100, kind=2, trace=None)]
+    rows += [
+        _s(f"q{i}", "r", "SELECT orders", 1 + i, 3, {"db.operation": "s"},
+           trace=None)
+        for i in range(6)
+    ]
+    # a second, real trace in the same frame for contrast
+    rows += [_s("r2", "", "root", 0, 50, kind=2, trace="t9")]
+    df = spark.createDataFrame(rows, _DDL)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "2")  # force the NULL group across batches
+        out = span_pruning(
+            df, min_spans_to_aggregate=3, max_parent_depth=0,
+            group_by_attributes=("db.*",),
+        ).collect()
+    finally:
+        spark.conf.set(conf, old)
+    selects = [r for r in out if r["name"] == "SELECT orders"]
+    # all six NULL-trace leaves collapse into ONE summary (a split
+    # group would leave sub-minimum fragments unaggregated or emit
+    # several summaries)
+    assert len(selects) == 1
+    assert selects[0]["attributes"]["pruning.span_count"] == "6"
+    assert selects[0]["trace_id"] is None
+    assert len([r for r in out if r["trace_id"] == "t9"]) == 1

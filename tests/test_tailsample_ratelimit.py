@@ -503,3 +503,40 @@ def test_trace_proto_sizes_null_end_ts_gives_null_arrival(spark):
     )
     row = trace_proto_sizes(spans, with_arrival=True).collect()[0]
     assert row["arrival_us"] is None and row["proto_bytes"] > 0
+
+
+def test_trace_proto_sizes_null_trace_id_one_row_across_batches(spark):
+    """NULL trace_id is ONE group (the old groupBy semantics), even when
+    its rows fill whole Arrow batches: the tail-carry mask must switch to
+    isna() when the batch's last key is NULL (`== None` is all-False in
+    pandas, which would emit one fragment row per batch)."""
+    ddl = (
+        "trace_id string, span_id string, trace_state string, "
+        "parent_span_id string, name string, kind int, "
+        "start_ts timestamp, end_ts timestamp, "
+        "resource map<string,string>, attributes map<string,string>, "
+        "scope_name string, status_message string, status_code int"
+    )
+    rows = [
+        (None, f"{i + 1:016x}", "", "", "click", 2,
+         T0 + timedelta(seconds=i), T0 + timedelta(seconds=i, milliseconds=5),
+         {"service.name": "svc"}, {}, "app", "", 0)
+        for i in range(7)
+    ] + [
+        ("ab" * 16, "00000000000000ff", "", "", "click", 2, T0,
+         T0 + timedelta(milliseconds=5),
+         {"service.name": "svc"}, {}, "app", "", 0),
+    ]
+    spans = spark.createDataFrame(rows, ddl)
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "2")
+        small = {r["trace_id"]: r["proto_bytes"]
+                 for r in trace_proto_sizes(spans).collect()}
+    finally:
+        spark.conf.set(conf, old)
+    big = {r["trace_id"]: r["proto_bytes"]
+           for r in trace_proto_sizes(spans).collect()}
+    # exactly one row per key (incl. the NULL key), batch-size invariant
+    assert len(small) == 2 and small == big
