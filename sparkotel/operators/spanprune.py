@@ -79,7 +79,11 @@ def _prune_trace(
         return d
 
     def dur_ns(r) -> int:
-        if r["end_ts"] is None or r["start_ts"] is None:
+        # pd.isna, not `is None`: records built by pandas' to_dict carry
+        # NULL timestamps as pd.NaT, and NaT arithmetic would yield NaN
+        # durations (all-False comparisons → order-dependent template
+        # choice, 'nan' duration attributes)
+        if pd.isna(r["end_ts"]) or pd.isna(r["start_ts"]):
             return 0
         d = r["end_ts"] - r["start_ts"]
         # exact µs decomposition — total_seconds() is float and loses
@@ -220,8 +224,13 @@ def _prune_trace(
         s = dict(template)
         s["span_id"] = summary_id(key)
         s["parent_span_id"] = tpl_parent
-        s["start_ts"] = min(r["start_ts"] for r in nodes)
-        s["end_ts"] = max(r["end_ts"] for r in nodes)
+        # skip NaT members: min/max over NaT is order-dependent (NaT
+        # comparisons are all-False), and a summary spanning the union
+        # of defined times matches the reference's nil-timestamp skip
+        starts = [r["start_ts"] for r in nodes if not pd.isna(r["start_ts"])]
+        ends = [r["end_ts"] for r in nodes if not pd.isna(r["end_ts"])]
+        s["start_ts"] = min(starts) if starts else None
+        s["end_ts"] = max(ends) if ends else None
         s["attributes"] = attrs
         out.append(s)
 
@@ -260,44 +269,20 @@ def span_pruning(
     def prune_stream(it):
         import itertools
 
-        carry = None
-        for pdf in it:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            # NULL-aware tail mask: `== None` is all-False in pandas, and
-            # a NULL trace group filling a whole batch would otherwise be
-            # split across yields (groupBy(trace_id) kept NULLs together)
-            last = pdf["trace_id"].iloc[-1]
-            tail = (
-                pdf["trace_id"].isna()
-                if pd.isna(last)
-                else pdf["trace_id"] == last
-            )
-            carry = pdf[tail]
-            head = pdf[~tail]
-            if len(head):
-                out: list = []
-                for _, g in itertools.groupby(
-                    head.to_dict("records"), key=lambda r: r["trace_id"]
-                ):
-                    out.extend(
-                        _prune_trace(
-                            list(g), min_spans_to_aggregate, max_parent_depth,
-                            patterns, prefix, outlier_method, iqr_multiplier,
-                            mad_threshold, preserve_outliers,
-                        )
+        from sparkotel.batching import iter_whole_key_groups
+
+        for frame in iter_whole_key_groups(it, "trace_id"):
+            out: list = []
+            for _, g in itertools.groupby(
+                frame.to_dict("records"), key=lambda r: r["trace_id"]
+            ):
+                out.extend(
+                    _prune_trace(
+                        list(g), min_spans_to_aggregate, max_parent_depth,
+                        patterns, prefix, outlier_method, iqr_multiplier,
+                        mad_threshold, preserve_outliers,
                     )
-                if out:
-                    yield pd.DataFrame(out, columns=cols)
-        if carry is not None and len(carry):
-            out = _prune_trace(
-                carry.to_dict("records"), min_spans_to_aggregate,
-                max_parent_depth, patterns, prefix, outlier_method,
-                iqr_multiplier, mad_threshold, preserve_outliers,
-            )
+                )
             if out:
                 yield pd.DataFrame(out, columns=cols)
 

@@ -1382,7 +1382,12 @@ def trace_proto_sizes(
     runs under ``mapInPandas`` with a tail-carry: the last (possibly
     batch-straddling) trace of each batch is held back and prepended to
     the next, and the per-trace work is a pandas-side ``groupby`` (µs,
-    not ms).  Memory stays bounded by Arrow batch size + one trace.
+    not ms).  Memory stays bounded by Arrow batch size + the largest
+    single trace group (the carry accumulates a straddling trace as a
+    list of parts and concatenates once at flush — O(n), see
+    ``sparkotel.batching``; a pathologically large one-key run, e.g.
+    every NULL-trace row in the input, still materializes whole at
+    flush, as any whole-trace encoder must).
 
     Returns ``(trace_col, proto_bytes)``; with ``with_arrival`` also
     ``arrival_us`` = the trace's max ``end_col`` in epoch µs, computed in
@@ -1425,30 +1430,10 @@ def trace_proto_sizes(
         return pd.DataFrame(out, columns=cols)
 
     def encode_stream(it):
-        carry = None
-        for pdf in it:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            # hold back the trailing trace — its rows may continue in
-            # the next Arrow batch of this (trace-sorted) partition.
-            # NULL-aware: `== None` is all-False in pandas, which would
-            # split a batch-filling NULL-key group (groupBy kept NULLs
-            # together as one key).
-            last = pdf[trace_col].iloc[-1]
-            tail = (
-                pdf[trace_col].isna()
-                if pd.isna(last)
-                else pdf[trace_col] == last
-            )
-            carry = pdf[tail]
-            head = pdf[~tail]
-            if len(head):
-                yield encode_groups(head)
-        if carry is not None and len(carry):
-            yield encode_groups(carry)
+        from sparkotel.batching import iter_whole_key_groups
+
+        for frame in iter_whole_key_groups(it, trace_col):
+            yield encode_groups(frame)
 
     schema = f"{trace_col} string, proto_bytes long"
     if with_arrival:

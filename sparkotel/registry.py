@@ -446,7 +446,7 @@ _SPANS_SQL = (
     "spans AS ("
     " SELECT md5('trace-' || CAST(user_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d')) AS trace_id,"
     "  event_id AS span_id, ts AS start_ts,"
-    "  ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)) AS end_ts,"
+    "  ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT)) AS end_ts,"
     "  CASE event_type WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 0 END AS status_code,"
     "  event_type,"
     "  CAST(json_extract(props, '$.k') AS BIGINT) AS k"
@@ -481,7 +481,7 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("start_ts"),
         F.timestamp_micros(
             F.unix_micros(F.col("ts").cast("timestamp"))
-            + F.round(F.col("value") * 1000, 0).cast("long")
+            + F.round(F.col("value") * 1000, 0).try_cast("long")
         )
         .cast("timestamp_ntz")
         .alias("end_ts"),
@@ -919,7 +919,7 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
     def _span_frame(spark, sf):
         ev = _events(spark, sf)
         start_us = F.unix_micros(F.col("ts").cast("timestamp"))
-        end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
+        end_us = start_us + F.round(F.col("value") * 1000, 0).try_cast("long")
         status = (
             F.when(F.col("event_type") == "error", 2)
             .when(F.col("event_type") == "purchase", 1)
@@ -989,7 +989,7 @@ def _add_otlpjson_queries(q: dict[str, Query]) -> None:
   'op-' || event_type AS name,
   CAST(event_id % 6 AS INT) AS kind,
   ts AS start_ts,
-  ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)) AS end_ts,
+  ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT)) AS end_ts,
   CASE event_type WHEN 'error' THEN 2 WHEN 'purchase' THEN 1 ELSE 0 END AS status_code,
   CASE event_type WHEN 'error' THEN 'boom' ELSE '' END AS status_message,
   CAST(user_id AS VARCHAR) AS attr_user,
@@ -2181,7 +2181,7 @@ FROM events""",
     def spanevent_q(spark, sf):
         ev = _events(spark, sf)
         start_us = F.unix_micros(F.col("ts").cast("timestamp"))
-        end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
+        end_us = start_us + F.round(F.col("value") * 1000, 0).try_cast("long")
         status = (
             F.when(F.col("event_type") == "error", 2)
             .when(F.col("event_type") == "purchase", 1)
@@ -2238,7 +2238,7 @@ UNION ALL
 SELECT md5('t' || CAST(event_id AS VARCHAR)),
   printf('%016x', event_id), 1,
   'op-' || event_type || ':dequeue',
-  ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)),
+  ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT)),
   'svc-' || CAST(user_id % 5 AS VARCHAR),
   CASE WHEN event_type = 'error' THEN 'yes' END,
   NULL
@@ -2823,7 +2823,7 @@ _K_SQL = "CAST(json_extract(props, '$.k') AS BIGINT)"
 def _conn_trace_lines(spark, sf):
     ev = _events(spark, sf)
     start_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    end_us = start_us + F.round(F.col("value") * 1000, 0).cast("long")
+    end_us = start_us + F.round(F.col("value") * 1000, 0).try_cast("long")
     k = F.get_json_object("props", "$.k").cast("long")
     status = (
         F.when(F.col("event_type") == "error", 2)
@@ -2953,12 +2953,12 @@ def _add_spanconnect_queries(q: dict[str, Query]) -> None:
   {_STATUS_SQL} AS status_code,
   CASE user_id % 4 WHEN 0 THEN 'mysql' WHEN 1 THEN 'postgresql' ELSE 'mongodb' END AS db_system,
   'SELECT ' || CAST({_K_SQL} AS VARCHAR) AS db_statement,
-  CAST(round(value * 1000, 0) AS BIGINT) * 1000 AS duration_ns,
+  TRY_CAST(round(value * 1000, 0) AS BIGINT) * 1000 AS duration_ns,
   CAST(user_id AS VARCHAR) AS user_id_dim,
   'unknown' AS region
 FROM events
 WHERE event_id % 3 = 0 AND event_id % 6 = 3 AND user_id % 4 <> 2
-  AND CAST(round(value * 1000, 0) AS BIGINT) * 1000 >= 30000000""",
+  AND TRY_CAST(round(value * 1000, 0) AS BIGINT) * 1000 >= 30000000""",
     )
 
     # countconnector over the TRACES signal (connector.go:167-189
@@ -3023,8 +3023,8 @@ GROUP BY 1, 2, 3""",
         f"""SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS svc,
   'E' || CAST({_K_SQL} % 7 AS VARCHAR) AS exc_type,
   count(*) AS value,
-  min(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS start_ts,
-  max(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS end_ts,
+  min(ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT))) AS start_ts,
+  max(ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT))) AS end_ts,
   'spanevent.count.exceptions' AS metric_name
 FROM events WHERE event_type = 'error'
 GROUP BY 1, 2""",
@@ -3054,7 +3054,7 @@ GROUP BY 1, 2""",
 
     q["exceptions_logs"] = Query(
         exc_logs_q,
-        f"""SELECT ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT)) AS ts,
+        f"""SELECT ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT)) AS ts,
   md5('t' || CAST(event_id AS VARCHAR)) AS trace_id,
   printf('%016x', event_id) AS span_id,
   17 AS severity_number, 'ERROR' AS severity_text,
@@ -3090,7 +3090,7 @@ FROM events WHERE event_type = 'error'""",
   UNION ALL
   SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR), 'op-error', {_KIND_SQL},
     'STATUS_CODE_ERROR', 'E' || CAST({_K_SQL} % 7 AS VARCHAR),
-    ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))
+    ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT))
   FROM events WHERE event_type = 'error')
 SELECT service_name, span_name, span_kind, status_code, "exception_type",
   count(*) AS events_total, min(ets) AS first_seen, max(ets) AS last_seen
@@ -3110,8 +3110,8 @@ FROM ev GROUP BY 1, 2, 3, 4, 5""",
   'E' || CAST({_K_SQL} % 7 AS VARCHAR) AS "exception_type",
   'boom error' AS "exception_message",
   count(*) AS exceptions_total,
-  min(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS first_seen,
-  max(ts + to_microseconds(CAST(round(value * 1000, 0) AS BIGINT))) AS last_seen,
+  min(ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT))) AS first_seen,
+  max(ts + to_microseconds(TRY_CAST(round(value * 1000, 0) AS BIGINT))) AS last_seen,
   arg_min(md5('t' || CAST(event_id AS VARCHAR)),
           md5(md5('t' || CAST(event_id AS VARCHAR)) || printf('%016x', event_id)))
     AS exemplar_trace_id,

@@ -181,3 +181,41 @@ def test_null_trace_id_single_group_across_batches(spark):
     assert selects[0]["attributes"]["pruning.span_count"] == "6"
     assert selects[0]["trace_id"] is None
     assert len([r for r in out if r["trace_id"] == "t9"]) == 1
+
+
+def test_nat_timestamps_in_aggregated_group(spark):
+    """NULL start/end timestamps arrive in Python as pd.NaT (not None)
+    after to_dict('records'); dur_ns must treat them as 0, duration
+    attributes must never be the literal string 'nan', the template
+    choice must stay deterministic, and the summary start/end skip NaT
+    members instead of letting all-False NaT comparisons pick an
+    order-dependent min/max."""
+    rows = [
+        _s("r", "", "root", 0, 100, kind=2),
+        # three identical leaves, the middle one with a NULL end_ts
+        _s("q0", "r", "SELECT x", 1, 3, {"db.operation": "s"}),
+        (
+            "t1", "q1", "r", "SELECT x", 3, _T0 + dt.timedelta(milliseconds=2),
+            None, 0, "", {"db.operation": "s"}, {}, "tracer",
+        ),
+        _s("q2", "r", "SELECT x", 3, 9, {"db.operation": "s"}),
+    ]
+    df = spark.createDataFrame(rows, _DDL)
+    out = span_pruning(
+        df, min_spans_to_aggregate=3, max_parent_depth=0,
+        group_by_attributes=("db.*",),
+    ).collect()
+    summaries = [r for r in out if r["name"] == "SELECT x"]
+    assert len(summaries) == 1
+    s = summaries[0]
+    attrs = s["attributes"]
+    for k in ("duration_min_ns", "duration_max_ns", "duration_total_ns",
+              "duration_avg_ns"):
+        v = attrs["pruning." + k]
+        assert v == str(int(v)), f"{k} not an exact int: {v!r}"
+    # NaT-duration member counts as 0 → min is 0, max is q2's 9 ms
+    assert attrs["pruning.duration_min_ns"] == "0"
+    assert attrs["pruning.duration_max_ns"] == str(9 * 10**6)
+    # summary window = union of DEFINED times (q1's NaT end skipped)
+    assert s["start_ts"] == _T0 + dt.timedelta(milliseconds=1)
+    assert s["end_ts"] == _T0 + dt.timedelta(milliseconds=12)

@@ -64,10 +64,18 @@ def build_fixture(src: str, dst: str) -> None:
         }
     )
     out = pd.concat([df, add], ignore_index=True)
-    pq.write_table(
-        pa.Table.from_pandas(out, preserve_index=False).cast(t.schema),
-        os.path.join(dst, "events.parquet"),
+    tbl = pa.Table.from_pandas(out, preserve_index=False).cast(t.schema)
+    # from_pandas folds NaN into Arrow NULL, so the float("nan") salt row
+    # above would silently become just another NULL; re-poke a genuine
+    # NaN double into that row (global index len(df)+1) so the sweep
+    # actually exercises NaN propagation, not only NULL handling
+    vidx = tbl.schema.get_field_index("value")
+    vals = tbl.column(vidx).to_pylist()
+    vals[len(df) + 1] = float("nan")
+    tbl = tbl.set_column(
+        vidx, tbl.schema.field(vidx), pa.array(vals, type=tbl.schema.field(vidx).type)
     )
+    pq.write_table(tbl, os.path.join(dst, "events.parquet"))
 
     t = pq.read_table(os.path.join(src, "embeddings.parquet"))
     df = t.to_pandas()
