@@ -1019,6 +1019,107 @@ LIMIT {k}
 """
 
 
+def lm_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: the mean
+    per-token surprisal of each document under the corpus's OWN unigram
+    distribution — the cheap perplexity proxy used to keep fluent text
+    and drop rare-token gibberish (Wenzek et al., "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data", LREC 2020,
+    which ranks docs by LM perplexity; the unigram self-model is the
+    zero-dependency analogue).
+
+    Per-token surprisal is quantized to WHOLE BITS and computed
+    integer-exactly: ``floor(log2(n_total / c))`` equals
+    ``bit_length(n_total DIV c) - 1`` (for any real x ≥ 1,
+    ``floor(log2(floor(x))) == floor(log2(x))`` because 2^k is an
+    integer), evaluated as the length of the quotient's binary string
+    — Spark ``conv(·, 10, 2)``, DuckDB ``bin(·)``.  No libm: like
+    ``doc_keywords``'s integer tf-rarity, ``ln``/``log2`` on doubles is
+    the one place two engines legitimately disagree in the last ulp, so
+    the score is defined in the integer domain and only the final
+    ``sum_bits / n_scored`` division is floating (exact IEEE division
+    of two integers — bit-identical everywhere).  Averaged over a
+    document's tokens the whole-bit quantization still separates
+    fluent text (common words, 3-8 bits each) from gibberish (rare
+    tokens, 15+ bits) — 2^mean ≈ unigram perplexity.
+
+    Scale shape at 100 TB: tokenize+explode is a projection; the
+    unigram table is ONE map-side-combined shuffle (vocabulary-sized
+    rows per partition after partial aggregation, Zipf head combines
+    map-side); per-word surprisal is computed once on the VOCABULARY
+    table (not per token) so the token⋈bits join ships one small side.
+    That join is left UNHINTED — a web-scale vocabulary is too large
+    to broadcast, both sides are word-keyed, and AQE broadcasts small
+    vocabularies / skew-splits the Zipf head otherwise.  The final
+    per-doc groupBy is map-side combinable (sum + count).
+
+    The corpus token total is collected as ONE scalar (a map-side
+    count over the token projection — metadata-sized, the same bounded
+    collect discipline as ``skew.heavy_hitters``) rather than as a
+    lazy one-row aggregate of the unigram table: the lazy form plans
+    the vocabulary shuffle TWICE (once under the total's broadcast,
+    once for the surprisal join — measured: exchange reuse does not
+    deduplicate across the broadcast boundary), doubling the heaviest
+    stage, where the count pass is a cheap full-map-side scan.
+
+    Output: ``(id, n_scored, sum_bits, mean_surprisal_bits)`` for every
+    input row; empty/NULL text → ``n_scored = 0`` and a NULL mean.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    n_total = toks.count()
+    bits = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "s",
+            (
+                F.length(F.conv(F.expr(f"CAST({n_total} AS BIGINT) DIV c"), 10, 2))
+                - F.lit(1)
+            ).cast("bigint"),
+        )
+        .select("w", "s")
+    )
+    doc = (
+        toks.join(bits, "w")
+        .groupBy(id_col)
+        .agg(F.sum("s").alias("sum_bits"), F.count(F.lit(1)).alias("n_scored"))
+    )
+    return (
+        df.select(id_col)
+        .join(doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_scored", F.lit(0)).cast("bigint").alias("n_scored"),
+            F.coalesce("sum_bits", F.lit(0)).cast("bigint").alias("sum_bits"),
+            F.when(F.col("n_scored") > 0, F.col("sum_bits") / F.col("n_scored"))
+            .alias("mean_surprisal_bits"),
+        )
+    )
+
+
+def duck_lm_surprisal(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w <> ''
+),
+freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+total AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+bits AS (SELECT w, CAST(length(bin(n // c)) - 1 AS BIGINT) AS s FROM freq, total),
+doc AS (SELECT doc_id, sum(s) AS sum_bits, count(*) AS n_scored
+        FROM toks JOIN bits USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(doc.n_scored, 0) AS BIGINT) AS n_scored,
+  CAST(coalesce(doc.sum_bits, 0) AS BIGINT) AS sum_bits,
+  CASE WHEN doc.n_scored > 0 THEN doc.sum_bits / doc.n_scored END AS mean_surprisal_bits
+FROM {table} d LEFT JOIN doc USING (doc_id)
+"""
+
+
 def doc_keywords(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -407,7 +407,11 @@ FROM res""",
         "embedding_near_dup",
         "ann_ivf_kmeans_topk",
         "multimodal_sniff",
-        "multimodal_features",
+        # (multimodal_features' flagship pin yields its slot to
+        # text_lm_score, the unigram-LM quality query NEW in the final
+        # r5 session — a new query needs its first driver row, and
+        # multimodal_features is multi-round green with unchanged code)
+        "text_lm_score",
         # D: the big r4 processors keep a trailing slot (double-green
         # r4 queries with unchanged code rotate out: the otlpjson exp
         # family, s2m_*, metrics_transform*, span_name_ops,
@@ -4160,6 +4164,13 @@ def _add_trainingdata_queries(q: dict[str, Query]) -> None:
             "punct_ratio", "stopword_ratio", "mean_word_len", "quality",
         ),
         TX.duck_quality(),
+    )
+    # CCNet-style unigram-LM quality (mean per-token surprisal in whole
+    # bits, integer-exact — see lm_surprisal's docstring for why the
+    # score avoids libm log)
+    q["text_lm_score"] = Query(
+        lambda spark, sf: TX.lm_surprisal(_docs(spark, sf)),
+        TX.duck_lm_surprisal(),
     )
     q["text_fingerprint"] = Query(
         lambda spark, sf: TX.fingerprint(_docs(spark, sf)).select(

@@ -938,3 +938,38 @@ def test_degenerate_embeddings_do_not_crash(spark):
     assert by[0] is not None
     cents = S.ivf_kmeans_centroids(df, n_centroids=2, dim=d, iters=1)
     assert len(cents) >= 1  # trains on the 3 valid vectors, no crash
+
+
+def test_lm_surprisal_hand_computed(spark):
+    """Unigram self-model, hand-checked: corpus 'a a b' / 'a c' / ''
+    gives counts a=3 b=1 c=1, n=5; per-token bits are
+    floor(log2(5 DIV 3)) = 0 for 'a' and floor(log2(5)) = 2 for the
+    singletons.  Empty text scores 0 tokens with a NULL mean."""
+    from sparkotel.functions.text import lm_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_surprisal(df).collect()}
+    assert rows[1]["n_scored"] == 3 and rows[1]["sum_bits"] == 2
+    assert rows[1]["mean_surprisal_bits"] == pytest.approx(2 / 3)
+    assert rows[2]["n_scored"] == 2 and rows[2]["sum_bits"] == 2
+    assert rows[2]["mean_surprisal_bits"] == 1.0
+    assert rows[3]["n_scored"] == 0 and rows[3]["sum_bits"] == 0
+    assert rows[3]["mean_surprisal_bits"] is None
+
+
+def test_lm_surprisal_null_text_and_rare_token_ordering(spark):
+    """NULL text behaves like empty (tokenizer yields no rows), and a
+    doc made of corpus-rare tokens scores strictly more bits than one
+    made of the corpus-common token — the filtering signal the score
+    exists for."""
+    from sparkotel.functions.text import lm_surprisal
+
+    common = " ".join(["the"] * 50)
+    df = spark.createDataFrame(
+        [(1, common), (2, "zq xv"), (3, None)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_surprisal(df).collect()}
+    assert rows[3]["n_scored"] == 0 and rows[3]["mean_surprisal_bits"] is None
+    assert rows[2]["mean_surprisal_bits"] > rows[1]["mean_surprisal_bits"]
