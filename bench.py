@@ -118,6 +118,7 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
     from sparkotel.functions.text import (
         corpus_keep,
         decontaminate,
+        lm_surprisal,
         repetition_features,
     )
     from sparkotel.functions.htmltext import main_text
@@ -139,6 +140,7 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
         "decontaminate": best_of(
             lambda: _noop(decontaminate(docs, docs.filter("doc_id % 97 = 0")))
         ),
+        "text_lm_score": best_of(lambda: _noop(lm_surprisal(docs))),
         "ann_cosine_topk": best_of(lambda: _noop(brute_force_topk(emb, [0, 1, 2, 3, 4]))),
     }
 
