@@ -973,3 +973,55 @@ def test_lm_surprisal_null_text_and_rare_token_ordering(spark):
     rows = {r["doc_id"]: r for r in lm_surprisal(df).collect()}
     assert rows[3]["n_scored"] == 0 and rows[3]["mean_surprisal_bits"] is None
     assert rows[2]["mean_surprisal_bits"] > rows[1]["mean_surprisal_bits"]
+
+
+def test_lm_surprisal_property_vs_brute_force(spark):
+    """Property: lm_surprisal over random small corpora equals an
+    independent pure-Python unigram model (Counter + int.bit_length).
+    One Spark run per example would be minutes, so hypothesis drives
+    corpus GENERATION only and the examples batch into a single Spark
+    job per draw."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sparkotel.functions.text import lm_surprisal
+
+    def brute(texts):
+        toks = {
+            i: [w for w in (t.split(" ") if t is not None else []) if w != ""]
+            for i, t in enumerate(texts)
+        }
+        freq = Counter(w for ws in toks.values() for w in ws)
+        n = sum(freq.values())
+        out = {}
+        for i, ws in toks.items():
+            sbits = sum((n // freq[w]).bit_length() - 1 for w in ws)
+            out[i] = (
+                len(ws),
+                sbits,
+                (sbits / len(ws)) if ws else None,
+            )
+        return out
+
+    word = st.sampled_from(["", "a", "b", "c", "ab", "the", "zq", "é"])
+    doc = st.one_of(
+        st.none(), st.lists(word, min_size=0, max_size=16).map(" ".join)
+    )
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(st.lists(doc, min_size=1, max_size=10))
+    def go(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_scored"], r["sum_bits"], r["mean_surprisal_bits"])
+            for r in lm_surprisal(df).collect()
+        }
+        assert got == brute(texts)
+
+    go()
