@@ -1055,14 +1055,19 @@ def lm_surprisal(
     vocabularies / skew-splits the Zipf head otherwise.  The final
     per-doc groupBy is map-side combinable (sum + count).
 
-    The corpus token total is collected as ONE scalar (a map-side
-    count over the token projection — metadata-sized, the same bounded
-    collect discipline as ``skew.heavy_hitters``) rather than as a
-    lazy one-row aggregate of the unigram table: the lazy form plans
-    the vocabulary shuffle TWICE (once under the total's broadcast,
-    once for the surprisal join — measured: exchange reuse does not
-    deduplicate across the broadcast boundary), doubling the heaviest
-    stage, where the count pass is a cheap full-map-side scan.
+    The corpus token total is a LAZY one-row aggregate over the token
+    projection, broadcast-cross-joined onto the vocabulary — not an
+    eager ``toks.count()`` (which would freeze the total at
+    DataFrame-construction time and silently mismatch freq if the
+    source gains files before the action runs), and not an aggregate
+    of the unigram table itself (that form plans the vocabulary
+    shuffle TWICE — once under the total's broadcast, once for the
+    surprisal join; measured: exchange reuse does not deduplicate
+    across the broadcast boundary, doubling the heaviest stage).  The
+    total's subtree re-scans the token projection, but that is a
+    cheap full-map-side count — the same extra scan the eager count
+    paid, now snapshot-consistent because both branches share one
+    scan relation.
 
     Output: ``(id, n_scored, sum_bits, mean_surprisal_bits)`` for every
     input row; empty/NULL text → ``n_scored = 0`` and a NULL mean.
@@ -1070,16 +1075,16 @@ def lm_surprisal(
     toks = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
     ).filter(F.col("w") != "")
-    n_total = toks.count()
+    total = toks.agg(F.count(F.lit(1)).cast("bigint").alias("_n_total"))
     bits = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(total))
         .withColumn(
             "s",
-            (
-                F.length(F.conv(F.expr(f"CAST({n_total} AS BIGINT) DIV c"), 10, 2))
-                - F.lit(1)
-            ).cast("bigint"),
+            (F.length(F.conv(F.expr("_n_total DIV c"), 10, 2)) - F.lit(1)).cast(
+                "bigint"
+            ),
         )
         .select("w", "s")
     )

@@ -1405,14 +1405,14 @@ def trace_proto_sizes(
     cols = [trace_col, "proto_bytes"] + (["arrival_us"] if with_arrival else [])
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        # ONE pandas sort + ONE to_dict per Arrow batch; the per-trace
-        # loop is pure python (itertools.groupby over contiguous
-        # records).  A per-trace pdf.groupby/sort_values costs ~ms of
-        # pandas overhead per 2-row group — measured 13 s for 4k traces
-        # at sf0.01 — where this shape is ~µs per trace.
-        pdf = pdf.sort_values(
-            [trace_col, "scope_name", "start_ts", "span_id"], kind="mergesort"
-        )
+        # Rows arrive fully sorted: the Spark-side partition sort below
+        # carries all four keys (Tungsten, spillable) and the tail-carry
+        # concatenation preserves stream order, so no pandas re-sort is
+        # needed — ONE to_dict per Arrow batch, and the per-trace loop is
+        # pure python (itertools.groupby over contiguous records).  A
+        # per-trace pdf.groupby/sort_values costs ~ms of pandas overhead
+        # per 2-row group — measured 13 s for 4k traces at sf0.01 —
+        # where this shape is ~µs per trace.
         out: dict = {c: [] for c in cols}
         for tid, g in itertools.groupby(
             pdf.to_dict("records"), key=lambda r: r[trace_col]
@@ -1440,6 +1440,6 @@ def trace_proto_sizes(
         schema += ", arrival_us long"
     return (
         keyed.repartition(F.col(trace_col))
-        .sortWithinPartitions(trace_col)
+        .sortWithinPartitions(trace_col, "scope_name", "start_ts", "span_id")
         .mapInPandas(encode_stream, schema)
     )

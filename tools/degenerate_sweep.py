@@ -33,7 +33,14 @@ def build_fixture(src: str, dst: str) -> None:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     for f in os.listdir(src):
-        shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+        # A fixture dir may hold directory-shaped tables (Spark-written
+        # <table>.parquet/ with part files) or metadata dirs alongside
+        # single-file parquet — copy both shapes instead of crashing.
+        s, d = os.path.join(src, f), os.path.join(dst, f)
+        if os.path.isdir(s):
+            shutil.copytree(s, d)
+        else:
+            shutil.copy(s, d)
 
     t = pq.read_table(os.path.join(src, "documents.parquet"))
     add = pd.DataFrame(
