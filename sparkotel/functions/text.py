@@ -680,6 +680,147 @@ GROUP BY d.doc_id
 """
 
 
+def _dup_fold(sorted_elems: Column) -> Column:
+    """fold a SORTED element array into (dcnt, dchars) duplicate totals —
+    dcnt = number of elements in runs longer than one (ALL occurrences,
+    the same convention as ``_run_fold``'s dup arm), dchars = sum of
+    count*len over those runs.  Single pass over adjacent runs; the ''
+    sentinel can't collide (callers filter empty elements)."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dcnt"),
+        zero.alias("dchars"),
+    )
+
+    def _close(acc):
+        dup = acc["run"] > 1
+        return (
+            acc["dcnt"] + F.when(dup, acc["run"]).otherwise(zero),
+            acc["dchars"]
+            + F.when(dup, acc["run"] * F.length(acc["prev"])).otherwise(zero),
+        )
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        cnt, chars = _close(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["dcnt"]).otherwise(cnt).alias("dcnt"),
+            F.when(same, acc["dchars"]).otherwise(chars).alias("dchars"),
+        )
+
+    def finish(acc):
+        cnt, chars = _close(acc)
+        return F.struct(cnt.alias("dcnt"), chars.alias("dchars"))
+
+    return F.aggregate(sorted_elems, init, merge, finish)
+
+
+def line_dup_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher paper's OTHER four repetition signals (Rae et al. 2021,
+    Table A1 — public): fraction of duplicate LINES / PARAGRAPHS per
+    document, by count and by character mass.  Complements
+    ``repetition_features`` (which covers the word-n-gram arms); the
+    standard web-corpus thresholds drop docs with dup-line frac > 0.30,
+    dup-paragraph frac > 0.30, or dup char fracs > 0.20.
+
+    Structure is literal: lines split on ``\\n``, paragraphs on runs of
+    two-or-more newlines (``\\n{2,}``) — a paragraph keeps its interior
+    single newlines, so its char length counts them; normalize CRLF
+    upstream.  Empty elements are dropped from both counts.  "Duplicate"
+    counts ALL occurrences of any element appearing more than once
+    within the document (same convention as the dup-n-gram arm).  Char
+    denominators use the full document length, count denominators the
+    non-empty element count; empty/NULL text → 0.0 everywhere
+    (``try_divide``: a zero divisor must not kill the job under ANSI).
+
+    Scale shape: a PURE PROJECTION like ``repetition_features`` — two
+    splits, two array_sorts, two single-pass folds per document, no row
+    needs another row, zero shuffle, linear in input splits.
+    """
+    c = F.col(text_col)
+    nonempty = lambda arr: F.filter(arr, lambda s: s != "")  # noqa: E731
+    n_chars = F.length(c).cast("bigint")
+    out = [F.col(id_col)]
+    for name, sep in (("line", r"\n"), ("para", r"\n{2,}")):
+        elems = nonempty(F.split(c, sep))
+        r = _dup_fold(F.array_sort(elems))
+        out.append(
+            F.coalesce(
+                F.round(F.try_divide(r["dcnt"], F.size(elems)), 6), F.lit(0.0)
+            ).alias(f"dup_{name}_frac")
+        )
+        out.append(
+            F.coalesce(
+                F.round(F.try_divide(r["dchars"], n_chars), 6), F.lit(0.0)
+            ).alias(f"dup_{name}_char_frac")
+        )
+    return df.select(*out)
+
+
+def lined_text(c: Column) -> Column:
+    """Deterministic multi-line rendering of the fixture's flat word-soup
+    text, so line/paragraph structure exists to measure: every word is
+    emitted with a following separator — a paragraph break after the
+    sentence-final stand-in word ``table``, a line break after any other
+    word ending in ``e``, a space otherwise.  Content-derived (not
+    positional) so repeated word runs become repeated lines.  Mirrored
+    verbatim in ``duck_lined_text``."""
+    ws = F.filter(words(F.coalesce(c, F.lit(""))), lambda w: w != "")
+    return F.array_join(
+        F.transform(
+            ws,
+            lambda w: F.concat(
+                w,
+                F.when(w == "table", F.lit("\n\n"))
+                .when(w.endswith("e"), F.lit("\n"))
+                .otherwise(F.lit(" ")),
+            ),
+        ),
+        "",
+    )
+
+
+def duck_lined_text(col: str = "text") -> str:
+    """DuckDB twin of ``lined_text`` (1-element lambdas; LIKE '%e')."""
+    return (
+        f"list_aggregate(list_transform("
+        f"list_filter(string_split(coalesce({col}, ''), ' '), w -> w <> ''),"
+        f" w -> w || CASE WHEN w = 'table' THEN chr(10)||chr(10)"
+        f" WHEN w LIKE '%e' THEN chr(10) ELSE ' ' END), 'string_agg', '')"
+    )
+
+
+def duck_line_dup(table: str = "documents") -> str:
+    arms = []
+    for name, sep in (("line", r"\n"), ("para", r"\n{2,}")):
+        arms.append(
+            f"{name}s AS (SELECT doc_id, e FROM (SELECT doc_id,"
+            f" unnest(string_split_regex(t, '{sep}')) AS e FROM d) WHERE e <> ''),\n"
+            f"{name}c AS (SELECT doc_id, e, count(*) AS c, length(e) AS len"
+            f" FROM {name}s GROUP BY doc_id, e),\n"
+            f"{name}a AS (SELECT doc_id, sum(c) AS n,"
+            f" sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dcnt,"
+            f" sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dchars"
+            f" FROM {name}c GROUP BY doc_id)"
+        )
+    return f"""
+WITH d AS (SELECT doc_id, {duck_lined_text('text')} AS t FROM {table}),
+{",".join(arms)}
+SELECT d.doc_id,
+  coalesce(round(linea.dcnt / CAST(linea.n AS DOUBLE), 6), 0.0) AS dup_line_frac,
+  coalesce(round(linea.dchars / CAST(length(d.t) AS DOUBLE), 6), 0.0) AS dup_line_char_frac,
+  coalesce(round(paraa.dcnt / CAST(paraa.n AS DOUBLE), 6), 0.0) AS dup_para_frac,
+  coalesce(round(paraa.dchars / CAST(length(d.t) AS DOUBLE), 6), 0.0) AS dup_para_char_frac
+FROM d LEFT JOIN linea USING (doc_id) LEFT JOIN paraa USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # cross-document repeated-span scrubbing (ExactSubstr-flavored)
 # ---------------------------------------------------------------------------

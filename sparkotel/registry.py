@@ -406,7 +406,10 @@ FROM res""",
         "pack_sequences",
         "embedding_near_dup",
         "ann_ivf_kmeans_topk",
-        "multimodal_sniff",
+        # (multimodal_sniff's flagship pin — multi-round green, unchanged
+        # code — yields its slot to text_line_dup, the Gopher duplicate-
+        # line/paragraph query NEW in the final r5 session)
+        "text_line_dup",
         # (multimodal_features' flagship pin yields its slot to
         # text_lm_score, the unigram-LM quality query NEW in the final
         # r5 session — a new query needs its first driver row, and
@@ -4419,6 +4422,17 @@ FROM g""",
         lambda spark, sf: TX.repetition_features(_docs(spark, sf)),
         TX.duck_repetition(),
     )
+    # Gopher's other four repetition rules: duplicate line / paragraph
+    # fractions by count and char mass.  The fixture text is flat word
+    # soup, so structure is synthesized content-derived (lined_text:
+    # paragraph break after 'table', line break after words ending in
+    # 'e') — at sf0.01 ~100 docs carry dup lines and a few dup
+    # paragraphs, so both arms measure real variation.
+    def _line_dup(spark, sf):
+        d = _docs(spark, sf).select("doc_id", TX.lined_text(F.col("text")).alias("t"))
+        return TX.line_dup_features(d, text_col="t")
+
+    q["text_line_dup"] = Query(_line_dup, TX.duck_line_dup())
     # cross-document repeated-span scrubbing (ExactSubstr-flavored):
     # w=4 so the synthetic corpus yields a non-trivial mix (some docs
     # scrubbed, some untouched)

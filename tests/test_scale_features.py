@@ -1025,3 +1025,81 @@ def test_lm_surprisal_property_vs_brute_force(spark):
         assert got == brute(texts)
 
     go()
+
+
+def test_line_dup_features_hand_computed(spark):
+    """Gopher line/paragraph duplicate fractions, hand-checked.
+
+    Doc 1: "x\ny\nx\n\nx\ny" — lines [x,y,x,x,y] (all 1 char): every
+    line occurs >1, so dup_line_frac = 5/5 = 1 and dup chars = 5 over
+    length 10.  Paragraphs ["x\ny\nx", "x\ny"] differ → 0.
+    Doc 2: "ab\ncd" — no duplicates anywhere.
+    Doc 3: "p\n\np\n\nq" — paragraphs [p,p,q]: dup_para_frac = 2/3,
+    dup chars 2 over length 7; lines [p,p,q] identically.
+    Empty (4) and NULL (5) text → all zeros.
+    """
+    from sparkotel.functions.text import line_dup_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "x\ny\nx\n\nx\ny"),
+            (2, "ab\ncd"),
+            (3, "p\n\np\n\nq"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dup_features(df).collect()}
+    assert rows[1]["dup_line_frac"] == 1.0
+    assert rows[1]["dup_line_char_frac"] == 0.5
+    assert rows[1]["dup_para_frac"] == 0.0
+    assert rows[1]["dup_para_char_frac"] == 0.0
+    assert rows[2] == (2, 0.0, 0.0, 0.0, 0.0)
+    assert rows[3]["dup_para_frac"] == round(2 / 3, 6)
+    assert rows[3]["dup_para_char_frac"] == round(2 / 7, 6)
+    assert rows[3]["dup_line_frac"] == round(2 / 3, 6)
+    assert rows[4] == (4, 0.0, 0.0, 0.0, 0.0)
+    assert rows[5] == (5, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_line_dup_features_brute_force_property(spark):
+    """Random multi-line docs vs an independent Counter-based brute
+    force of the same definition (all-occurrence duplicate counting,
+    non-empty elements, char mass over full length)."""
+    import random
+    import re
+    from collections import Counter
+
+    from sparkotel.functions.text import line_dup_features
+
+    rng = random.Random(7)
+    vocab = ["aa", "b", "ccc", "dd"]
+    docs = []
+    for i in range(40):
+        parts = []
+        for _ in range(rng.randrange(0, 12)):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice([" ", "\n", "\n\n", "\n\n\n"]))
+        docs.append((i, "".join(parts)))
+
+    def brute(t):
+        out = []
+        for elems in (
+            [e for e in t.split("\n") if e],
+            [e for e in re.split(r"\n{2,}", t) if e],
+        ):
+            c = Counter(elems)
+            dcnt = sum(v for v in c.values() if v > 1)
+            dchars = sum(v * len(e) for e, v in c.items() if v > 1)
+            n = len(elems)
+            out.append(round(dcnt / n, 6) if n else 0.0)
+            out.append(round(dchars / len(t), 6) if t else 0.0)
+        return tuple(out)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in line_dup_features(df).collect()}
+    for i, t in docs:
+        import pytest as _pytest
+
+        assert got[i] == _pytest.approx(brute(t)), (i, t)
