@@ -821,6 +821,94 @@ FROM d LEFT JOIN linea USING (doc_id) LEFT JOIN paraa USING (doc_id)
 """
 
 
+def host_boilerplate_scrub(
+    df: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pages: int = 2,
+) -> DataFrame:
+    """Remove host-scoped boilerplate LINES: any non-empty line present
+    in >= ``min_pages`` DISTINCT pages of the same host is nav/footer/
+    cookie-banner chrome, not content — the line-level cleaning step
+    CCNet applies per shard (Wenzek et al., LREC 2020, which drops
+    duplicated paragraphs before LM scoring) and WET-style extractors
+    apply per site.  Complements ``scrub_repeated_spans`` (corpus-wide
+    word grams) with the web-specific unit: same-site repeated lines.
+
+    Returns (id, host, clean_text, n_lines_removed).  Empty lines are
+    never eligible (they would match across every page) and are kept,
+    so surviving structure is byte-stable; a line repeated WITHIN one
+    page only is kept (distinct-page count, not occurrence count).
+
+    Scale shape (mirrors ``scrub_repeated_spans``): lines explode as a
+    projection; the (host, line) page count is one combinable hash
+    aggregate — keyed by host+line, so one site's chrome never
+    concentrates on a task; the flagged set is the OUTPUT of a
+    frequency filter (aggregate-sized per host) joined back by key,
+    unhinted so AQE broadcasts it only when actually small; per-doc
+    drop positions are a bounded collect_list (<= lines per doc); the
+    rewrite is a pure indexed array filter on the original row — the
+    document body itself is never reassembled through a shuffle.
+    """
+    arr = F.split(F.col(text_col), r"\n")
+    lines = df.select(
+        F.col(host_col).alias("h"),
+        F.col(id_col).alias("id"),
+        F.posexplode(arr).alias("pos", "l"),
+    ).filter(F.col("l") != "")
+    flagged = (
+        lines.groupBy("h", "l")
+        .agg(F.count_distinct("id").alias("npages"))
+        .filter(F.col("npages") >= min_pages)
+        .select("h", "l")
+    )
+    hits = (
+        lines.join(flagged, ["h", "l"])
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("drops"))
+    )
+    joined = df.join(hits, df[id_col] == hits["id"], "left")
+    drops = F.coalesce(F.col("drops"), F.array().cast("array<int>"))
+    # posexplode positions are 0-based; Spark's indexed lambda i is too
+    clean = F.filter(arr, lambda x, i: ~F.array_contains(drops, i))
+    return joined.select(
+        F.col(id_col),
+        F.col(host_col),
+        F.concat_ws("\n", clean).alias("clean_text"),
+        (F.size(arr) - F.size(clean)).cast("bigint").alias("n_lines_removed"),
+    )
+
+
+def duck_host_boilerplate(inner: str, min_pages: int = 2) -> str:
+    """Oracle twin over ``inner`` = a subquery yielding
+    (doc_id, host, text).  DuckDB list positions are 1-based where
+    Spark's posexplode/indexed lambdas are 0-based — generate_subscripts
+    minus one keeps the drop sets identical."""
+    return f"""
+WITH src AS ({inner}),
+d AS (SELECT doc_id, host, string_split(text, chr(10)) AS arr FROM src),
+ln AS (
+  SELECT doc_id, host, t.l AS l, t.pos AS pos FROM (
+    SELECT doc_id, host,
+      unnest(list_transform(arr, (x, i) -> {{'l': x, 'pos': i - 1}})) AS t
+    FROM d) WHERE t.l <> ''
+),
+fl AS (SELECT host, l FROM ln GROUP BY host, l
+       HAVING count(DISTINCT doc_id) >= {min_pages}),
+hits AS (SELECT doc_id, list_sort(list(pos)) AS drops
+         FROM ln JOIN fl USING (host, l) GROUP BY doc_id),
+fin AS (
+  SELECT d.doc_id, d.host, arr,
+    list_filter(arr, (x, i) -> NOT list_contains(coalesce(drops, []), i - 1)) AS cl
+  FROM d LEFT JOIN hits USING (doc_id)
+)
+SELECT doc_id, host, array_to_string(cl, chr(10)) AS clean_text,
+  CAST(len(arr) - len(cl) AS BIGINT) AS n_lines_removed
+FROM fin
+"""
+
+
 # ---------------------------------------------------------------------------
 # cross-document repeated-span scrubbing (ExactSubstr-flavored)
 # ---------------------------------------------------------------------------

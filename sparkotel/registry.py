@@ -390,7 +390,10 @@ FROM res""",
         # (unroll_words' second-row pin yields its slot to the unhinted
         # cardinality_guardian join-back, changed this round)
         "cardinality_guardian",
-        "round_robin_shards",
+        # (round_robin_shards' r4-upgrade pin — green r4, unchanged code
+        # — yields its slot to host_boilerplate_scrub, the CCNet-style
+        # host-scoped boilerplate line scrub NEW in the final r5 session)
+        "host_boilerplate_scrub",
         "dedup_ngram_jaccard",
         "dedup_clusters",
         "text_scrub_spans",
@@ -4433,6 +4436,34 @@ FROM g""",
         return TX.line_dup_features(d, text_col="t")
 
     q["text_line_dup"] = Query(_line_dup, TX.duck_line_dup())
+
+    # CCNet/WET host-scoped boilerplate line removal: each synthetic
+    # host (doc_id % 40 → ~12 pages/host at sf0.01) shares a header and
+    # footer line, which must be scrubbed from every page; lined_text
+    # content lines are mostly page-unique but occasionally repeat
+    # within a host, so some organic content is scrubbed too.
+    def _host_pages(spark, sf):
+        d = _docs(spark, sf)
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))
+        t = F.concat_ws(
+            "\n",
+            F.concat(F.lit("home | about | "), host),
+            TX.lined_text(F.col("text")),
+            F.concat(F.lit("(c) 2024 "), host),
+        )
+        return d.select("doc_id", host.alias("host"), t.alias("text"))
+
+    _host_inner = (
+        "SELECT doc_id, 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,"
+        " 'home | about | h' || CAST(doc_id % 40 AS VARCHAR) || chr(10) || "
+        + TX.duck_lined_text("text")
+        + " || chr(10) || '(c) 2024 h' || CAST(doc_id % 40 AS VARCHAR) AS text"
+        " FROM documents"
+    )
+    q["host_boilerplate_scrub"] = Query(
+        lambda spark, sf: TX.host_boilerplate_scrub(_host_pages(spark, sf)),
+        TX.duck_host_boilerplate(_host_inner),
+    )
     # cross-document repeated-span scrubbing (ExactSubstr-flavored):
     # w=4 so the synthetic corpus yields a non-trivial mix (some docs
     # scrubbed, some untouched)

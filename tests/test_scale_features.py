@@ -1103,3 +1103,61 @@ def test_line_dup_features_brute_force_property(spark):
         import pytest as _pytest
 
         assert got[i] == _pytest.approx(brute(t)), (i, t)
+
+
+def test_host_boilerplate_scrub_hand_computed(spark):
+    """Host h1 has two pages sharing a 'nav' line (scrubbed from both)
+    and a 'body' line repeated WITHIN page 1 only (kept — distinct-page
+    count, not occurrences).  Host h2's single page shares h1's nav
+    text but is alone on its host, so nothing is scrubbed there.  Empty
+    lines are never eligible and survive in place."""
+    from sparkotel.functions.text import host_boilerplate_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "h1", "nav\nbody\n\nbody\ntail1"),
+            (2, "h1", "nav\ntail2"),
+            (3, "h2", "nav\nonly"),
+        ],
+        "doc_id long, host string, text string",
+    )
+    rows = {r["doc_id"]: r for r in host_boilerplate_scrub(df).collect()}
+    assert rows[1]["clean_text"] == "body\n\nbody\ntail1"
+    assert rows[1]["n_lines_removed"] == 1
+    assert rows[2]["clean_text"] == "tail2"
+    assert rows[2]["n_lines_removed"] == 1
+    assert rows[3]["clean_text"] == "nav\nonly"
+    assert rows[3]["n_lines_removed"] == 0
+
+
+def test_host_boilerplate_scrub_brute_force_property(spark):
+    """Random multi-host corpora vs an independent brute force of the
+    definition: a non-empty line is dropped iff it appears in >=2
+    distinct pages of the SAME host."""
+    import random
+    from collections import defaultdict
+
+    from sparkotel.functions.text import host_boilerplate_scrub
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", ""]
+    docs = []
+    for i in range(60):
+        host = f"h{rng.randrange(4)}"
+        lines = [rng.choice(vocab) for _ in range(rng.randrange(0, 7))]
+        docs.append((i, host, "\n".join(lines)))
+
+    pages = defaultdict(set)
+    for i, h, t in docs:
+        for l in t.split("\n"):
+            if l:
+                pages[(h, l)].add(i)
+
+    def brute(h, t):
+        kept = [l for l in t.split("\n") if not (l and len(pages[(h, l)]) >= 2)]
+        return "\n".join(kept), len(t.split("\n")) - len(kept)
+
+    df = spark.createDataFrame(docs, "doc_id long, host string, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_lines_removed"]) for r in host_boilerplate_scrub(df).collect()}
+    for i, h, t in docs:
+        assert got[i] == brute(h, t), (i, h, t)
