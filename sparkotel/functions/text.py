@@ -821,6 +821,147 @@ FROM d LEFT JOIN linea USING (doc_id) LEFT JOIN paraa USING (doc_id)
 """
 
 
+# Rae et al. 2021 (Gopher), Table A1: the document must contain at
+# least two of these words to survive the stop-word rule.
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    required: tuple = GOPHER_REQUIRED_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The COMPLETE published Gopher quality-rule battery (Rae et al.
+    2021, Table A1) as one projection — the signals ``quality_features``
+    (length/punct/stopword-density) and ``repetition_features`` /
+    ``line_dup_features`` (repetition) do not cover:
+
+    - word count in [min_words, max_words] (paper: 50 .. 100k)
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio (``#`` or ellipsis) <= 0.1
+    - fraction of lines starting with a bullet (``- ``/``* ``/``• ``)
+      <= 0.9
+    - fraction of lines ending with an ellipsis (``...``/``…``) <= 0.3
+    - >= 80% of words contain at least one alphabetic character
+    - document contains >= 2 of the ``required`` stop words
+
+    Words split on any whitespace run (so the multi-line unit and the
+    word unit stay consistent); lines on ``\\n``; empty elements drop
+    from both.  Ratios are rounded to 6 places and the ``keep`` verdict
+    is computed FROM the rounded values, so the boolean is bit-stable
+    across engines.  Empty/NULL text → NULL ratios and keep = false.
+
+    Scale shape: a PURE PROJECTION — two splits + bounded per-row
+    folds, zero shuffle, linear in input splits.
+    """
+    c = F.col(text_col)
+    base = df.withColumns(
+        {
+            "_ws": F.filter(F.split(c, r"\s+"), lambda w: w != ""),
+            "_lines": F.filter(F.split(c, r"\n"), lambda l: l != ""),
+        }
+    )
+    ws, lines = F.col("_ws"), F.col("_lines")
+    n_words = F.size(ws).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0))).cast(
+        "bigint"
+    )
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* ") | l.startswith("• "),
+        )
+    ).cast("bigint")
+    n_ell = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("bigint")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("bigint")
+    n_req = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in required]),
+            lambda s: F.array_contains(ws, s),
+        )
+    ).cast("bigint")
+    mean_wl = F.round(F.try_divide(word_chars, n_words), 6)
+    sym_r = F.round(F.try_divide(n_sym, n_words), 6)
+    bullet_r = F.round(F.try_divide(n_bullet, n_lines), 6)
+    ell_r = F.round(F.try_divide(n_ell, n_lines), 6)
+    alpha_r = F.round(F.try_divide(n_alpha, n_words), 6)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym_r <= 0.1)
+        & (bullet_r <= 0.9)
+        & (ell_r <= 0.3)
+        & (alpha_r >= 0.8)
+        & (n_req >= 2)
+    )
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_r.alias("symbol_word_ratio"),
+        bullet_r.alias("bullet_line_frac"),
+        ell_r.alias("ellipsis_line_frac"),
+        alpha_r.alias("alpha_word_frac"),
+        n_req.alias("n_required_stopwords"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )
+
+
+def duck_gopher_rules(
+    inner: str,
+    required: tuple = GOPHER_REQUIRED_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    """Oracle twin over ``inner`` = a subquery yielding (doc_id, text)."""
+    req = ", ".join(f"'{s}'" for s in required)
+    return f"""
+WITH src AS ({inner}),
+b AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+    list_filter(string_split_regex(text, '\\n'), l -> l <> '') AS lines,
+    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym
+  FROM src
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    round(coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum'), 0)
+          / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS mean_word_len,
+    round(n_sym / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS symbol_word_ratio,
+    round(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+          / CAST(nullif(len(lines), 0) AS DOUBLE), 6) AS bullet_line_frac,
+    round(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+          / CAST(nullif(len(lines), 0) AS DOUBLE), 6) AS ellipsis_line_frac,
+    round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+          / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS alpha_word_frac,
+    CAST(len(list_filter([{req}], s -> list_contains(ws, s))) AS BIGINT)
+      AS n_required_stopwords
+  FROM b
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+  ellipsis_line_frac, alpha_word_frac, n_required_stopwords,
+  coalesce(n_words >= {min_words} AND n_words <= {max_words}
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+    AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+    AND n_required_stopwords >= 2, false) AS keep
+FROM m
+"""
+
+
 def host_boilerplate_scrub(
     df: DataFrame,
     host_col: str = "host",

@@ -406,7 +406,10 @@ FROM res""",
         "route_resource_ctx",
         "text_pii_scrub",
         "text_chunks",
-        "pack_sequences",
+        # (pack_sequences' r4 single-green pin — unchanged code, strong
+        # pytest — yields its slot to gopher_rules, the complete Gopher
+        # Table-A1 battery NEW in the final r5 session)
+        "gopher_rules",
         "embedding_near_dup",
         "ann_ivf_kmeans_topk",
         # (multimodal_sniff's flagship pin — multi-round green, unchanged
@@ -4463,6 +4466,49 @@ FROM g""",
     q["host_boilerplate_scrub"] = Query(
         lambda spark, sf: TX.host_boilerplate_scrub(_host_pages(spark, sf)),
         TX.duck_host_boilerplate(_host_inner),
+    )
+
+    # The complete Gopher Table-A1 rule battery.  Fixture texture: word
+    # counts span 10..99 natively so the 50-word floor splits `keep`;
+    # 'the'/'a' presence varies so the stop-word rule (fixture-adapted
+    # required list: the paper's eight plus 'a', the only two in the
+    # generator vocabulary) splits it again; deterministic decorations
+    # exercise each remaining rule — an all-bullet page (doc_id%29,
+    # fails ONLY the bullet rule: 66 words, alpha 56/66 ≥ 0.8), a
+    # 3-bullet-line prefix, an ellipsis-line suffix, and a '### ## #'
+    # prefix whose hash words also dent alpha_word_frac.
+    _G_REQ = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
+    _G_BULLET_PAGE = "- the a big fast table value\n" * 9 + "- end line"
+
+    def _gopher_docs(spark, sf):
+        d = _docs(spark, sf)
+        did = F.col("doc_id")
+        t = TX.lined_text(F.col("text"))
+        t2 = (
+            F.when(did % 29 == 0, F.lit(_G_BULLET_PAGE))
+            .when(did % 7 == 0, F.concat(F.lit("- one\n- two\n- three\n"), t))
+            .when(did % 7 == 1, F.concat(t, F.lit("\nsee more...\nnext page…")))
+            .when(did % 7 == 2, F.concat(F.lit("### ## # "), t))
+            .otherwise(t)
+        )
+        return d.select("doc_id", t2.alias("text"))
+
+    _g_bullet_sql = _G_BULLET_PAGE.replace("\n", "' || chr(10) || '")
+    _gopher_inner = (
+        "SELECT doc_id, CASE"
+        f" WHEN doc_id % 29 = 0 THEN '{_g_bullet_sql}'"
+        " WHEN doc_id % 7 = 0 THEN '- one' || chr(10) || '- two' || chr(10) ||"
+        f" '- three' || chr(10) || {TX.duck_lined_text('text')}"
+        f" WHEN doc_id % 7 = 1 THEN {TX.duck_lined_text('text')} || chr(10) ||"
+        " 'see more...' || chr(10) || 'next page…'"
+        f" WHEN doc_id % 7 = 2 THEN '### ## # ' || {TX.duck_lined_text('text')}"
+        f" ELSE {TX.duck_lined_text('text')} END AS text FROM documents"
+    )
+    q["gopher_rules"] = Query(
+        lambda spark, sf: TX.gopher_quality_rules(
+            _gopher_docs(spark, sf), required=_G_REQ
+        ),
+        TX.duck_gopher_rules(_gopher_inner, required=_G_REQ),
     )
     # cross-document repeated-span scrubbing (ExactSubstr-flavored):
     # w=4 so the synthetic corpus yields a non-trivial mix (some docs
