@@ -821,6 +821,35 @@ FROM d LEFT JOIN linea USING (doc_id) LEFT JOIN paraa USING (doc_id)
 """
 
 
+# CCNet (Wenzek et al., LREC 2020) hashes NORMALIZED text when grouping
+# duplicates: lowercase, accents stripped, every digit mapped to 0,
+# whitespace runs collapsed.  The accent table is explicit (not a
+# library call) so the Spark and DuckDB twins translate byte-for-byte
+# the same; it covers the Latin-1 lowercase range — lowering happens
+# FIRST, so uppercase accents fold through it too.
+_ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýÿñç"
+_ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuyync"
+assert len(_ACCENT_FROM) == len(_ACCENT_TO)
+
+
+def normalize_for_dedup(c: Column) -> Column:
+    """CCNet-style dedup-key normalization; see the table note above.
+    A pure string projection — apply before ``exact_dedup`` / minhash
+    shingling so case/accent/digit/spacing variants of the same page
+    land in the same duplicate group."""
+    t = F.translate(F.lower(c), _ACCENT_FROM, _ACCENT_TO)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def duck_normalize_for_dedup(col: str = "text") -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(translate(lower({col}),"
+        f" '{_ACCENT_FROM}', '{_ACCENT_TO}'),"
+        f" '[0-9]', '0', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
 # Rae et al. 2021 (Gopher), Table A1: the document must contain at
 # least two of these words to survive the stop-word rule.
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -405,7 +405,10 @@ FROM res""",
         # C: flagship pipeline + training-data family, every round
         "route_resource_ctx",
         "text_pii_scrub",
-        "text_chunks",
+        # (text_chunks' r4 single-green pin — unchanged code — yields
+        # its slot to dedup_normalized, the CCNet-normalized dedup key
+        # NEW in the final r5 session)
+        "dedup_normalized",
         # (pack_sequences' r4 single-green pin — unchanged code, strong
         # pytest — yields its slot to gopher_rules, the complete Gopher
         # Table-A1 battery NEW in the final r5 session)
@@ -4729,6 +4732,45 @@ FROM qv""",
     q["dedup_exact"] = Query(
         lambda spark, sf: D.exact_dedup(_docs(spark, sf)),
         D.duck_exact_dedup(),
+    )
+
+    # CCNet-normalized exact dedup: the corpus is unioned with a
+    # decorated copy of itself (uppercased / accented / double-spaced
+    # by doc_id % 3, ids shifted +10^7) — raw md5 sees 1000 distinct
+    # texts, the normalized key folds every variant back onto its base
+    # row, so each group's keeper is the base id.
+    def _variant_docs(spark, sf):
+        d = _docs(spark, sf).select("doc_id", "text")
+        did = F.col("doc_id")
+        v = (
+            F.when(did % 3 == 0, F.upper("text"))
+            .when(did % 3 == 1, F.translate("text", "ae", "áé"))
+            .otherwise(F.replace(F.col("text"), F.lit(" "), F.lit("  ")))
+        )
+        return d.unionByName(
+            d.select((did + 10_000_000).alias("doc_id"), v.alias("text"))
+        )
+
+    q["dedup_normalized"] = Query(
+        lambda spark, sf: D.exact_dedup(
+            _variant_docs(spark, sf).withColumn(
+                "text", TX.normalize_for_dedup(F.col("text"))
+            )
+        ),
+        f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000,
+    CASE WHEN doc_id % 3 = 0 THEN upper(text)
+         WHEN doc_id % 3 = 1 THEN translate(text, 'ae', 'áé')
+         ELSE replace(text, ' ', '  ') END
+  FROM documents
+),
+n AS (SELECT doc_id, {TX.duck_normalize_for_dedup('text')} AS text FROM src)
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM n GROUP BY 1
+""",
     )
     q["dedup_minhash_signature"] = Query(
         lambda spark, sf: D.minhash_signature(_docs(spark, sf)).select(

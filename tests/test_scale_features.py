@@ -1235,3 +1235,31 @@ def test_gopher_quality_rules_brute_force_property(spark):
         # all ratios are round(.,6) of small-int fractions — no
         # half-up/half-even tie is reachable, so exact equality holds
         assert got[i] == brute(t), (i, t)
+
+
+def test_normalize_for_dedup_variants_fold(spark):
+    """Case/accent/digit/whitespace variants of one page produce one
+    normalized dedup group with the base id as keeper; a genuinely
+    different page stays its own group."""
+    import pyspark.sql.functions as F
+
+    from sparkotel.functions.dedup import exact_dedup
+    from sparkotel.functions.text import normalize_for_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Crème brûlée costs 12 euros"),
+            (2, "crème  brûlée costs 12 euros "),
+            (3, "CREME BRULEE COSTS 99 EUROS"),
+            (4, "creme brulee costs 00 euros"),
+            (5, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(
+        df.withColumn("text", normalize_for_dedup(F.col("text")))
+    ).collect()
+    groups = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert groups == {1: 4, 5: 1}
+    norm = df.select(normalize_for_dedup(F.col("text")).alias("t")).collect()
+    assert norm[0]["t"] == "creme brulee costs 00 euros"
