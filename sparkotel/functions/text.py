@@ -821,6 +821,109 @@ FROM d LEFT JOIN linea USING (doc_id) LEFT JOIN paraa USING (doc_id)
 """
 
 
+def source_mix_sample(
+    df: DataFrame,
+    weights: dict,
+    target_ppm: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic source-weighted subsampling — the pretraining
+    MIXTURE step (The Pile, Gao et al. 2020; Dolma, Soldaini et al.
+    2024: each source gets a target share of the output corpus, not of
+    the input).  ``weights`` maps source → target share of the OUTPUT
+    in ppm; ``target_ppm`` is the output size as ppm of the input
+    corpus.  Per-source keep rate (ppm) =
+    ``min(1e6, floor(T * target_ppm * w_s / (1e6 * n_s)))`` — an
+    over-subscribed source (target share larger than the source) is
+    capped at taking every row.  A document keeps iff
+    ``h60(salt ‖ id) % 1e6 < rate_ppm`` — the same salted-hash
+    Bernoulli-by-threshold discipline as ``train_shards``, so the
+    sample is reproducible and grows monotonically with target_ppm.
+    Sources absent from ``weights`` rate 0 and drop.
+
+    The rate arithmetic runs in DOUBLE with one explicit evaluation
+    order (T·target·w then ÷ 1e6·n_s): at T = 10^12 the numerator
+    (~10^24) rounds at 1 ulp ≈ 10^8, a relative error ~1e-16 on a
+    quotient ≤ 1e6 — the floor can flip only on exact-boundary
+    configs, and both engines perform the identical IEEE ops so the
+    oracle stays bit-equal regardless.
+
+    Scale shape: per-source counts are ONE combinable shuffle
+    (#sources rows survive); the total is a one-row aggregate OF those
+    counts (re-planning that tiny aggregate under the broadcast is
+    free, unlike ``lm_surprisal``'s corpus-sized case); the rate table
+    is #sources rows joined back UNHINTED — AQE broadcasts it; the
+    keep predicate is a pure projection.
+    """
+    from sparkotel.functions.hashing import h60
+
+    wmap = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_s")
+    )
+    total = counts.agg(F.sum("_n_s").cast("bigint").alias("_t"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_w", F.coalesce(wmap[F.col(source_col)], F.lit(0)))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.floor(
+                    F.col("_t").cast("double")
+                    * F.lit(float(target_ppm))
+                    * F.col("_w").cast("double")
+                    / (F.lit(1_000_000.0) * F.col("_n_s").cast("double"))
+                ).cast("bigint"),
+            ),
+        )
+        .select(source_col, "rate_ppm")
+    )
+    keep = (
+        F.pmod(
+            h60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(1_000_000),
+        )
+        < F.col("rate_ppm")
+    )
+    return (
+        df.join(rates, source_col)
+        .filter(keep)
+        .select(F.col(id_col), F.col(source_col), F.col("rate_ppm"))
+    )
+
+
+def duck_source_mix_sample(
+    weights: dict,
+    target_ppm: int,
+    salt: str = "mix-v1",
+    table: str = "documents",
+) -> str:
+    from sparkotel.functions.hashing import duck_h60
+
+    vals = ", ".join(f"('{k}', {int(v)})" for k, v in weights.items())
+    h = duck_h60(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM {table} GROUP BY source),
+t AS (SELECT CAST(sum(n_s) AS BIGINT) AS tt FROM c),
+w(source, w) AS (VALUES {vals}),
+r AS (
+  SELECT c.source,
+    least(1000000, CAST(floor(CAST(tt AS DOUBLE) * {float(target_ppm)}
+      * CAST(coalesce(w.w, 0) AS DOUBLE) / (1000000.0 * CAST(n_s AS DOUBLE)))
+      AS BIGINT)) AS rate_ppm
+  FROM c CROSS JOIN t LEFT JOIN w USING (source)
+)
+SELECT d.doc_id, d.source, r.rate_ppm
+FROM {table} d JOIN r USING (source)
+WHERE {h} % 1000000 < rate_ppm
+"""
+
+
 # CCNet (Wenzek et al., LREC 2020) hashes NORMALIZED text when grouping
 # duplicates: lowercase, accents stripped, every digit mapped to 0,
 # whitespace runs collapsed.  The accent table is explicit (not a

@@ -404,7 +404,10 @@ FROM res""",
         "html_extract_text",
         # C: flagship pipeline + training-data family, every round
         "route_resource_ctx",
-        "text_pii_scrub",
+        # (text_pii_scrub's r4 single-green pin — unchanged code —
+        # yields its slot to source_mix_sample, the pretraining
+        # source-mixing sampler NEW in the final r5 session)
+        "source_mix_sample",
         # (text_chunks' r4 single-green pin — unchanged code — yields
         # its slot to dedup_normalized, the CCNet-normalized dedup key
         # NEW in the final r5 session)
@@ -4512,6 +4515,17 @@ FROM g""",
             _gopher_docs(spark, sf), required=_G_REQ
         ),
         TX.duck_gopher_rules(_gopher_inner, required=_G_REQ),
+    )
+
+    # Pretraining source mixing: four sources get explicit target
+    # shares (40/30/20/10 % of the output), the other sixteen weight 0
+    # and drop; target 10% of the corpus → per-source rates span
+    # 200k..800k ppm, unsaturated, so the hash threshold actually
+    # decides membership.
+    _MIX_W = {"src0": 400000, "src1": 300000, "src2": 200000, "src3": 100000}
+    q["source_mix_sample"] = Query(
+        lambda spark, sf: TX.source_mix_sample(_docs(spark, sf), _MIX_W, 100000),
+        TX.duck_source_mix_sample(_MIX_W, 100000),
     )
     # cross-document repeated-span scrubbing (ExactSubstr-flavored):
     # w=4 so the synthetic corpus yields a non-trivial mix (some docs

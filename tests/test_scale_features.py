@@ -1263,3 +1263,41 @@ def test_normalize_for_dedup_variants_fold(spark):
     assert groups == {1: 4, 5: 1}
     norm = df.select(normalize_for_dedup(F.col("text")).alias("t")).collect()
     assert norm[0]["t"] == "creme brulee costs 00 euros"
+
+
+def test_source_mix_sample_rates_and_cap(spark):
+    """Rate math: 100 docs over sources A(80)/B(20); target 50% of the
+    corpus split 50/50 across A and B → A rate = 100*.5*.5/80 = 31.25%
+    (312500 ppm), B = 25/20 oversubscribed → capped at 1e6 (every B row
+    kept).  Unknown source C gets rate 0 → dropped.  Deterministic:
+    two runs agree row-for-row."""
+    import pyspark.sql.functions as F
+
+    from sparkotel.functions.text import source_mix_sample
+
+    rows = [(i, "A") for i in range(80)] + [(i + 80, "B") for i in range(20)]
+    rows += [(900, "C")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"A": 500000, "B": 500000}
+    out = source_mix_sample(df, w, 500000).collect()
+    rates = {r["source"]: r["rate_ppm"] for r in out}
+    # T=101 (C included in the corpus total): A = 101*.5*.5/80
+    assert rates["A"] == int(101 * 500000.0 * 500000.0 / (1e6 * 80) // 1)
+    assert rates["B"] == 1000000
+    assert sum(1 for r in out if r["source"] == "B") == 20
+    assert not any(r["source"] == "C" for r in out)
+    again = source_mix_sample(df, w, 500000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_source_mix_sample_monotone_in_target(spark):
+    """A larger target strictly grows the sample (threshold test keeps
+    every previously kept row)."""
+    from sparkotel.functions.text import source_mix_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"s0": 400000, "s1": 400000, "s2": 200000}
+    small = {r["doc_id"] for r in source_mix_sample(df, w, 200000).collect()}
+    big = {r["doc_id"] for r in source_mix_sample(df, w, 600000).collect()}
+    assert small <= big and len(big) > len(small)
