@@ -859,6 +859,7 @@ def source_mix_sample(
     """
     from sparkotel.functions.hashing import h60
 
+    _check_mix_config(weights, salt)
     wmap = F.create_map(
         *[x for k, v in weights.items() for x in (F.lit(k), F.lit(int(v)))]
     )
@@ -897,6 +898,19 @@ def source_mix_sample(
     )
 
 
+def _check_mix_config(weights: dict, salt: str) -> None:
+    """Shared plan-time validation so the Spark and DuckDB twins reject
+    the same configs: an empty weight table would render invalid SQL
+    (``VALUES`` with no rows) on the oracle side, and a quote in a
+    source name or salt would break the SQL string literal while the
+    Spark side silently accepted it."""
+    if not weights:
+        raise ValueError("source_mix_sample: weights must name >= 1 source")
+    bad = [k for k in [*weights, salt] if "'" in str(k)]
+    if bad:
+        raise ValueError(f"source_mix_sample: quote in source/salt: {bad!r}")
+
+
 def duck_source_mix_sample(
     weights: dict,
     target_ppm: int,
@@ -905,6 +919,7 @@ def duck_source_mix_sample(
 ) -> str:
     from sparkotel.functions.hashing import duck_h60
 
+    _check_mix_config(weights, salt)
     vals = ", ".join(f"('{k}', {int(v)})" for k, v in weights.items())
     h = duck_h60(f"'{salt}' || CAST(doc_id AS VARCHAR)")
     return f"""
@@ -928,8 +943,10 @@ WHERE {h} % 1000000 < rate_ppm
 # duplicates: lowercase, accents stripped, every digit mapped to 0,
 # whitespace runs collapsed.  The accent table is explicit (not a
 # library call) so the Spark and DuckDB twins translate byte-for-byte
-# the same; it covers the Latin-1 lowercase range — lowering happens
-# FIRST, so uppercase accents fold through it too.
+# the same; it covers the NFD-decomposable Latin-1 lowercase letters —
+# lowering happens FIRST, so uppercase accents fold through it too.
+# ø/æ/ð/þ have no combining-mark decomposition, so a unicodedata-based
+# strip-accents leaves them unchanged and so does this table.
 _ACCENT_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýÿñç"
 _ACCENT_TO = "aaaaaaeeeeiiiiooooouuuuyync"
 assert len(_ACCENT_FROM) == len(_ACCENT_TO)
@@ -973,7 +990,8 @@ def gopher_quality_rules(
 
     - word count in [min_words, max_words] (paper: 50 .. 100k)
     - mean word length in [3, 10] characters
-    - symbol-to-word ratio (``#`` or ellipsis) <= 0.1
+    - symbol-to-word ratio <= 0.1 for EACH of ``#`` and ellipsis
+      (the paper applies the threshold to either symbol separately)
     - fraction of lines starting with a bullet (``- ``/``* ``/``• ``)
       <= 0.9
     - fraction of lines ending with an ellipsis (``...``/``…``) <= 0.3
@@ -1002,9 +1020,10 @@ def gopher_quality_rules(
     word_chars = F.aggregate(
         ws, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), F.lit(0))).cast(
-        "bigint"
-    )
+    n_hash = F.size(F.regexp_extract_all(c, F.lit("#"), F.lit(0))).cast("bigint")
+    n_ellsym = F.size(
+        F.regexp_extract_all(c, F.lit(r"\.\.\.|…"), F.lit(0))
+    ).cast("bigint")
     n_bullet = F.size(
         F.filter(
             lines,
@@ -1022,7 +1041,8 @@ def gopher_quality_rules(
         )
     ).cast("bigint")
     mean_wl = F.round(F.try_divide(word_chars, n_words), 6)
-    sym_r = F.round(F.try_divide(n_sym, n_words), 6)
+    hash_r = F.round(F.try_divide(n_hash, n_words), 6)
+    ellsym_r = F.round(F.try_divide(n_ellsym, n_words), 6)
     bullet_r = F.round(F.try_divide(n_bullet, n_lines), 6)
     ell_r = F.round(F.try_divide(n_ell, n_lines), 6)
     alpha_r = F.round(F.try_divide(n_alpha, n_words), 6)
@@ -1031,7 +1051,8 @@ def gopher_quality_rules(
         & (n_words <= max_words)
         & (mean_wl >= 3.0)
         & (mean_wl <= 10.0)
-        & (sym_r <= 0.1)
+        & (hash_r <= 0.1)
+        & (ellsym_r <= 0.1)
         & (bullet_r <= 0.9)
         & (ell_r <= 0.3)
         & (alpha_r >= 0.8)
@@ -1041,7 +1062,8 @@ def gopher_quality_rules(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
-        sym_r.alias("symbol_word_ratio"),
+        hash_r.alias("hash_word_ratio"),
+        ellsym_r.alias("ellipsis_word_ratio"),
         bullet_r.alias("bullet_line_frac"),
         ell_r.alias("ellipsis_line_frac"),
         alpha_r.alias("alpha_word_frac"),
@@ -1064,7 +1086,8 @@ b AS (
   SELECT doc_id,
     list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
     list_filter(string_split_regex(text, '\\n'), l -> l <> '') AS lines,
-    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym
+    len(regexp_extract_all(text, '#')) AS n_hash,
+    len(regexp_extract_all(text, '\\.\\.\\.|…')) AS n_ellsym
   FROM src
 ),
 m AS (
@@ -1072,7 +1095,8 @@ m AS (
     CAST(len(ws) AS BIGINT) AS n_words,
     round(coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum'), 0)
           / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS mean_word_len,
-    round(n_sym / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS symbol_word_ratio,
+    round(n_hash / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS hash_word_ratio,
+    round(n_ellsym / CAST(nullif(len(ws), 0) AS DOUBLE), 6) AS ellipsis_word_ratio,
     round(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
           / CAST(nullif(len(lines), 0) AS DOUBLE), 6) AS bullet_line_frac,
     round(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
@@ -1083,11 +1107,12 @@ m AS (
       AS n_required_stopwords
   FROM b
 )
-SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
-  ellipsis_line_frac, alpha_word_frac, n_required_stopwords,
+SELECT doc_id, n_words, mean_word_len, hash_word_ratio, ellipsis_word_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_required_stopwords,
   coalesce(n_words >= {min_words} AND n_words <= {max_words}
     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+    AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+    AND bullet_line_frac <= 0.9
     AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
     AND n_required_stopwords >= 2, false) AS keep
 FROM m
@@ -1148,7 +1173,11 @@ def host_boilerplate_scrub(
     return joined.select(
         F.col(id_col),
         F.col(host_col),
-        F.concat_ws("\n", clean).alias("clean_text"),
+        # concat_ws would swallow a NULL array into '' — keep NULL text
+        # NULL so the DuckDB twin's array_to_string(NULL) stays equal
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n", clean))
+        .alias("clean_text"),
         (F.size(arr) - F.size(clean)).cast("bigint").alias("n_lines_removed"),
     )
 

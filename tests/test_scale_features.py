@@ -1173,7 +1173,7 @@ def test_gopher_quality_rules_hand_computed(spark):
         (2, "the be"),                                  # fails word count
         (3, "- a\n- b\n- c\nthe end of it"),            # 3/4 bullet lines;
         #    the bare '-' words also sink alpha (7/10) and mean len -> drop
-        (4, "# # # # the end of it"),                   # sym 4/8 > 0.1 fail
+        (4, "# # # # the end of it"),                   # hash 4/8 > 0.1 fail
         (5, "more...\nalso…\nthe end of it here"),      # ell 2/3 > 0.3 fail
         (6, "1 2 3 4 5 the of"),                        # alpha 2/7 < 0.8 fail
         (7, "zig zag zap zip"),                         # 0 required stopwords
@@ -1186,8 +1186,10 @@ def test_gopher_quality_rules_hand_computed(spark):
     assert not rows[2]["keep"] and rows[2]["n_words"] == 2
     assert not rows[3]["keep"] and rows[3]["bullet_line_frac"] == 0.75
     assert rows[3]["alpha_word_frac"] == 0.7
-    assert not rows[4]["keep"] and rows[4]["symbol_word_ratio"] == 0.5
+    assert not rows[4]["keep"] and rows[4]["hash_word_ratio"] == 0.5
+    assert rows[4]["ellipsis_word_ratio"] == 0.0
     assert not rows[5]["keep"] and rows[5]["ellipsis_line_frac"] == round(2 / 3, 6)
+    assert rows[5]["ellipsis_word_ratio"] == round(2 / 7, 6)
     assert not rows[6]["keep"] and rows[6]["alpha_word_frac"] == round(2 / 7, 6)
     assert not rows[7]["keep"] and rows[7]["n_required_stopwords"] == 0
     assert not rows[8]["keep"] and rows[8]["n_words"] is None
@@ -1218,16 +1220,18 @@ def test_gopher_quality_rules_brute_force_property(spark):
         n, nl = len(ws), len(lines)
         r6 = lambda x: round(x, 6)
         mean = r6(sum(map(len, ws)) / n) if n else None
-        sym = r6(len(re.findall(r"#|\.\.\.|…", t)) / n) if n else None
+        hsh = r6(len(re.findall("#", t)) / n) if n else None
+        esym = r6(len(re.findall(r"\.\.\.|…", t)) / n) if n else None
         bul = r6(sum(l.startswith(("- ", "* ", "• ")) for l in lines) / nl) if nl else None
         ell = r6(sum(l.endswith(("...", "…")) for l in lines) / nl) if nl else None
         alp = r6(sum(bool(re.search("[A-Za-z]", w)) for w in ws) / n) if n else None
         req = sum(s in ws for s in GOPHER_REQUIRED_STOPWORDS)
         keep = bool(
             n and nl and 4 <= n <= 100000 and 3.0 <= mean <= 10.0
-            and sym <= 0.1 and bul <= 0.9 and ell <= 0.3 and alp >= 0.8 and req >= 2
+            and hsh <= 0.1 and esym <= 0.1
+            and bul <= 0.9 and ell <= 0.3 and alp >= 0.8 and req >= 2
         )
-        return (n, mean, sym, bul, ell, alp, req, keep)
+        return (n, mean, hsh, esym, bul, ell, alp, req, keep)
 
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: tuple(r)[1:] for r in gopher_quality_rules(df, min_words=4).collect()}
