@@ -236,11 +236,18 @@ FROM capped l JOIN capped r
 SIMHASH_BITS = 16
 
 
-def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
-    """16-bit SimHash over word token hashes (with multiplicity).
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``bits``-wide SimHash over word token hashes (with multiplicity).
 
     bit j set iff sum over tokens of (h_bit_j ? +1 : -1) >= 0.
-    Pure per-row array math — shuffle-free.
+    Pure per-row array math — shuffle-free.  Default width stays 16
+    (the original ``dedup_simhash`` contract); ``simhash_pairs`` uses
+    32 bits so its band space is wide enough to bucket on.
     """
     hs = F.transform(F.split(F.col(text_col), " "), h60)
     # Single-pass K-way accumulate (the minhash/_table_buckets pattern):
@@ -250,10 +257,10 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     # re-ran per bit (16×): measured 4.29 s vs 0.83 s at 500k
     # docs/local[32], bit-identical.  (The aggregate's lambda variable
     # ``h`` is a materialized slot — referencing it per bit is free.)
-    positions = F.array(*[F.lit(j) for j in range(SIMHASH_BITS)])
+    positions = F.array(*[F.lit(j) for j in range(bits)])
     votes = F.aggregate(
         hs,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc,
             positions,
@@ -266,25 +273,138 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     packed = F.aggregate(
         F.zip_with(
             votes,
-            F.array(*[F.lit(2 ** j) for j in range(SIMHASH_BITS)]),
-            lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0)),
+            # explicit bigint: at bits=32 the top weight 2^31 overflows
+            # an int literal under ANSI arithmetic
+            F.array(*[F.lit(2 ** j).cast("bigint") for j in range(bits)]),
+            lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("bigint")),
         ),
-        F.lit(0),
+        F.lit(0).cast("bigint"),
         lambda s, x: s + x,
     )
     return df.withColumn(out, packed.cast("bigint"))
 
 
-def duck_simhash(table: str = "documents") -> str:
+def duck_simhash(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
     h = duck_h60("t")
     votes = ",\n    ".join(
         f"list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) AS v{j}"
-        for j in range(SIMHASH_BITS)
+        for j in range(bits)
     )
-    packed = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2 ** j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    packed = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
     return f"""
 WITH v AS (SELECT doc_id, {votes} FROM {table})
 SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v
+"""
+
+
+SIMHASH_PAIR_BITS = 32
+SIMHASH_PAIR_BANDS = 4  # pigeonhole: hamming <= BANDS-1 shares >= 1 exact band
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_PAIR_BANDS - 1,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole band trick (Manku,
+    Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07):
+    split the 32-bit fingerprint into 4 contiguous 8-bit bands — any
+    pair within hamming distance 3 agrees exactly on >= 1 band — bucket
+    on (band_idx, band value), then verify candidates with an exact
+    ``bit_count(xor)``.  Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape mirrors ``minhash_lsh_pairs``: the fingerprint is
+    per-row array math (no shuffle), only (id, fingerprint, band) rows
+    shuffle, degenerate buckets are capped by a window count that the
+    following groupBy's partitioning reuses, and pair expansion is
+    bounded per-bucket array combinatorics.  Honest limit: an 8-bit
+    band has 256 values, so each band-bucket holds ~n/256 docs — at
+    crawl scale the cap will truncate buckets, and the published fix
+    is wider fingerprints with rotated sorted tables (Manku §3); this
+    form is exact for corpora up to ~max_bucket*256 docs per band and
+    a bounded-recall candidate generator beyond.
+    """
+    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+    mask = (1 << width) - 1
+    src = df.select(id_col, text_col)
+    target = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    sh = simhash(src, text_col, out="sh", bits=SIMHASH_PAIR_BITS)
+    bands = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("sh"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.call_function("shiftright", F.col("sh"), F.lit(b * width))
+                    .bitwiseAND(F.lit(mask))
+                    .cast("int")
+                    for b in range(SIMHASH_PAIR_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    w = Window.partitionBy("band_idx", "band")
+    capped = (
+        bands.withColumn("_bsize", F.count(F.lit(1)).over(w))
+        .filter((F.col("_bsize") <= max_bucket) & (F.col("_bsize") > 1))
+        .drop("_bsize")
+    )
+    members = F.array_sort(F.collect_list(F.struct("id", "sh")))
+    buckets = capped.groupBy("band_idx", "band").agg(members.alias("ms"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.getField("id").alias("id_a"),
+                    y.getField("id").alias("id_b"),
+                    F.call_function(
+                        "bit_count", x.getField("sh").bitwiseXOR(y.getField("sh"))
+                    )
+                    .cast("bigint")
+                    .alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def duck_simhash_pairs(
+    table: str = "documents",
+    max_hamming: int = SIMHASH_PAIR_BANDS - 1,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+) -> str:
+    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+    mask = (1 << width) - 1
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id AS id, simhash AS sh, {b} AS band_idx,"
+        f" CAST((simhash >> {b * width}) & {mask} AS INTEGER) AS band FROM s"
+        for b in range(SIMHASH_PAIR_BANDS)
+    )
+    return f"""
+WITH s AS ({duck_simhash(table, bits=SIMHASH_PAIR_BITS)}),
+bands AS ({unions}),
+capped AS (
+  SELECT id, sh, band_idx, band FROM (
+    SELECT *, count(*) OVER (PARTITION BY band_idx, band) AS bsize FROM bands
+  ) WHERE bsize <= {max_bucket} AND bsize > 1
+)
+SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+  CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming
+FROM capped l JOIN capped r
+  ON l.band_idx = r.band_idx AND l.band = r.band AND l.id < r.id
+WHERE bit_count(xor(l.sh, r.sh)) <= {max_hamming}
 """
 
 

@@ -439,7 +439,10 @@ FROM res""",
         "tailsample_rate_limit",
         "tailsample_bytes_limit",
         "tailsample_composite",
-        "metrics_transform_labels",
+        # (metrics_transform_labels' r4 single-green pin — unchanged
+        # code — yields its slot to dedup_simhash_pairs, the Manku
+        # banded SimHash pairing NEW in the final r5 session)
+        "dedup_simhash_pairs",
         "otlpjson_metrics_roundtrip",
         # (span_name_ops' second-row pin yields its slot to the unhinted
         # metric_start_time join, changed this round)
@@ -4799,6 +4802,13 @@ FROM n GROUP BY 1
     q["dedup_simhash"] = Query(
         lambda spark, sf: D.simhash(_docs(spark, sf)).select("doc_id", "simhash"),
         D.duck_simhash(),
+    )
+    # Manku WWW'07 banded SimHash pairing (32-bit fingerprint, 4 bands,
+    # exact bit_count verify) — completes the simhash path the way
+    # minhash_lsh_pairs completes the minhash path
+    q["dedup_simhash_pairs"] = Query(
+        lambda spark, sf: D.simhash_pairs(_docs(spark, sf)),
+        D.duck_simhash_pairs(),
     )
     q["dedup_jaccard_verify"] = Query(
         lambda spark, sf: D.jaccard_pairs(

@@ -1305,3 +1305,45 @@ def test_source_mix_sample_monotone_in_target(spark):
     small = {r["doc_id"] for r in source_mix_sample(df, w, 200000).collect()}
     big = {r["doc_id"] for r in source_mix_sample(df, w, 600000).collect()}
     assert small <= big and len(big) > len(small)
+
+
+def test_simhash_pairs_matches_brute_force(spark):
+    """Pigeonhole completeness: with no bucket overflow, the banded
+    pairing finds EXACTLY the pairs an O(n^2) brute force finds at
+    hamming <= 3, with identical distances.  Fingerprints are recomputed
+    here from an independent pure-Python md5 implementation."""
+    import hashlib
+    import itertools as it
+
+    from sparkotel.functions.dedup import SIMHASH_PAIR_BITS, simhash_pairs
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sim32(text):
+        votes = [0] * SIMHASH_PAIR_BITS
+        for t in text.split(" "):
+            h = h60(t)
+            for j in range(SIMHASH_PAIR_BITS):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j, v in enumerate(votes) if v >= 0)
+
+    base = "the big fast table value scan row key part merge"
+    docs = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"w{i % 5}"
+        if i % 3 == 0:
+            words.append("extra")
+        docs.append((i, " ".join(words)))
+
+    expect = set()
+    fp = {i: sim32(t) for i, t in docs}
+    for (a, ta), (b, tb) in it.combinations(docs, 2):
+        d = bin(fp[a] ^ fp[b]).count("1")
+        if d <= 3:
+            expect.add((a, b, d))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(df).collect()}
+    assert got == expect and expect  # non-trivial: some pairs exist
