@@ -247,7 +247,7 @@ def simhash(
     bit j set iff sum over tokens of (h_bit_j ? +1 : -1) >= 0.
     Pure per-row array math — shuffle-free.  Default width stays 16
     (the original ``dedup_simhash`` contract); ``simhash_pairs`` uses
-    32 bits so its band space is wide enough to bucket on.
+    48 bits so its band space is wide enough to bucket on.
     """
     hs = F.transform(F.split(F.col(text_col), " "), h60)
     # Single-pass K-way accumulate (the minhash/_table_buckets pattern):
@@ -297,7 +297,7 @@ SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM v
 """
 
 
-SIMHASH_PAIR_BITS = 32
+SIMHASH_PAIR_BITS = 48
 SIMHASH_PAIR_BANDS = 4  # pigeonhole: hamming <= BANDS-1 shares >= 1 exact band
 
 
@@ -310,25 +310,41 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs via the pigeonhole band trick (Manku,
     Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07):
-    split the 32-bit fingerprint into 4 contiguous 8-bit bands — any
+    split the 48-bit fingerprint into 4 contiguous 12-bit bands — any
     pair within hamming distance 3 agrees exactly on >= 1 band — bucket
     on (band_idx, band value), then verify candidates with an exact
     ``bit_count(xor)``.  Returns (id_a, id_b, hamming), id_a < id_b.
+    NULL-text rows carry no content to near-dup and are excluded on
+    BOTH engines (a NULL fingerprint would otherwise silently diverge:
+    Spark propagates NULL, SQL CASE folds it to 0).
+
+    ``max_hamming`` is validated against the band count: the pigeonhole
+    is only complete for hamming <= bands-1, so a larger ask would
+    silently return a subset.
 
     Scale shape mirrors ``minhash_lsh_pairs``: the fingerprint is
     per-row array math (no shuffle), only (id, fingerprint, band) rows
-    shuffle, degenerate buckets are capped by a window count that the
-    following groupBy's partitioning reuses, and pair expansion is
-    bounded per-bucket array combinatorics.  Honest limit: an 8-bit
-    band has 256 values, so each band-bucket holds ~n/256 docs — at
-    crawl scale the cap will truncate buckets, and the published fix
-    is wider fingerprints with rotated sorted tables (Manku §3); this
-    form is exact for corpora up to ~max_bucket*256 docs per band and
-    a bounded-recall candidate generator beyond.
+    shuffle, and pair expansion is bounded per-bucket array
+    combinatorics.  Bucket bound: a 12-bit band has 4096 values, so a
+    uniform corpus holds ~n/4096 docs per band-bucket — comfortably
+    under the cap through the bench scales (500k docs → ~122).  Beyond
+    that the cap TRUNCATES a bucket to its ``max_bucket`` smallest ids
+    (deterministic row_number, NOT the whole-bucket drop
+    ``minhash_lsh_pairs`` uses — md5 band values make an over-cap
+    minhash bucket degenerate by construction, but simhash bands are
+    coarse, so over-cap buckets are ordinary and dropping them would
+    zero the recall).  Truncation bounds recall; the published
+    full-recall fix at crawl scale is wider fingerprints with rotated
+    sorted tables (Manku §3).
     """
+    if max_hamming > SIMHASH_PAIR_BANDS - 1:
+        raise ValueError(
+            f"simhash_pairs: pigeonhole over {SIMHASH_PAIR_BANDS} bands is only"
+            f" complete for max_hamming <= {SIMHASH_PAIR_BANDS - 1}"
+        )
     width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
     mask = (1 << width) - 1
-    src = df.select(id_col, text_col)
+    src = df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
     target = src.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target)
@@ -347,11 +363,11 @@ def simhash_pairs(
             )
         ).alias("band_idx", "band"),
     )
-    w = Window.partitionBy("band_idx", "band")
+    w = Window.partitionBy("band_idx", "band").orderBy("id")
     capped = (
-        bands.withColumn("_bsize", F.count(F.lit(1)).over(w))
-        .filter((F.col("_bsize") <= max_bucket) & (F.col("_bsize") > 1))
-        .drop("_bsize")
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
     )
     members = F.array_sort(F.collect_list(F.struct("id", "sh")))
     buckets = capped.groupBy("band_idx", "band").agg(members.alias("ms"))
@@ -385,20 +401,27 @@ def duck_simhash_pairs(
     max_hamming: int = SIMHASH_PAIR_BANDS - 1,
     max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> str:
+    if max_hamming > SIMHASH_PAIR_BANDS - 1:
+        raise ValueError(
+            f"duck_simhash_pairs: pigeonhole over {SIMHASH_PAIR_BANDS} bands is"
+            f" only complete for max_hamming <= {SIMHASH_PAIR_BANDS - 1}"
+        )
     width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
     mask = (1 << width) - 1
+    nn = f"(SELECT * FROM {table} WHERE text IS NOT NULL)"
     unions = " UNION ALL ".join(
         f"SELECT doc_id AS id, simhash AS sh, {b} AS band_idx,"
         f" CAST((simhash >> {b * width}) & {mask} AS INTEGER) AS band FROM s"
         for b in range(SIMHASH_PAIR_BANDS)
     )
     return f"""
-WITH s AS ({duck_simhash(table, bits=SIMHASH_PAIR_BITS)}),
+WITH s AS ({duck_simhash(nn, bits=SIMHASH_PAIR_BITS)}),
 bands AS ({unions}),
 capped AS (
   SELECT id, sh, band_idx, band FROM (
-    SELECT *, count(*) OVER (PARTITION BY band_idx, band) AS bsize FROM bands
-  ) WHERE bsize <= {max_bucket} AND bsize > 1
+    SELECT *, row_number() OVER (PARTITION BY band_idx, band ORDER BY id) AS rn
+    FROM bands
+  ) WHERE rn <= {max_bucket}
 )
 SELECT DISTINCT l.id AS id_a, r.id AS id_b,
   CAST(bit_count(xor(l.sh, r.sh)) AS BIGINT) AS hamming

@@ -4803,7 +4803,7 @@ FROM n GROUP BY 1
         lambda spark, sf: D.simhash(_docs(spark, sf)).select("doc_id", "simhash"),
         D.duck_simhash(),
     )
-    # Manku WWW'07 banded SimHash pairing (32-bit fingerprint, 4 bands,
+    # Manku WWW'07 banded SimHash pairing (48-bit fingerprint, 4 bands,
     # exact bit_count verify) — completes the simhash path the way
     # minhash_lsh_pairs completes the minhash path
     q["dedup_simhash_pairs"] = Query(
