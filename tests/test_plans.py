@@ -265,3 +265,40 @@ def test_bytes_limit_query_is_two_exchanges(spark):
     plan = plan_of(dec)
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 2, plan
     assert "Join" not in plan
+
+
+def test_simhash_pairs_plan_shape(spark):
+    """The banded pairing is bucket combinatorics, never a join: no
+    join operator of any kind in the plan (a self-join formulation
+    would re-scan the input per side), and the text column is pruned
+    to exactly (doc_id, text) at the scan."""
+    from sparkotel.functions.dedup import simhash_pairs
+
+    P.load_tables(spark, SF_DIR, ["documents"])
+    plan = plan_of(simhash_pairs(spark.table("documents")))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all(
+        "n_chars" not in rs and "source" not in rs for rs in read_schemas
+    )
+
+
+def test_host_boilerplate_scrub_plan_no_forced_broadcast(spark):
+    """The flagged-lines join-back stays unhinted (no BroadcastExchange
+    in the pre-AQE plan): the flag table is corpus-derived, so a forced
+    broadcast would be the decontaminate OOM pattern all over again."""
+    from pyspark.sql import functions as F
+
+    from sparkotel.functions.text import host_boilerplate_scrub
+
+    P.load_tables(spark, SF_DIR, ["documents"])
+    d = spark.table("documents").select(
+        "doc_id", F.lit("h1").alias("host"), "text"
+    )
+    out = host_boilerplate_scrub(d)
+    # Catalyst may legitimately pick broadcast from size stats on a
+    # small fixture; what must NOT exist is a ResolvedHint forcing it
+    # regardless of size (the decontaminate OOM pattern).  Hints
+    # survive into the analyzed logical plan.
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in analyzed
