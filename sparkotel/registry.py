@@ -22,6 +22,7 @@ from sparkotel.functions import htmltext as HT
 from sparkotel.functions import multimodal as MM
 from sparkotel.functions import similarity as SIM
 from sparkotel.functions import text as TX
+from sparkotel.functions import warc as WC
 from sparkotel.functions import weburl as WU
 from sparkotel.operators import aggregate as A
 from sparkotel.operators import parse as PR
@@ -396,7 +397,10 @@ FROM res""",
         "host_boilerplate_scrub",
         "dedup_ngram_jaccard",
         "dedup_clusters",
-        "text_scrub_spans",
+        # (text_scrub_spans' r4 single-green pin — unchanged code —
+        # yields its slot to warc_roundtrip, the WARC framing round
+        # trip NEW in the final r5 session)
+        "warc_roundtrip",
         # (wet_route_counts' second-row pin yields its slot to
         # span_pruning, whose execution shape changed in the final r5
         # session — per-trace applyInPandas → batched mapInPandas)
@@ -4914,4 +4918,14 @@ FROM ({P.duckdb_pages_sql()}) p
             "url", HT.main_text("html").alias("main_text")
         ),
         f"SELECT url, text AS main_text FROM ({P.duckdb_pages_sql()}) p",
+    )
+
+    # WARC framing round trip (ISO 28500, the Common Crawl container):
+    # pages → 5-record WARC blobs → split → parse headers/payload, with
+    # the declared Content-Length cross-checked against actual octets
+    q["warc_roundtrip"] = Query(
+        lambda spark, sf: WC.warc_roundtrip(
+            P.pages(spark, sf).select("doc_id", "url", "warc_ts", "text")
+        ),
+        WC.duck_warc_roundtrip(P.duckdb_pages_sql()),
     )

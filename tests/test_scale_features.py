@@ -1347,3 +1347,47 @@ def test_simhash_pairs_matches_brute_force(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in simhash_pairs(df).collect()}
     assert got == expect and expect  # non-trivial: some pairs exist
+
+
+def test_warc_roundtrip_fields_and_malformed(spark):
+    """WARC framing: a two-record blob splits and parses back to the
+    original urls/dates/payloads with len_ok true; a record whose
+    declared Content-Length lies gets len_ok false; a header-less blob
+    yields NULL payload without erroring (lenient-ingest contract)."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from sparkotel.functions.warc import (
+        warc_files,
+        warc_parse,
+        warc_split,
+    )
+
+    ts = datetime.datetime(2024, 3, 15, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(0, "https://a/x", ts, "hello world"), (1, "https://b/y", ts, "bye")],
+        "doc_id long, url string, warc_ts timestamp, text string",
+    )
+    files = warc_files(df, per_file=5)
+    assert files.count() == 1
+    recs = files.select(F.explode(warc_split(F.col("warc"))).alias("rec"))
+    rows = recs.select(*warc_parse(F.col("rec"))).collect()
+    assert [r["target_uri"] for r in rows] == ["https://a/x", "https://b/y"]
+    assert all(r["len_ok"] for r in rows)
+    assert rows[0]["content_length"] == 11
+    assert rows[0]["warc_date"] == ts
+
+    bad = spark.createDataFrame(
+        [
+            (
+                "WARC/1.0\r\nWARC-Target-URI: u\r\nContent-Length: 99"
+                "\r\n\r\nshort",
+            ),
+            ("no frame here",),
+        ],
+        "rec string",
+    )
+    rows = bad.select(*warc_parse(F.col("rec"))).collect()
+    assert rows[0]["content_length"] == 99 and not rows[0]["len_ok"]
+    assert rows[1]["payload"] is None and not rows[1]["len_ok"]
