@@ -643,3 +643,124 @@ def bucketed_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("cid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via k-means cells + within-cell cosine
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    n_centroids: int = 8,
+    tau: float = 0.3,
+    cap: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster embeddings into cells with the
+    IVF coarse quantizer, then within each cell mark every vector whose
+    cosine to an EARLIER cell member (smaller id) reaches ``tau`` as a
+    semantic duplicate of the smallest such member.  Keeping the
+    smallest id per near-dup group is the deterministic stand-in for
+    the paper's keep-the-least-central choice (any single-survivor rule
+    dedups identically; this one is oracle-replayable).
+
+    Scale shape at 10^12 docs:
+    - cell assignment is PURE COLUMN MATH against literal centroids
+      (``ivf_assign`` — no join, no shuffle, the centroid list rides
+      the task closure); the paper's regime has K grow with N
+      (K ≈ N/const, e.g. 50k cells for 134M embeddings) so cells stay
+      constant-sized and the within-cell O(m²) is bounded;
+    - the only shuffles are the cell-keyed window rank and the
+      cell-equi-join — both key on ``cell``, so the window's exchange
+      is reusable for the join;
+    - the candidate side is RANK-TRUNCATED at ``cap`` members per cell
+      (the simhash/minhash degenerate-bucket discipline): a pathological
+      pile-up cell costs at most m·cap comparisons, never m², and the
+      truncation only loses dup edges INSIDE the overflow tail;
+    - only surviving pairs (score ≥ tau) reach the aggregate; the
+      join-back of per-doc verdicts is an id-equi-join, unhinted (the
+      decontaminate lesson: dup counts can be corpus-sized).
+
+    Output: one row per input vector —
+    (vec_id, cell, dup_of, max_sim, is_dup).
+    """
+    cents = ivf_centroid_rows(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        cents,
+        "id",
+        "vec",
+    )
+    w = Window.partitionBy("cell").orderBy("id")
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    early = ranked.filter(F.col("rk") <= cap).select(
+        F.col("cell").alias("bcell"),
+        F.col("id").alias("bid"),
+        F.col("vec").alias("bvec"),
+    )
+    pairs = (
+        ranked.join(
+            early, (F.col("cell") == F.col("bcell")) & (F.col("bid") < F.col("id"))
+        )
+        .withColumn("s", F.round(cosine(F.col("vec"), F.col("bvec")), 4))
+        .filter(F.col("s") >= tau)
+    )
+    dups = pairs.groupBy("id").agg(
+        F.min("bid").alias("dup_of"), F.max("s").alias("max_sim")
+    )
+    return (
+        assigned.select("id", "cell")
+        .join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dup_of").cast("bigint").alias("dup_of"),
+            F.col("max_sim"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def duck_semdedup(
+    n_centroids: int = 8,
+    tau: float = 0.3,
+    cap: int = 256,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """Oracle for ``semdedup`` — same seed centroids, same round-6
+    assignment cosine + (s, c) lexicographic tie-break as
+    ``duck_ivf_topk``, same rank truncation and round-4 pair cosine."""
+    cos_assign = _duck_cos("e.embedding", "c.cvec", dim)
+    cos_pair = _duck_cos("ea.embedding", "eb.embedding", dim)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM {table}),
+cents AS (
+  SELECT vec_id AS ccid, embedding AS cvec FROM e
+  WHERE vec_id < {n_centroids} AND embedding IS NOT NULL AND len(embedding) > 0
+),
+cos AS (SELECT e.vec_id, c.ccid, round({cos_assign}, 6) AS s FROM e CROSS JOIN cents c),
+assign AS (SELECT vec_id, max({{'s': s, 'c': ccid}}).c AS cell FROM cos GROUP BY vec_id),
+ranked AS (
+  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+  FROM assign
+),
+pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS bid, round({cos_pair}, 4) AS s
+  FROM ranked a
+  JOIN ranked b ON a.cell = b.cell AND b.vec_id < a.vec_id AND b.rk <= {cap}
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+),
+dups AS (
+  SELECT id, min(bid) AS dup_of, max(s) AS max_sim
+  FROM pairs WHERE s >= {tau} GROUP BY id
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell, CAST(d.dup_of AS BIGINT) AS dup_of,
+       d.max_sim, d.dup_of IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dups d ON d.id = a.vec_id
+"""

@@ -4835,6 +4835,12 @@ FROM n GROUP BY 1
         ),
         D.duck_dedup_clusters(),
     )
+    # SemDeDup (Abbas 2023): IVF cells + within-cell cosine, smallest
+    # id survives; rank-truncated candidate side bounds degenerate cells
+    q["semdedup"] = Query(
+        lambda spark, sf: SIM.semdedup(_emb(spark, sf)),
+        SIM.duck_semdedup(),
+    )
     q["ann_cosine_topk"] = Query(
         lambda spark, sf: SIM.brute_force_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),
         SIM.duck_brute_force_topk([0, 1, 2, 3, 4]),

@@ -1391,3 +1391,38 @@ def test_warc_roundtrip_fields_and_malformed(spark):
     rows = bad.select(*warc_parse(F.col("rec"))).collect()
     assert rows[0]["content_length"] == 99 and not rows[0]["len_ok"]
     assert rows[1]["payload"] is None and not rows[1]["len_ok"]
+
+
+# -- semdedup -----------------------------------------------------------------
+
+def test_semdedup_hand_case(spark):
+    """known near-dup structure: 2 duplicates 0, 10 duplicates 1, the
+    rest are keepers; dup_of is the smallest same-cell match."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (10, [0.0, 0.999, 0.02, 0.0]),
+        (11, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in SIM.semdedup(df, tau=0.9, dim=4).collect()}
+    assert len(got) == 5
+    assert not got[0]["is_dup"] and not got[1]["is_dup"] and not got[11]["is_dup"]
+    assert got[2]["is_dup"] and got[2]["dup_of"] == 0
+    assert got[10]["is_dup"] and got[10]["dup_of"] == 1
+    # keepers carry NULL dup_of / max_sim
+    assert got[0]["dup_of"] is None and got[0]["max_sim"] is None
+
+
+def test_semdedup_degenerate_cell_capped(spark):
+    """200 identical embeddings pile into one cell; with cap=10 every
+    non-first member still resolves dup_of=0 (each compares against the
+    first 10 members, not all 199 — m·cap work, never m²)."""
+    vec = F.array(*[F.lit(float(d % 5) + 1.0) for d in range(16)])
+    emb = spark.range(200).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    out = SIM.semdedup(emb, tau=0.99, cap=10, dim=16).collect()
+    dups = {r["vec_id"]: r["dup_of"] for r in out if r["is_dup"]}
+    assert len(dups) == 199 and set(dups.values()) == {0}
+    keepers = [r["vec_id"] for r in out if not r["is_dup"]]
+    assert keepers == [0]
