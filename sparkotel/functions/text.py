@@ -1863,3 +1863,212 @@ SELECT d.lang,
 FROM {table} d JOIN ({duck_quality(table)}) q ON d.doc_id = q.doc_id
 GROUP BY d.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020, JMLR 21(140) §2.2 — public)
+# ---------------------------------------------------------------------------
+
+
+def c4_text(c: Column) -> Column:
+    """Deterministic PUNCTUATED rendering of the fixture's flat
+    word-soup text, so C4's real line rules have structure to bite on
+    (the ``lined_text`` convention, one level richer): sentence-final
+    stand-ins gain real terminal punctuation and a line break
+    (``table`` → ``table.``, ``order`` → ``order!``, ``big`` →
+    ``big?``), other words ending in ``e`` end a line WITHOUT terminal
+    punctuation (C4 drops those lines), the rare word ``dup`` renders
+    as ``{dup}`` (trips C4's curly-brace page rule), ``spark`` renders
+    as ``javascript`` (trips the line rule), and documents whose first
+    word is ``customer`` are prefixed with ``lorem ipsum`` (trips the
+    page rule).  Content-derived, not positional; mirrored verbatim in
+    ``duck_c4_text``."""
+    ws = F.filter(words(F.coalesce(c, F.lit(""))), lambda w: w != "")
+    rendered = F.array_join(
+        F.transform(
+            ws,
+            lambda w: F.when(w == "table", F.lit("table.\n"))
+            .when(w == "order", F.lit("order!\n"))
+            .when(w == "big", F.lit("big?\n"))
+            .when(w == "dup", F.lit("{dup} "))
+            .when(w == "spark", F.lit("javascript "))
+            .when(w.endswith("e"), F.concat(w, F.lit("\n")))
+            .otherwise(F.concat(w, F.lit(" "))),
+        ),
+        "",
+    )
+    return F.when(F.get(ws, 0) == "customer", F.concat(F.lit("lorem ipsum "), rendered)).otherwise(rendered)
+
+
+def duck_c4_text(col: str = "text") -> str:
+    """DuckDB twin of ``c4_text``."""
+    ws = f"list_filter(string_split(coalesce({col}, ''), ' '), w -> w <> '')"
+    body = (
+        f"coalesce(list_aggregate(list_transform({ws}, w -> "
+        "CASE w WHEN 'table' THEN 'table.' || chr(10) "
+        "WHEN 'order' THEN 'order!' || chr(10) "
+        "WHEN 'big' THEN 'big?' || chr(10) "
+        "WHEN 'dup' THEN '{dup} ' "
+        "WHEN 'spark' THEN 'javascript ' "
+        "ELSE w || CASE WHEN w LIKE '%e' THEN chr(10) ELSE ' ' END END"
+        "), 'string_agg', ''), '')"
+    )
+    return (
+        f"(CASE WHEN ({ws})[1] = 'customer' THEN 'lorem ipsum ' ELSE '' END || {body})"
+    )
+
+
+def c4_line_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 5,
+    min_kept: int = 3,
+) -> DataFrame:
+    """C4's cleaning battery (Raffel et al. 2020 §2.2), line rules and
+    page rules, applied verbatim over the ``c4_text`` rendering:
+
+    - keep only lines ending in a terminal punctuation mark
+      (``.``, ``!``, ``?``, ``"``);
+    - drop lines with fewer than ``min_words`` words (paper: 5)
+      or containing the word ``javascript``;
+    - drop the whole page if it contains ``{``, the phrase
+      ``lorem ipsum``, or fewer than ``min_kept`` retained sentences
+      (paper: 3; one kept line == one sentence here because the
+      rendering puts exactly one terminal mark per line).
+
+    The corpus is lowercase by construction, so the paper's
+    case-insensitive matches reduce to plain ``contains``.
+
+    Scale shape: a PURE PROJECTION — render, split, two array filters
+    and a join per document; no row needs another row, zero shuffle,
+    linear in input splits (the ``repetition_features`` argument).
+    Emits per-doc evidence columns so the decision is auditable:
+    (id, n_lines, n_kept, kept_text, keep).
+    """
+    t = c4_text(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)), lambda l: l != ""
+    )
+    kept = F.filter(
+        lines,
+        lambda l: (
+            l.endswith(".") | l.endswith("!") | l.endswith("?") | l.endswith('"')
+        )
+        & (F.size(F.split(l, " ")) >= min_words)
+        & ~l.contains("javascript"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        (
+            ~t.contains("{")
+            & ~t.contains("lorem ipsum")
+            & (F.size(kept) >= min_kept)
+        ).alias("keep"),
+    )
+
+
+def duck_c4_line_scrub(
+    table: str = "documents", min_words: int = 5, min_kept: int = 3
+) -> str:
+    keep_line = (
+        "x -> (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%\"') "
+        f"AND len(string_split(x, ' ')) >= {min_words} "
+        "AND NOT contains(x, 'javascript')"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {duck_c4_text('text')} AS t FROM {table}),
+l AS (
+  SELECT doc_id, t,
+    list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+  FROM d
+),
+k AS (SELECT doc_id, t, lines, list_filter(lines, {keep_line}) AS kept FROM l)
+SELECT doc_id,
+  CAST(len(lines) AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept,
+  coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS kept_text,
+  (NOT contains(t, '{{') AND NOT contains(t, 'lorem ipsum')
+   AND len(kept) >= {min_kept}) AS keep
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index (posting lists) — the retrieval-side index build
+# ---------------------------------------------------------------------------
+
+
+def posting_lists(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", cap: int = 16
+) -> DataFrame:
+    """Build an inverted index over the corpus: one row per term with
+    its document frequency and the first ``cap`` posting doc-ids
+    (sorted ascending, CSV-joined — array cells don't hash portably
+    across the driver's pandas canonicalizer).
+
+    Scale shape at 10^12 docs — the two aggregates are deliberately
+    SPLIT so neither funnels a stopword's full posting list through one
+    reducer:
+    - ``df`` counts flow through a map-side-combined groupBy (the
+      shuffled rows are vocabulary-sized per partition);
+    - the capped postings use a rank-``cap`` window (WindowGroupLimit:
+      Spark pushes the limit BELOW the sort, so each map partition
+      ships at most ``cap`` ids per term — a stopword appearing in
+      every document shuffles cap×partitions rows, not 10^12);
+    - both stages key on ``term``, so the final join is co-partitioned
+      and AQE can reuse the exchange.
+    Real posting lists would sink the full postings per term via the
+    partitioned writer (sinks.py) instead of truncating; the cap here
+    bounds the ORACLE-visible projection the way stratified_sample's
+    quota does.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    words(F.coalesce(F.col(text_col), F.lit(""))), lambda w: w != ""
+                )
+            )
+        ).alias("term"),
+    )
+    from pyspark.sql import Window
+
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("term").orderBy(id_col)
+    top = toks.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= cap)
+    posts = top.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(id_col)), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings_csv")
+    )
+    return counts.join(posts, "term").select("term", "df", "postings_csv")
+
+
+def duck_posting_lists(table: str = "documents", cap: int = 16) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS term
+  FROM {table}
+),
+counts AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+top AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+    FROM toks
+  ) WHERE rk <= {cap}
+),
+posts AS (
+  SELECT term,
+    list_aggregate(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS postings_csv
+  FROM top GROUP BY term
+)
+SELECT c.term, c.df, p.postings_csv FROM counts c JOIN posts p USING (term)
+"""

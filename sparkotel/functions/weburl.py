@@ -258,3 +258,100 @@ SELECT ip, CAST(session_idx AS INT) AS session_idx,
   CAST(sum(err) AS BIGINT) AS n_errors
 FROM s GROUP BY ip, session_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist / keyword filtering (RefinedWeb, Penedo et al. 2023 §3.1)
+# ---------------------------------------------------------------------------
+
+# Stand-in for the UT1-style aggregated domain blocklist (the real list
+# is ~4.6M domains; the mechanics — broadcast join on host, category
+# attached — are what scale).  Hosts exist in the synthetic pages table;
+# h1 is one of the three skew hosts (~20% of rows), exercising the
+# "popular domain lands on the blocklist" case.
+DEFAULT_BLOCKLIST = [
+    ("h1.example.com", "ads"),
+    ("h57.example.com", "adult"),
+    ("h123.example.com", "malware"),
+]
+# Weighted URL keywords (soft matching on the raw URL string); the
+# fixture's numeric path tail stands in for the paper's word lists.
+DEFAULT_KW_WEIGHTS = {"/3": 1.0, "/5": 2.5, "tracker": 5.0}
+DEFAULT_KW_THRESHOLD = 2.0
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    kw_weights: dict[str, float] | None = None,
+    threshold: float = DEFAULT_KW_THRESHOLD,
+    url_col: str = "url",
+) -> DataFrame:
+    """RefinedWeb-style URL filtering: a document is dropped when its
+    host appears on a curated domain blocklist OR its URL accumulates
+    too much weight from a keyword list (Penedo et al. 2023 §3.1 —
+    public; the UT1 blocklist + word-list scoring design).
+
+    Scale shape at 10^12 rows: the blocklist is a broadcast dim (UT1 is
+    ~4.6M rows ≈ 100 MB — exactly the lookupprocessor shape,
+    operators/enrich.py); keyword scoring is a pure projection (a
+    fixed chain of ``contains`` tests, whole-stage codegen).  No
+    shuffle anywhere — the filter rides the scan.
+
+    Output keeps the evidence: (url, host, block_category, kw_score,
+    blocked_host, keep).
+    """
+    kw = kw_weights if kw_weights is not None else DEFAULT_KW_WEIGHTS
+    host = F.lower(F.regexp_extract(F.col(url_col), _AUTH_RE, 1))
+    score: Column = F.lit(0.0)
+    for k in sorted(kw):  # fixed fold order → bit-identical double sum
+        score = score + F.when(
+            F.col(url_col).contains(k), F.lit(float(kw[k]))
+        ).otherwise(F.lit(0.0))
+    bl = blocklist.select(
+        F.lower(F.col("host")).alias("_bl_host"),
+        F.col("category").alias("block_category"),
+    )
+    out = (
+        df.select(F.col(url_col), host.alias("host"), score.alias("kw_score"))
+        .join(F.broadcast(bl), F.col("host") == F.col("_bl_host"), "left")
+        .drop("_bl_host")
+    )
+    return out.select(
+        url_col,
+        "host",
+        "block_category",
+        "kw_score",
+        F.col("block_category").isNotNull().alias("blocked_host"),
+        (
+            F.col("block_category").isNull() & (F.col("kw_score") < F.lit(threshold))
+        ).alias("keep"),
+    )
+
+
+def duck_url_blocklist_filter(
+    pages_cte: str,
+    blocklist: list[tuple[str, str]] | None = None,
+    kw_weights: dict[str, float] | None = None,
+    threshold: float = DEFAULT_KW_THRESHOLD,
+) -> str:
+    bl = blocklist if blocklist is not None else DEFAULT_BLOCKLIST
+    kw = kw_weights if kw_weights is not None else DEFAULT_KW_WEIGHTS
+    values = ", ".join(f"('{h}', '{c}')" for h, c in bl)
+    score = " + ".join(
+        f"(CASE WHEN contains(url, '{k}') THEN CAST({float(kw[k])!r} AS DOUBLE) ELSE 0.0 END)"
+        for k in sorted(kw)
+    )
+    return f"""
+WITH pages AS ({pages_cte}),
+bl(bl_host, category) AS (VALUES {values}),
+scored AS (
+  SELECT url, lower(regexp_extract(url, '{_AUTH_RE}', 1)) AS host,
+         ({score}) AS kw_score
+  FROM pages
+)
+SELECT s.url, s.host, b.category AS block_category, s.kw_score,
+       b.category IS NOT NULL AS blocked_host,
+       (b.category IS NULL AND s.kw_score < {float(threshold)!r}) AS keep
+FROM scored s LEFT JOIN bl b ON s.host = b.bl_host
+"""

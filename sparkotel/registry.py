@@ -4340,6 +4340,21 @@ SELECT doc_id, url_raw, {WU.duck_url_canonicalize('url_raw')} AS url_canonical
 FROM m""",
     )
 
+    # RefinedWeb-style URL filtering: UT1-shaped host blocklist
+    # (broadcast dim) + weighted keyword scoring (pure projection)
+    def url_blocklist_q(spark, sf):
+        bl = spark.createDataFrame(
+            WU.DEFAULT_BLOCKLIST, "host string, category string"
+        )
+        return WU.url_blocklist_filter(
+            P.pages(spark, sf).select("url"), bl
+        )
+
+    q["url_blocklist_filter"] = Query(
+        url_blocklist_q,
+        WU.duck_url_blocklist_filter(P.duckdb_pages_sql()),
+    )
+
     # crawl-snapshot dedup: three deterministic snapshot generations per
     # page (clean, decorated +1h, fbclid'd -2h on even ids) collapse to
     # one canonical URL; keeper = the +1h generation everywhere
@@ -4522,6 +4537,21 @@ FROM g""",
             _gopher_docs(spark, sf), required=_G_REQ
         ),
         TX.duck_gopher_rules(_gopher_inner, required=_G_REQ),
+    )
+
+    # C4's cleaning battery (Raffel 2020 §2.2): terminal-punctuation /
+    # min-words / javascript line rules + brace / lorem-ipsum /
+    # min-sentences page rules, over the punctuated c4_text rendering
+    q["c4_line_scrub"] = Query(
+        lambda spark, sf: TX.c4_line_scrub(_docs(spark, sf)),
+        TX.duck_c4_line_scrub(),
+    )
+
+    # inverted-index build: per-term document frequency + rank-capped
+    # posting lists (WindowGroupLimit bounds the stopword shuffle)
+    q["posting_lists"] = Query(
+        lambda spark, sf: TX.posting_lists(_docs(spark, sf)),
+        TX.duck_posting_lists(),
     )
 
     # Pretraining source mixing: four sources get explicit target

@@ -1426,3 +1426,82 @@ def test_semdedup_degenerate_cell_capped(spark):
     assert len(dups) == 199 and set(dups.values()) == {0}
     keepers = [r["vec_id"] for r in out if not r["is_dup"]]
     assert keepers == [0]
+
+
+# -- C4 line scrub ------------------------------------------------------------
+
+def test_c4_line_scrub_rules(spark):
+    """each C4 rule on a crafted doc: terminal punctuation, min words
+    per line, javascript line drop, brace / lorem-ipsum / min-sentence
+    page drops, NULL-text parity."""
+    from sparkotel.functions import text as T
+
+    rows = [
+        (0, "aa bb cc dd table aa bb cc dd table aa bb cc dd table"),
+        (1, "aa bb cc dd table aa bb cc dd table"),          # 2 sentences < 3
+        (2, "dup aa bb cc dd table aa bb cc dd table aa bb cc dd table"),
+        (3, "customer aa bb cc table aa bb cc dd table aa bb cc dd table"),
+        (4, "spark aa bb cc dd table aa bb cc dd table aa bb cc dd table"),
+        (5, "aa table aa bb cc dd table aa bb cc dd table aa bb cc dd table"),
+        (6, "aa bb cc dd value aa bb cc dd table aa bb cc dd table aa bb cc dd table"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.c4_line_scrub(df).collect()}
+    assert got[0]["keep"] and got[0]["n_kept"] == 3
+    assert got[0]["kept_text"] == "aa bb cc dd table.\naa bb cc dd table.\naa bb cc dd table."
+    assert not got[1]["keep"] and got[1]["n_kept"] == 2       # min_kept
+    assert not got[2]["keep"] and got[2]["n_kept"] == 3       # brace page rule
+    assert not got[3]["keep"]                                 # lorem ipsum page rule
+    assert not got[4]["keep"] and got[4]["n_kept"] == 2       # javascript line dropped
+    assert got[5]["keep"] and got[5]["n_kept"] == 3           # 2-word line dropped, rest keep
+    assert got[6]["keep"] and got[6]["n_kept"] == 3           # unpunctuated line dropped
+    assert not got[7]["keep"] and got[7]["n_lines"] == 0 and got[7]["kept_text"] == ""
+
+
+# -- URL blocklist + posting lists --------------------------------------------
+
+def test_url_blocklist_hand_case(spark):
+    from sparkotel.functions import weburl as WU
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h1.example.com/d/9/2",),      # blocked host
+            ("https://H1.example.com/d/9/2",),      # case-insensitive host match
+            ("https://ok.example.com/d/9/3",),      # kw /3 → 1.0 < 2.0 → keep
+            ("https://ok.example.com/d/9/5",),      # kw /5 → 2.5 ≥ 2.0 → drop
+            ("https://ok.example.com/tracker/1/2",),# kw tracker → 5.0 → drop
+            ("https://ok.example.com/d/9/2",),      # clean → keep
+        ],
+        "url string",
+    )
+    bl = spark.createDataFrame(WU.DEFAULT_BLOCKLIST, "host string, category string")
+    got = {r["url"]: r for r in WU.url_blocklist_filter(urls, bl).collect()}
+    assert got["https://h1.example.com/d/9/2"]["blocked_host"]
+    assert got["https://h1.example.com/d/9/2"]["block_category"] == "ads"
+    assert got["https://H1.example.com/d/9/2"]["blocked_host"]  # lowercased host
+    assert got["https://ok.example.com/d/9/3"]["keep"]
+    assert got["https://ok.example.com/d/9/3"]["kw_score"] == 1.0
+    assert not got["https://ok.example.com/d/9/5"]["keep"]
+    assert not got["https://ok.example.com/tracker/1/2"]["keep"]
+    assert got["https://ok.example.com/d/9/2"]["keep"]
+
+
+def test_posting_lists_cap_and_plan(spark):
+    """a stopword present in every doc must truncate to the cap
+    smallest doc ids, df stays exact, and the rank window must compile
+    to WindowGroupLimit (the map-side top-k pushdown — without it a
+    stopword's full posting list funnels through one reducer)."""
+    from sparkotel.functions import text as T
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("stop word"), F.lit(" unique"), F.col("id").cast("string")).alias("text"),
+    )
+    out = T.posting_lists(docs, cap=5)
+    rows = {r["term"]: r for r in out.collect()}
+    assert rows["stop"]["df"] == 100
+    assert rows["stop"]["postings_csv"] == "0,1,2,3,4"
+    assert rows["unique7"]["df"] == 1 and rows["unique7"]["postings_csv"] == "7"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan.split("== Initial Plan ==")[0]
