@@ -395,7 +395,10 @@ FROM res""",
         # — yields its slot to host_boilerplate_scrub, the CCNet-style
         # host-scoped boilerplate line scrub NEW in the final r5 session)
         "host_boilerplate_scrub",
-        "dedup_ngram_jaccard",
+        # (dedup_ngram_jaccard's r4-green pin — unchanged code — yields
+        # its slot to semdedup, the SemDeDup semantic-dedup operator
+        # NEW in the final r5 session)
+        "semdedup",
         "dedup_clusters",
         # (text_scrub_spans' r4 single-green pin — unchanged code —
         # yields its slot to warc_roundtrip, the WARC framing round
@@ -405,7 +408,11 @@ FROM res""",
         # span_pruning, whose execution shape changed in the final r5
         # session — per-trace applyInPandas → batched mapInPandas)
         "span_pruning",
-        "html_extract_text",
+        # (html_extract_text's r4-green pin — unchanged code, and
+        # wet_route_counts covers the extraction chain end-to-end in
+        # earlier rounds — yields its slot to posting_lists, the
+        # inverted-index build NEW in the final r5 session)
+        "posting_lists",
         # C: flagship pipeline + training-data family, every round
         "route_resource_ctx",
         # (text_pii_scrub's r4 single-green pin — unchanged code —
@@ -420,7 +427,10 @@ FROM res""",
         # pytest — yields its slot to gopher_rules, the complete Gopher
         # Table-A1 battery NEW in the final r5 session)
         "gopher_rules",
-        "embedding_near_dup",
+        # (embedding_near_dup's r4-green pin — unchanged code — yields
+        # its slot to c4_line_scrub, C4's line/page cleaning battery
+        # NEW in the final r5 session)
+        "c4_line_scrub",
         "ann_ivf_kmeans_topk",
         # (multimodal_sniff's flagship pin — multi-round green, unchanged
         # code — yields its slot to text_line_dup, the Gopher duplicate-
@@ -447,7 +457,10 @@ FROM res""",
         # code — yields its slot to dedup_simhash_pairs, the Manku
         # banded SimHash pairing NEW in the final r5 session)
         "dedup_simhash_pairs",
-        "otlpjson_metrics_roundtrip",
+        # (otlpjson_metrics_roundtrip's r4 double-green pin — unchanged
+        # code — yields its slot to url_blocklist_filter, the
+        # RefinedWeb URL filter NEW in the final r5 session)
+        "url_blocklist_filter",
         # (span_name_ops' second-row pin yields its slot to the unhinted
         # metric_start_time join, changed this round)
         "metric_start_time",
