@@ -2072,3 +2072,137 @@ posts AS (
 )
 SELECT c.term, c.df, p.postings_csv FROM counts c JOIN posts p USING (term)
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson & Zaragoza 2009 — public)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["dup", "customer", "frank"]
+BM25_K = 10
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval for a literal query-term set
+    (k1 = 1.2, b = 0.75 — the standard constants), INTEGER-EXACT in the
+    lm_surprisal discipline: idf is quantized to whole bits
+    (``floor(log2((2N+2) DIV (2·df+1)))`` — the +0.5 smoothing with
+    both sides doubled, evaluated via binary-string length, no libm),
+    the length normalization runs in milli-units
+    (``avgdl_milli = (1000·S) DIV N``, ``nd_milli = (10^6·dl) DIV
+    avgdl_milli``), and each term's score is one bigint floor division
+
+        score_micro_t = (idf_bits · tf · 2_200_000_000)
+                        DIV (1000·tf + 300 + (9·nd_milli) DIV 10)
+
+    (the 2.2/0.3/0.9 constants are k1+1, k1·(1−b), k1·b in milli).
+    Every intermediate fits int64 up to N ≈ 10^12 docs of ~10^5 tokens
+    (worst term ≈ 60·10^5·2.2·10^9 ≈ 1.3·10^16); common terms
+    (df ≳ N/2) quantize to 0 bits and drop out — the stopword
+    suppression BM25's idf is for.
+
+    Scale shape at 10^12 docs: dl and per-term tf are PURE PROJECTIONS
+    (array size/filter over the words array — terms are literals, so
+    no token explode, no tf shuffle); N, S, and the per-term df flow
+    through ONE lazy one-row aggregate broadcast-cross-joined back;
+    the top-k is ``orderBy().limit(k)`` — Spark's
+    TakeOrderedAndProject, a per-partition heap + driver merge of
+    k·partitions rows, never a global sort.  One scan total.
+
+    Output: (doc_id, score_micro, rank) for the k best score>0 docs.
+    """
+    terms = terms if terms is not None else BM25_TERMS
+    ws = F.filter(words(F.coalesce(F.col(text_col), F.lit(""))), lambda w: w != "")
+    proj = df.select(
+        F.col(id_col),
+        F.size(ws).cast("bigint").alias("dl"),
+        *[
+            # closure via outer lambda — a 2-arg HOF lambda would be
+            # interpreted by Spark as (element, index)
+            F.size(F.filter(ws, (lambda _t: lambda w: w == F.lit(_t))(t)))
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    glob = proj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("dl").cast("bigint").alias("_s"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    x = proj.crossJoin(F.broadcast(glob))
+    x = x.withColumn("_avgdl_milli", F.expr("(1000 * _s) DIV _n"))
+    x = x.withColumn(
+        "_nd_milli",
+        F.expr(
+            "CASE WHEN _avgdl_milli > 0 THEN (1000000 * dl) DIV _avgdl_milli ELSE 0 END"
+        ),
+    )
+    score = F.lit(0).cast("bigint")
+    for i in range(len(terms)):
+        qidf = f"(length(conv((2 * _n + 2) DIV (2 * _df_{i} + 1), 10, 2)) - 1)"
+        den = f"(1000 * tf_{i} + 300 + (9 * _nd_milli) DIV 10)"
+        score = score + F.expr(
+            f"CAST({qidf} AS BIGINT) * tf_{i} * 2200000000 DIV {den}"
+        )
+    scored = x.select(F.col(id_col), score.alias("score_micro")).filter(
+        F.col("score_micro") > 0
+    )
+    topk = scored.orderBy(F.desc("score_micro"), id_col).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_micro"), id_col)
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def duck_bm25_topk(
+    table: str = "documents", terms: list[str] | None = None, k: int = BM25_K
+) -> str:
+    terms = terms if terms is not None else BM25_TERMS
+    ws = "list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')"
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({ws}, w -> w = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"(CAST(length(bin((2 * p.n + 2) // (2 * p.df_{i} + 1))) - 1 AS BIGINT)"
+        f" * p.tf_{i} * 2200000000)"
+        f" // (1000 * p.tf_{i} + 300 + (9 * p.nd_milli) // 10)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH proj AS (
+  SELECT doc_id, CAST(len({ws}) AS BIGINT) AS dl, {tf_cols} FROM {table}
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s, {df_cols}
+  FROM proj
+),
+normed AS (
+  SELECT p.*, g.*,
+    CASE WHEN (1000 * g.s) // g.n > 0
+         THEN (1000000 * p.dl) // ((1000 * g.s) // g.n) ELSE 0 END AS nd_milli
+  FROM proj p CROSS JOIN tot g
+),
+scored AS (
+  SELECT doc_id, CAST({score_terms} AS BIGINT) AS score_micro
+  FROM normed p
+)
+SELECT doc_id, score_micro,
+  CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+FROM scored WHERE score_micro > 0
+ORDER BY score_micro DESC, doc_id LIMIT {k}
+"""

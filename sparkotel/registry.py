@@ -399,7 +399,10 @@ FROM res""",
         # its slot to semdedup, the SemDeDup semantic-dedup operator
         # NEW in the final r5 session)
         "semdedup",
-        "dedup_clusters",
+        # (dedup_clusters' r4-green pin — unchanged code — yields its
+        # slot to bm25_topk, the integer-exact BM25 retrieval query
+        # NEW in the final r5 session)
+        "bm25_topk",
         # (text_scrub_spans' r4 single-green pin — unchanged code —
         # yields its slot to warc_roundtrip, the WARC framing round
         # trip NEW in the final r5 session)
@@ -4565,6 +4568,14 @@ FROM g""",
     q["posting_lists"] = Query(
         lambda spark, sf: TX.posting_lists(_docs(spark, sf)),
         TX.duck_posting_lists(),
+    )
+
+    # Okapi BM25 top-k retrieval for a literal term set — whole-bit
+    # integer-exact idf (no libm), milli-unit length normalization,
+    # TakeOrderedAndProject top-k (never a global sort)
+    q["bm25_topk"] = Query(
+        lambda spark, sf: TX.bm25_topk(_docs(spark, sf)),
+        TX.duck_bm25_topk(),
     )
 
     # Pretraining source mixing: four sources get explicit target

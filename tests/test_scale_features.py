@@ -1505,3 +1505,51 @@ def test_posting_lists_cap_and_plan(spark):
     assert rows["unique7"]["df"] == 1 and rows["unique7"]["postings_csv"] == "7"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan.split("== Initial Plan ==")[0]
+
+
+# -- BM25 ---------------------------------------------------------------------
+
+def test_bm25_matches_integer_brute_force(spark):
+    """bm25_topk must equal an independent Python replay of the
+    integer-exact formula (whole-bit idf, milli-unit length norm), and
+    the top-k must compile to TakeOrderedAndProject, not a global sort."""
+    from sparkotel.functions import text as T
+
+    texts = [
+        "dup aa bb cc dd",
+        "dup dup aa bb",
+        "customer aa dup",
+        "aa bb cc dd ee ff gg hh",
+        "customer customer aa",
+        "",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["dup", "customer", "frank"]
+
+    # independent brute force
+    toks = [t.split(" ") if t else [] for t in texts]
+    toks = [[w for w in ws if w] for ws in toks]
+    n = len(texts)
+    s = sum(len(ws) for ws in toks)
+    avgdl_milli = (1000 * s) // n
+    dfreq = {t: sum(1 for ws in toks if t in ws) for t in terms}
+    expected = {}
+    for i, ws in enumerate(toks):
+        nd_milli = (1000000 * len(ws)) // avgdl_milli if avgdl_milli > 0 else 0
+        score = 0
+        for t in terms:
+            tf = ws.count(t)
+            idf = ((2 * n + 2) // (2 * dfreq[t] + 1)).bit_length() - 1
+            score += idf * tf * 2200000000 // (1000 * tf + 300 + (9 * nd_milli) // 10)
+        if score > 0:
+            expected[i] = score
+    out = T.bm25_topk(df, terms=terms, k=10)
+    got = {r["doc_id"]: r["score_micro"] for r in out.collect()}
+    assert got == expected
+    # ranks follow (score desc, doc_id) over the expected set
+    order = sorted(expected, key=lambda d: (-expected[d], d))
+    ranks = {r["doc_id"]: r["rank"] for r in out.collect()}
+    assert [ranks[d] for d in order] == list(range(1, len(order) + 1))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
