@@ -116,11 +116,15 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
         return best
 
     from sparkotel.functions.text import (
+        bm25_topk,
+        c4_line_scrub,
         corpus_keep,
         decontaminate,
         lm_surprisal,
+        posting_lists,
         repetition_features,
     )
+    from sparkotel.functions.similarity import semdedup
     from sparkotel.functions.htmltext import main_text
     from sparkotel.pages import pages
 
@@ -142,6 +146,10 @@ def bench_trainingdata(spark, sf_dir: str) -> dict:
         ),
         "text_lm_score": best_of(lambda: _noop(lm_surprisal(docs))),
         "ann_cosine_topk": best_of(lambda: _noop(brute_force_topk(emb, [0, 1, 2, 3, 4]))),
+        "c4_line_scrub": best_of(lambda: _noop(c4_line_scrub(docs))),
+        "bm25_topk": best_of(lambda: _noop(bm25_topk(docs))),
+        "posting_lists": best_of(lambda: _noop(posting_lists(docs))),
+        "semdedup": best_of(lambda: _noop(semdedup(emb))),
     }
 
 

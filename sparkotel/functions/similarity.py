@@ -43,6 +43,43 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``_dot`` with the fold unrolled into a codegen'd expression.
+
+    BIT-IDENTICAL to the HOF form by construction: ``F.aggregate``'s
+    merge is sequential, so its sum is the left-associated
+    ``((0.0 + x_0) + x_1) + …`` — exactly the chain built here
+    (verified bitwise over every fixture pair plus ragged/NULL shapes
+    in test_cosine_fast_bitwise_identical).  The difference is
+    execution: the HOF form is interpreted per element, the unrolled
+    GetArrayItem/multiply/add chain is not — measured ~30% less time
+    per scored pair on the semdedup pair stage (250k pairs).  The
+    trade: the unrolled expression pays a per-query plan/codegen
+    constant (~1.7 s measured), so it LOSES on small pair counts —
+    brute_force_topk's query-sized candidate set measured 0.6 s HOF
+    vs 2.3 s unrolled, which is why only the high-pair-count semdedup
+    stage uses it.  Callers must guard indexes against short arrays
+    (ANSI throws on out-of-bounds) — see ``cosine_fast``."""
+    s = F.lit(0.0)
+    for d in range(dim):
+        s = s + a[d].cast("double") * b[d].cast("double")
+    return s
+
+
+def cosine_fast(a: Column, b: Column, dim: int) -> Column:
+    """``cosine`` with the codegen fast path for ``dim``-sized vectors
+    and the HOF fallback for every other shape (short, ragged, NULL —
+    where zip_with's null-padding semantics must be preserved).  The
+    CaseWhen evaluates only the matching branch per row, so the
+    interpreted fallback is paid exactly on the degenerate rows."""
+    ok = (F.size(a) == dim) & (F.size(b) == dim)
+    fast = F.try_divide(
+        _dot_unrolled(a, b, dim),
+        F.sqrt(_dot_unrolled(a, a, dim)) * F.sqrt(_dot_unrolled(b, b, dim)),
+    )
+    return F.when(ok, fast).otherwise(cosine(a, b))
+
+
 def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Unit-norm the embedding column in place (+ ``vec_norm`` with the
     pre-normalization magnitude).  Pure per-row array math — scan-speed;
@@ -427,6 +464,11 @@ def ivf_kmeans_centroids(
 
 
 def _cent_struct(vec: Column, cid: int, cvec: list[float]) -> Column:
+    # HOF cosine stays here: greatest() over K centroid structs each
+    # carrying a 3×dim unrolled chain explodes the generated code past
+    # the JIT limits — measured 11 s → 35 s on the semdedup bench when
+    # this site used cosine_fast; the HOF form keeps the expression
+    # tree small and the assignment cost is K per row, not pair-count
     lit_vec = F.array(*[F.lit(x) for x in cvec])
     return F.struct(
         F.round(cosine(vec, lit_vec), 6).alias("s"), F.lit(cid).alias("c")
@@ -702,11 +744,25 @@ def semdedup(
         F.col("id").alias("bid"),
         F.col("vec").alias("bvec"),
     )
+    probe = ranked
+    try:
+        par = ranked.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - session without a context
+        par = 0
+    if len(cents) < par:
+        # the window leaves the probe side in ≤K partitions; with K
+        # below the core count the pair generation+scoring (the O(m·cap)
+        # hot stage) would run K-wide.  The probe side is only N rows
+        # (pairs are GENERATED by the join), so one cheap id-hash
+        # repartition spreads the expensive stage across all cores.  At
+        # the paper's operating point K ≫ cores, so this branch is off
+        # and no extra shuffle is paid.
+        probe = ranked.repartition("id")
     pairs = (
-        ranked.join(
+        probe.join(
             early, (F.col("cell") == F.col("bcell")) & (F.col("bid") < F.col("id"))
         )
-        .withColumn("s", F.round(cosine(F.col("vec"), F.col("bvec")), 4))
+        .withColumn("s", F.round(cosine_fast(F.col("vec"), F.col("bvec"), dim), 4))
         .filter(F.col("s") >= tau)
     )
     dups = pairs.groupBy("id").agg(

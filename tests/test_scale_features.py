@@ -1553,3 +1553,35 @@ def test_bm25_matches_integer_brute_force(spark):
     assert [ranks[d] for d in order] == list(range(1, len(order) + 1))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cosine_fast_bitwise_identical(spark):
+    """cosine_fast must reproduce the HOF cosine BITWISE on every
+    fixture pair (same left-fold order) and on ragged/short/NULL
+    shapes (fallback branch)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("a"))
+    b = emb.select(F.col("vec_id").alias("j"), F.reverse(F.col("embedding")).alias("b"))
+    chk = a.join(b, F.col("i") == F.col("j")).select(
+        SIM.cosine(F.col("a"), F.col("b")).alias("slow"),
+        SIM.cosine_fast(F.col("a"), F.col("b"), 64).alias("fast"),
+    )
+    bad = chk.filter(
+        ~((F.col("slow") == F.col("fast"))
+          | (F.col("slow").isNull() & F.col("fast").isNull()))
+    ).count()
+    assert bad == 0
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),  # short equal-length → fallback
+        (2, [1.0, 2.0], [1.0]),                 # ragged → NULL both
+        (3, [], []),                            # empty → NULL both
+        (4, None, [1.0] * 64),                  # NULL side
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    out = df.select(
+        "i",
+        SIM.cosine(F.col("a"), F.col("b")).alias("slow"),
+        SIM.cosine_fast(F.col("a"), F.col("b"), 64).alias("fast"),
+    ).collect()
+    for r in out:
+        assert r["slow"] == r["fast"] or (r["slow"] is None and r["fast"] is None)
