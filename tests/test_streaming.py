@@ -465,3 +465,67 @@ def test_streaming_rate_limit_null_arrival_denied(spark, tmp_path):
     assert got == batch
     assert got["t01"] == "not_sampled" and got["t02"] == "not_sampled"
     assert got["t03"] == "sampled" and got["t04"] == "not_sampled"
+
+
+def test_streaming_c4_and_blocklist_equal_batch(spark, tmp_path):
+    """c4_line_scrub and url_blocklist_filter are streaming-compatible
+    AS-IS: stateless projections (the blocklist side is a broadcast
+    dim, legal against a stream), so the same operators run on a
+    readStream frame and must emit exactly the batch rows."""
+    from sparkotel.functions.text import c4_line_scrub
+    from sparkotel.functions.weburl import DEFAULT_BLOCKLIST, url_blocklist_filter
+
+    docs_src = str(tmp_path / "docs_in")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(docs_src)
+    stream_docs = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_src)
+    )
+    q = (
+        c4_line_scrub(stream_docs)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("c4_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_text"], r["keep"])
+        for r in spark.sql("SELECT * FROM c4_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_text"], r["keep"])
+        for r in c4_line_scrub(docs).collect()
+    }
+    assert got == want
+
+    pages_src = str(tmp_path / "pages_in")
+    pages = P.pages(spark, SF_DIR).select("url")
+    pages.repartition(3).write.mode("overwrite").parquet(pages_src)
+    bl = spark.createDataFrame(DEFAULT_BLOCKLIST, "host string, category string")
+    stream_pages = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_src)
+    )
+    q2 = (
+        url_blocklist_filter(stream_pages, bl)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got2 = {
+        r["url"]: (r["block_category"], r["kw_score"], r["keep"])
+        for r in spark.sql("SELECT * FROM bl_stream").collect()
+    }
+    want2 = {
+        r["url"]: (r["block_category"], r["kw_score"], r["keep"])
+        for r in url_blocklist_filter(pages, bl).collect()
+    }
+    assert got2 == want2
