@@ -302,3 +302,45 @@ def test_host_boilerplate_scrub_plan_no_forced_broadcast(spark):
     # survive into the analyzed logical plan.
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "Hint" not in analyzed
+
+
+def test_c4_line_scrub_pure_projection(spark):
+    """C4 line/page cleaning is a per-document rendering + two array
+    filters: zero Exchange, zero joins, zero windows — it must ride the
+    scan (the repetition_features plan argument)."""
+    from sparkotel.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(T.c4_line_scrub(docs))
+    assert "Exchange" not in plan and "Join" not in plan and "Window" not in plan
+
+
+def test_url_blocklist_broadcast_no_shuffle(spark):
+    """URL filtering joins the UT1-shaped blocklist broadcast-side and
+    scores keywords as a projection: exactly one BroadcastHashJoin, no
+    shuffle Exchange, no sort-merge join."""
+    from sparkotel.functions import weburl as W
+
+    pages = P.pages(spark, SF_DIR).select("url")
+    bl = spark.createDataFrame(W.DEFAULT_BLOCKLIST, "host string, category string")
+    plan = plan_of(W.url_blocklist_filter(pages, bl))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    shuffles = [
+        l for l in plan.splitlines()
+        if "Exchange " in l and "BroadcastExchange" not in l
+    ]
+    assert not shuffles, plan
+
+
+def test_bm25_single_scan_topk_plan(spark):
+    """BM25's per-doc tf/dl are projections and the corpus totals ride a
+    broadcast one-row aggregate: the top-k must be TakeOrderedAndProject
+    (per-partition heap), never a global Sort, and the only joins are
+    broadcast nested-loop of the one-row totals."""
+    from sparkotel.functions import text as T
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(T.bm25_topk(docs))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan
