@@ -377,19 +377,36 @@ WHERE round({_duck_cos('a.embedding', 'c.embedding', dim)}, 4) >= {threshold}
 # ---------------------------------------------------------------------------
 
 def ivf_centroid_rows(
-    df: DataFrame, n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic training-free centroid seeding: the first
     ``n_centroids`` vectors by id.  (A k-means refinement would slot in
     here; seeding keeps the oracle replayable.)  The collect is
     n_centroids rows — plan-time metadata, not a data motion."""
     rows = (
-        # NULL/empty embeddings cannot seed (the float() unroll below
-        # would crash the driver on one degenerate row)
+        # Degenerate rows cannot seed.  NULL/wrong-length embeddings
+        # would produce NULL cosines against every full-size vector
+        # (zip_with pads ragged pairs with NULL), and a zero-norm
+        # vector has NULL cosine to EVERYTHING — and the two engines
+        # order a NULL struct field oppositely (Spark greatest() sorts
+        # it smallest, DuckDB max() largest), so one such seed silently
+        # flips every cell assignment in the oracle.  The rule is
+        # therefore: a seed must be exactly ``dim`` long with a
+        # positive norm.  Mirrored in every duck_* cents CTE.
         df.filter(
             (F.col(id_col) < n_centroids)
             & F.col(vec_col).isNotNull()
-            & (F.size(F.col(vec_col)) > 0)
+            & (F.size(F.col(vec_col)) == dim)
+            & (
+                F.array_max(
+                    F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+                )
+                > 0
+            )
         )
         .select(id_col, vec_col)
         .collect()
@@ -424,7 +441,7 @@ def ivf_kmeans_centroids(
     Each iteration is one scan + one ``n_centroids``-row collect
     (metadata-sized); ``iters`` is a fixed small constant, so the whole
     refinement is O(iters) scans — no driver-side loop over data."""
-    cents = ivf_centroid_rows(df, n_centroids, id_col, vec_col)
+    cents = ivf_centroid_rows(df, n_centroids, id_col, vec_col, dim)
     vint = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("bigint")
@@ -497,7 +514,7 @@ def ivf_cell_counts(
     if kmeans_iters > 0:
         cents = ivf_kmeans_centroids(df, n_centroids, kmeans_iters, dim=dim, **kw)
     else:
-        cents = ivf_centroid_rows(df, n_centroids, **kw)
+        cents = ivf_centroid_rows(df, n_centroids, dim=dim, **kw)
     return (
         ivf_assign(df, cents, **kw)
         .groupBy("cell")
@@ -564,7 +581,8 @@ def duck_ivf_topk(
     ids = ", ".join(str(i) for i in query_ids)
     cos = _duck_cos("e.embedding", "c.cvec", dim)
     return f"""
-WITH cents AS (SELECT vec_id AS ccid, embedding AS cvec FROM {table} WHERE vec_id < {n_centroids}),
+WITH cents AS (SELECT vec_id AS ccid, embedding AS cvec FROM {table}
+  WHERE vec_id < {n_centroids} AND embedding IS NOT NULL AND len(embedding) = {dim} AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0),
 cos AS (SELECT e.vec_id, c.ccid, round({cos}, 6) AS s FROM {table} e CROSS JOIN cents c),
 assign AS (SELECT vec_id, max({{'s': s, 'c': ccid}}) AS m FROM cos GROUP BY vec_id),
 cells AS (SELECT vec_id, m.c AS cell FROM assign),
@@ -607,7 +625,7 @@ def duck_ivf_kmeans_topk(
         f"WITH e AS (SELECT vec_id, embedding FROM {table})",
         f"""ei AS (SELECT vec_id, list_transform(embedding,
   x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) + {KMEANS_OFFSET}) AS vi FROM e)""",
-        f"c0 AS (SELECT vec_id AS ccid, embedding AS cvec FROM e WHERE vec_id < {n_centroids})",
+        f"c0 AS (SELECT vec_id AS ccid, embedding AS cvec FROM e WHERE vec_id < {n_centroids} AND embedding IS NOT NULL AND len(embedding) = {dim} AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0)",
     ]
     for i in range(iters):
         cos = _duck_cos("e.embedding", "c.cvec", dim)
@@ -730,7 +748,7 @@ def semdedup(
     Output: one row per input vector —
     (vec_id, cell, dup_of, max_sim, is_dup).
     """
-    cents = ivf_centroid_rows(df, n_centroids, id_col, vec_col)
+    cents = ivf_centroid_rows(df, n_centroids, id_col, vec_col, dim)
     assigned = ivf_assign(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         cents,
@@ -797,16 +815,21 @@ def duck_semdedup(
 WITH e AS (SELECT vec_id, embedding FROM {table}),
 cents AS (
   SELECT vec_id AS ccid, embedding AS cvec FROM e
-  WHERE vec_id < {n_centroids} AND embedding IS NOT NULL AND len(embedding) > 0
+  WHERE vec_id < {n_centroids} AND embedding IS NOT NULL AND len(embedding) = {dim}
+    AND list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
 ),
-cos AS (SELECT e.vec_id, c.ccid, round({cos_assign}, 6) AS s FROM e CROSS JOIN cents c),
+cos AS (SELECT e.vec_id, c.ccid,
+  CASE WHEN len(e.embedding) = len(c.cvec) THEN round({cos_assign}, 6) END AS s
+  FROM e CROSS JOIN cents c),
 assign AS (SELECT vec_id, max({{'s': s, 'c': ccid}}).c AS cell FROM cos GROUP BY vec_id),
 ranked AS (
   SELECT vec_id, cell, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
   FROM assign
 ),
 pairs AS (
-  SELECT a.vec_id AS id, b.vec_id AS bid, round({cos_pair}, 4) AS s
+  SELECT a.vec_id AS id, b.vec_id AS bid,
+    CASE WHEN len(ea.embedding) = len(eb.embedding)
+         THEN round({cos_pair}, 4) END AS s
   FROM ranked a
   JOIN ranked b ON a.cell = b.cell AND b.vec_id < a.vec_id AND b.rk <= {cap}
   JOIN e ea ON ea.vec_id = a.vec_id

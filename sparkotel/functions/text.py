@@ -2113,7 +2113,11 @@ def bm25_topk(
     through ONE lazy one-row aggregate broadcast-cross-joined back;
     the top-k is ``orderBy().limit(k)`` — Spark's
     TakeOrderedAndProject, a per-partition heap + driver merge of
-    k·partitions rows, never a global sort.  One scan total.
+    k·partitions rows, never a global sort.  The totals subtree
+    re-scans the tf/dl projection (no cache between the one-row
+    aggregate and the probe side — the same snapshot-consistency
+    trade lm_surprisal documents), so the corpus is read twice:
+    once as a cheap map-side count/sum, once for scoring.
 
     Output: (doc_id, score_micro, rank) for the k best score>0 docs.
     """

@@ -1585,3 +1585,38 @@ def test_cosine_fast_bitwise_identical(spark):
     ).collect()
     for r in out:
         assert r["slow"] == r["fast"] or (r["slow"] is None and r["fast"] is None)
+
+
+def test_semdedup_oracle_parity_degenerate_seeds(spark, tmp_path):
+    """the two cross-engine traps the review surfaced, pinned: a
+    zero-norm or wrong-length vector in the seed range must be excluded
+    from the centroids on BOTH engines (Spark greatest() sorts a NULL
+    struct field smallest, DuckDB max() largest — one such seed flips
+    every assignment), and a ragged member must score NULL in both
+    (zip_with null-pads; the oracle guards on equal lengths)."""
+    import duckdb
+
+    from test_oracle_parity import oracle_rows, spark_rows
+
+    v1 = [float((i * 7) % 13) - 6.0 for i in range(64)]
+    v2 = [float((i * 5) % 11) - 5.0 for i in range(64)]
+    rows = [
+        (0, [0.0] * 64),        # zero-norm inside the seed range
+        (1, v1),
+        (2, v2),
+        (3, [1.0, 2.0, 3.0]),   # wrong-length inside the seed range
+        (4, None),
+        (5, []),
+        (6, list(v1)),          # exact dup of 1 → must resolve dup_of=1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = str(tmp_path / "emb_deg")
+    df.repartition(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{pq}/*.parquet'")
+    got = spark_rows(SIM.semdedup(df, tau=0.99))
+    want = oracle_rows(con, SIM.duck_semdedup(tau=0.99))
+    assert got == want
+    by_id = {r["vec_id"]: r for r in SIM.semdedup(df, tau=0.99).collect()}
+    assert by_id[6]["is_dup"] and by_id[6]["dup_of"] == 1
+    assert not by_id[1]["is_dup"]
