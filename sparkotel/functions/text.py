@@ -2210,3 +2210,115 @@ SELECT doc_id, score_micro,
 FROM scored WHERE score_micro > 0
 ORDER BY score_micro DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-global paragraph dedup (Dolma, Soldaini et al. 2024 — public)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-GLOBAL paragraph deduplication, keep-first: every
+    occurrence of a paragraph except its first (smallest
+    ``(doc_id, position)``) is removed — the paragraph-granularity
+    dedup Dolma applies corpus-wide (Soldaini et al. 2024; they use a
+    Bloom filter over a stream, the batch analogue is an exact
+    min-keeper).  Complements the existing dedup family: doc-level
+    exact (``corpus_keep``), host-scoped lines
+    (``host_boilerplate_scrub``), corpus-wide word grams
+    (``scrub_repeated_spans``).
+
+    Paragraph structure comes from the ``lined_text`` rendering (the
+    fixture's flat text has none); splits on blank-line runs.
+
+    Scale shape (the ``host_boilerplate_scrub`` discipline):
+    - paragraphs posexplode as a projection;
+    - the keeper per paragraph hash is ONE combinable aggregate
+      (min(struct) + count partials combine map-side; a 10^6-fold
+      boilerplate paragraph costs one reduce row);
+    - only hashes with count > 1 join back (the flagged set is
+      duplicate-paragraphs-only, usually tiny; unhinted so AQE
+      broadcasts it when small and hash-partitions when not);
+    - per-doc drop positions are a bounded collect_list and the
+      rewrite is an indexed array filter on the original row — the
+      document body is never reassembled through a shuffle.
+
+    Output: (id, dedup_text, n_paras, n_dropped) for every row;
+    NULL text stays NULL.
+    """
+    t = lined_text(F.col(text_col))
+    arr = F.split(t, r"\n{2,}")
+    paras = df.select(
+        F.col(id_col).alias("id"), F.posexplode(arr).alias("pos", "p")
+    ).filter(F.col("p") != "")
+    keepers = (
+        paras.groupBy(F.md5(F.col("p")).alias("ph"))
+        .agg(
+            F.min(F.struct("id", "pos")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .select("ph", "k")
+    )
+    hits = (
+        paras.withColumn("ph", F.md5(F.col("p")))
+        .join(keepers, "ph")
+        .filter((F.col("k.id") != F.col("id")) | (F.col("k.pos") != F.col("pos")))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("drops"))
+    )
+    joined = df.join(hits, df[id_col] == hits["id"], "left")
+    drops = F.coalesce(F.col("drops"), F.array().cast("array<int>"))
+    clean = F.filter(arr, lambda x, i: ~F.array_contains(drops, i))
+    n_paras = F.size(F.filter(arr, lambda x: x != "")).cast("bigint")
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws("\n\n", F.filter(clean, lambda x: x != "")))
+        .alias("dedup_text"),
+        n_paras.alias("n_paras"),
+        F.size(drops).cast("bigint").alias("n_dropped"),
+    )
+
+
+def duck_paragraph_dedup(table: str = "documents") -> str:
+    """Oracle twin — 1-based generate positions shifted to 0-based so
+    the drop sets match posexplode exactly."""
+    return f"""
+WITH src AS (SELECT doc_id, text, {duck_lined_text('text')} AS t FROM {table}),
+d AS (SELECT doc_id, text, string_split_regex(t, '\\n{{2,}}') AS arr FROM src),
+paras AS (
+  SELECT doc_id, u.p AS p, u.pos AS pos FROM (
+    SELECT doc_id,
+      unnest(list_transform(arr, (x, i) -> {{'p': x, 'pos': i - 1}})) AS u
+    FROM d) WHERE u.p <> ''
+),
+keepers AS (
+  SELECT md5(p) AS ph, min({{'id': doc_id, 'pos': pos}}) AS k, count(*) AS n
+  FROM paras GROUP BY md5(p)
+),
+hits AS (
+  SELECT paras.doc_id AS id, list_sort(list(paras.pos)) AS drops
+  FROM paras JOIN keepers ON md5(paras.p) = keepers.ph
+  WHERE keepers.n > 1
+    AND NOT (keepers.k.id = paras.doc_id AND keepers.k.pos = paras.pos)
+  GROUP BY paras.doc_id
+),
+out AS (
+  SELECT d.doc_id, d.text, d.arr, coalesce(h.drops, []) AS drops
+  FROM d LEFT JOIN hits h ON h.id = d.doc_id
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL ELSE
+    coalesce(list_aggregate(
+      list_filter(
+        list_filter(arr, (x, i) -> NOT list_contains(drops, i - 1)),
+        x -> x <> ''),
+      'string_agg', chr(10) || chr(10)), '')
+  END AS dedup_text,
+  CAST(len(list_filter(arr, x -> x <> '')) AS BIGINT) AS n_paras,
+  CAST(len(drops) AS BIGINT) AS n_dropped
+FROM out
+"""

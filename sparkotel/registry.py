@@ -417,7 +417,10 @@ FROM res""",
         # inverted-index build NEW in the final r5 session)
         "posting_lists",
         # C: flagship pipeline + training-data family, every round
-        "route_resource_ctx",
+        # (route_resource_ctx's multi-green pin — unchanged code —
+        # yields its slot to paragraph_dedup, the Dolma-style
+        # corpus-global paragraph dedup NEW in the final r5 session)
+        "paragraph_dedup",
         # (text_pii_scrub's r4 single-green pin — unchanged code —
         # yields its slot to source_mix_sample, the pretraining
         # source-mixing sampler NEW in the final r5 session)
@@ -4576,6 +4579,14 @@ FROM g""",
     q["bm25_topk"] = Query(
         lambda spark, sf: TX.bm25_topk(_docs(spark, sf)),
         TX.duck_bm25_topk(),
+    )
+
+    # Dolma-style corpus-global paragraph dedup, keep-first occurrence
+    # (batch analogue of their Bloom-filter pass): combinable
+    # min-keeper aggregate, duplicate-only join-back, indexed rewrite
+    q["paragraph_dedup"] = Query(
+        lambda spark, sf: TX.paragraph_dedup(_docs(spark, sf)),
+        TX.duck_paragraph_dedup(),
     )
 
     # Pretraining source mixing: four sources get explicit target

@@ -1620,3 +1620,24 @@ def test_semdedup_oracle_parity_degenerate_seeds(spark, tmp_path):
     by_id = {r["vec_id"]: r for r in SIM.semdedup(df, tau=0.99).collect()}
     assert by_id[6]["is_dup"] and by_id[6]["dup_of"] == 1
     assert not by_id[1]["is_dup"]
+
+
+def test_paragraph_dedup_keep_first(spark):
+    """keep-first semantics across and within documents: the smallest
+    (doc_id, position) occurrence survives, all others drop; NULL text
+    stays NULL."""
+    from sparkotel.functions import text as T
+
+    rows = [
+        (0, "xx yy table xx yy table"),   # same para twice → second drops
+        (1, "xx yy table zz table"),      # first para dups doc0 → drops
+        (2, None),
+        (3, "unique words qq table"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.paragraph_dedup(df).collect()}
+    assert got[0]["n_paras"] == 2 and got[0]["n_dropped"] == 1
+    assert got[0]["dedup_text"] == "xx yy table"
+    assert got[1]["n_dropped"] == 1 and got[1]["dedup_text"] == "zz table"
+    assert got[2]["dedup_text"] is None and got[2]["n_dropped"] == 0
+    assert got[3]["n_dropped"] == 0 and "unique" in got[3]["dedup_text"]
