@@ -843,3 +843,63 @@ SELECT a.vec_id, CAST(a.cell AS INT) AS cell, CAST(d.dup_of AS BIGINT) AS dup_of
        d.max_sim, d.dup_of IS NOT NULL AS is_dup
 FROM assign a LEFT JOIN dups d ON d.id = a.vec_id
 """
+
+
+def ivf_recall(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index-quality evaluation: per-query recall@k of the IVF index
+    against the exact brute-force top-k — the standard ANN acceptance
+    metric (recall = |approx ∩ exact| / k).  Ships as a first-class
+    query so an index build can be gated on measured recall, not hope.
+
+    Scale shape: both arms are existing queries (broadcast query side,
+    one corpus scan each); the intersection is a (qid, cid) equi-join
+    between two k·|Q|-row frames — metadata-sized.  The division is
+    exact IEEE int/int, identical in both engines.
+
+    Output: (qid, n_hit, k, recall) per query id.
+    """
+    truth = brute_force_topk(df, query_ids, k, id_col, vec_col).select(
+        "qid", "cid"
+    )
+    approx = ivf_topk(
+        df, query_ids, k, n_centroids, n_probe, id_col, vec_col
+    ).select(F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
+    hits = truth.join(
+        approx,
+        (F.col("qid") == F.col("aqid")) & (F.col("cid") == F.col("acid")),
+        "left",
+    )
+    return hits.groupBy("qid").agg(
+        F.count("acid").alias("n_hit"),
+        F.lit(k).cast("bigint").alias("k"),
+        (F.count("acid") / F.lit(k)).alias("recall"),
+    )
+
+
+def duck_ivf_recall(
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    bf = duck_brute_force_topk(query_ids, k, table)
+    ivf = duck_ivf_topk(query_ids, k, n_centroids, n_probe, table, dim)
+    return f"""
+WITH t AS (SELECT qid, cid FROM ({bf})),
+a AS (SELECT qid AS aqid, cid AS acid FROM ({ivf}))
+SELECT t.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
+  CAST({k} AS BIGINT) AS k,
+  count(a.acid) / CAST({k} AS DOUBLE) AS recall
+FROM t LEFT JOIN a ON t.qid = a.aqid AND t.cid = a.acid
+GROUP BY t.qid
+"""

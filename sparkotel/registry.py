@@ -371,7 +371,11 @@ FROM res""",
         "text_quality",
         "text_lang_id",
         "corpus_stats",
-        "ann_cosine_topk",
+        # (ann_cosine_topk's multi-green pin — unchanged code, and the
+        # recall query drives the same brute-force path internally —
+        # yields its slot to ann_ivf_recall, NEW in the final r5
+        # session)
+        "ann_ivf_recall",
         "ann_ivf_topk",
         "otlpjson_traces_roundtrip",
         "otlpjson_exp_roundtrip",
@@ -4924,6 +4928,12 @@ FROM n GROUP BY 1
     q["ann_ivf_topk"] = Query(
         lambda spark, sf: SIM.ivf_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),
         SIM.duck_ivf_topk([0, 1, 2, 3, 4]),
+    )
+    # per-query recall@k of the IVF index vs brute force — the ANN
+    # acceptance metric as a first-class, oracle-checked query
+    q["ann_ivf_recall"] = Query(
+        lambda spark, sf: SIM.ivf_recall(_emb(spark, sf), [0, 1, 2, 3, 4]),
+        SIM.duck_ivf_recall([0, 1, 2, 3, 4]),
     )
     # IVF with deterministic Lloyd-refined centroids (integer-exact
     # k-means, VERDICT r2 #6) — the oracle unrolls the same 2 iterations
