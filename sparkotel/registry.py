@@ -369,7 +369,11 @@ FROM res""",
         # stratified_sample, stanza_router_attrs, stanza_filter_ratio,
         # group_by_attrs_promote).
         "text_quality",
-        "text_lang_id",
+        # (text_lang_id's pin — its try_divide path is equally covered
+        # by text_quality and corpus_stats — yields its slot to
+        # corpus_keep_neardup, the near-dup-aware corpus gate NEW in
+        # the final r5 session)
+        "corpus_keep_neardup",
         "corpus_stats",
         # (ann_cosine_topk's multi-green pin — unchanged code, and the
         # recall query drives the same brute-force path internally —
@@ -4591,6 +4595,43 @@ FROM g""",
     q["paragraph_dedup"] = Query(
         lambda spark, sf: TX.paragraph_dedup(_docs(spark, sf)),
         TX.duck_paragraph_dedup(),
+    )
+
+    # near-dup-aware corpus gate: the MinHash-LSH cluster keeper flag
+    # feeds the keep/drop decision, in the order a real pipeline
+    # evaluates (exact_dup > near_dup > lang > quality > repetition) —
+    # closes the loop from candidate pairs to an exportable verdict
+    def corpus_keep_nd_q(spark, sf):
+        docs = _docs(spark, sf)
+        ck = TX.corpus_keep(docs)
+        cl = D.dedup_clusters(docs, D.minhash_lsh_pairs(docs)).select(
+            "doc_id", "is_keeper"
+        )
+        reason = (
+            F.when(F.col("drop_reason") == "exact_dup", F.lit("exact_dup"))
+            .when(~F.col("is_keeper"), F.lit("near_dup"))
+            .otherwise(F.col("drop_reason"))
+        )
+        return (
+            ck.join(cl, "doc_id")
+            .select(
+                "doc_id",
+                reason.alias("drop_reason"),
+                reason.isNull().alias("keep"),
+            )
+        )
+
+    _nd_case = """CASE WHEN ck.drop_reason = 'exact_dup' THEN 'exact_dup'
+       WHEN NOT cl.is_keeper THEN 'near_dup'
+       ELSE ck.drop_reason END"""
+    q["corpus_keep_neardup"] = Query(
+        corpus_keep_nd_q,
+        f"""WITH ck AS (SELECT * FROM ({TX.duck_corpus_keep("documents")})),
+cl AS (SELECT * FROM ({D.duck_dedup_clusters("documents")}))
+SELECT ck.doc_id,
+  {_nd_case} AS drop_reason,
+  ({_nd_case}) IS NULL AS keep
+FROM ck JOIN cl ON ck.doc_id = cl.doc_id""",
     )
 
     # Pretraining source mixing: four sources get explicit target
