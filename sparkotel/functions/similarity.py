@@ -903,3 +903,66 @@ SELECT t.qid, CAST(count(a.acid) AS BIGINT) AS n_hit,
 FROM t LEFT JOIN a ON t.qid = a.aqid AND t.cid = a.acid
 GROUP BY t.qid
 """
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes — the building block
+    of prototype classifiers, semantic-dedup seeding, and drift
+    monitoring), INTEGER-EXACT cross-engine: components quantize to
+    ``floor(x·10^6) + OFFSET`` (the ``ivf_kmeans_centroids`` scheme —
+    offset keeps sums positive so floor division is a true mean floor),
+    per-label per-dim sums are associative bigint adds, and the mean is
+    one floor division.  Emitted LONG (label, d, centroid_micro) —
+    array cells don't hash portably across the driver's canonicalizer.
+
+    Scale shape: ONE map-side-combined groupBy(label) carrying dim sum
+    columns (labels are few, sums combine before the exchange — a
+    10^12-row label costs one reduce row); the long-format explode is a
+    projection on the label-count-sized result.  Vectors that are NULL
+    or not exactly ``dim`` long are excluded (a prototype of mixed
+    dimensionality is meaningless), mirroring the oracle predicate.
+    """
+    vint = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * KMEANS_SCALE).cast("bigint")
+        + F.lit(KMEANS_OFFSET),
+    )
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(F.col(label_col).alias("label"), vint.alias("_vi"))
+    agg = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("_vi")[d]).alias(f"s{d}") for d in range(dim)],
+    )
+    means = F.array(
+        *[
+            (F.expr(f"s{d} DIV n") - F.lit(KMEANS_OFFSET)).cast("bigint")
+            for d in range(dim)
+        ]
+    )
+    return agg.select(
+        "label",
+        F.col("n").cast("bigint").alias("n"),
+        F.posexplode(means).alias("d", "centroid_micro"),
+    )
+
+
+def duck_label_centroids(table: str = "embeddings", dim: int = 64) -> str:
+    return f"""
+WITH ei AS (
+  SELECT label,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}) AS BIGINT) + {KMEANS_OFFSET}) AS vi
+  FROM {table}
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n, CAST(dd.d AS INT) AS d,
+  CAST((sum(vi[dd.d + 1]) // count(*)) - {KMEANS_OFFSET} AS BIGINT) AS centroid_micro
+FROM ei CROSS JOIN (SELECT unnest(range(0, {dim})) AS d) dd
+GROUP BY label, dd.d
+"""

@@ -374,7 +374,10 @@ FROM res""",
         # corpus_keep_neardup, the near-dup-aware corpus gate NEW in
         # the final r5 session)
         "corpus_keep_neardup",
-        "corpus_stats",
+        # (corpus_stats' pin — it composes the same try_divide quality
+        # projection text_quality already pins — yields its slot to
+        # embedding_label_centroids, NEW in the final r5 session)
+        "embedding_label_centroids",
         # (ann_cosine_topk's multi-green pin — unchanged code, and the
         # recall query drives the same brute-force path internally —
         # yields its slot to ann_ivf_recall, NEW in the final r5
@@ -4969,6 +4972,12 @@ FROM n GROUP BY 1
     q["ann_ivf_topk"] = Query(
         lambda spark, sf: SIM.ivf_topk(_emb(spark, sf), [0, 1, 2, 3, 4]),
         SIM.duck_ivf_topk([0, 1, 2, 3, 4]),
+    )
+    # per-label mean embedding (class prototypes), integer-exact via
+    # the kmeans quantization scheme; long format (arrays don't hash)
+    q["embedding_label_centroids"] = Query(
+        lambda spark, sf: SIM.label_centroids(_emb(spark, sf)),
+        SIM.duck_label_centroids(),
     )
     # per-query recall@k of the IVF index vs brute force — the ANN
     # acceptance metric as a first-class, oracle-checked query
