@@ -2322,3 +2322,133 @@ SELECT doc_id,
   CAST(len(drops) AS BIGINT) AS n_dropped
 FROM out
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich et al., ACL 2016 — public)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def bpe_train(
+    df: DataFrame, k: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding merge training over the corpus vocabulary —
+    the tokenizer-induction inner loop (Sennrich ACL 2016): start from
+    characters (+ the ``</w>`` end-of-word marker), repeatedly take the
+    most frequent adjacent symbol pair (ties: lexicographic) and merge
+    its leftmost non-overlapping occurrences in every word.
+
+    Scale shape: the iteration is DRIVER-BOUND ONLY on metadata — the
+    ``ivf_kmeans_centroids`` pattern: each round is one scan of the
+    word-VOCABULARY frame (already aggregated from the corpus: one
+    map-side-combined shuffle total, words dedup before any BPE work),
+    one tiny pair-count aggregate, and a ONE-ROW collect of the argmax;
+    the merge applies as a per-word array fold (pure projection).  ``k``
+    is a fixed small constant, so the whole train is O(k) vocab scans —
+    no driver-side loop over data rows.
+
+    Output: (rank, sym_a, sym_b, merged, pair_count), one row per merge
+    in training order — the merges table a tokenizer ships.
+    """
+    vocab = (
+        df.select(F.explode(words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
+    syms = F.transform(
+        chars,
+        lambda x, i: F.when(
+            i == F.size(chars) - 1, F.concat(x, F.lit("</w>"))
+        ).otherwise(x),
+    )
+    vocab = vocab.select("w", "n", syms.alias("syms")).localCheckpoint()
+    out_rows = []
+    for rank in range(1, k + 1):
+        pairs = vocab.filter(F.size("syms") > 1).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms)-2),"
+                    " i -> struct(syms[i] AS a, syms[i+1] AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged before k rounds
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merged = a + b
+        out_rows.append((rank, a, b, merged, cnt))
+        apply_merge = F.when(F.size("syms") <= 1, F.col("syms")).otherwise(
+            F.aggregate(
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                F.slice(F.col("syms"), 1, 1),
+                lambda acc, x: F.when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+        )
+        # localCheckpoint: k rounds of array folds would otherwise nest
+        # into one k-deep interpreted expression over the vocab frame
+        vocab = vocab.withColumn("syms", apply_merge).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
+    )
+
+
+def duck_bpe_train(table: str = "documents", k: int = BPE_MERGES) -> str:
+    """Oracle twin — the k training rounds unrolled into CTE chains
+    (the duck_ivf_kmeans discipline); the merge application is a
+    list_reduce fold identical to Spark's F.aggregate fold."""
+    parts = [
+        f"""v0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n,
+    list_transform(regexp_extract_all(w, '.'), (x, i) ->
+      CASE WHEN i = len(regexp_extract_all(w, '.')) THEN x || '</w>' ELSE x END) AS syms
+  FROM (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS w
+        FROM {table})
+  GROUP BY w
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(list_transform(range(1, len(syms)), j -> {{'a': syms[j], 'b': syms[j+1]}})) AS u
+    FROM v{i - 1} WHERE len(syms) > 1) GROUP BY u.a, u.b
+)"""
+        )
+        parts.append(
+            f"b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""v{i} AS (
+  SELECT w, n,
+    CASE WHEN len(syms) <= 1 THEN syms ELSE
+      list_reduce(list_transform(syms, x -> [x]), (acc, x) ->
+        CASE WHEN acc[len(acc)] = b{i}.a AND x[1] = b{i}.b
+             THEN list_append(list_slice(acc, 1, len(acc) - 1), b{i}.a || b{i}.b)
+             ELSE list_append(acc, x[1]) END)
+    END AS syms
+  FROM v{i - 1} CROSS JOIN b{i}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union

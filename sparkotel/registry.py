@@ -387,7 +387,11 @@ FROM res""",
         "otlpjson_traces_roundtrip",
         "otlpjson_exp_roundtrip",
         "host_quality_filter",
-        "corpus_prep_shards",
+        # (corpus_prep_shards' pin — its components corpus_keep_decision
+        # and decontaminate are pinned above and corpus_keep_neardup
+        # keeps a composed-DAG row — yields its slot to bpe_train, the
+        # BPE tokenizer-induction trainer NEW in the final r5 session)
+        "bpe_train",
         # A (late r5): explicit-histogram + summary marshal round trips
         # (both formats) — first driver rows for the r5-new fileexporter
         # arms.  They take the slots of single-green r4 queries whose
@@ -4590,6 +4594,14 @@ FROM g""",
     q["bm25_topk"] = Query(
         lambda spark, sf: TX.bm25_topk(_docs(spark, sf)),
         TX.duck_bm25_topk(),
+    )
+
+    # BPE merge training (Sennrich 2016): k driver rounds over the
+    # word vocabulary, one-row argmax collects, fold-applied merges;
+    # oracle unrolls the same k rounds as CTE chains
+    q["bpe_train"] = Query(
+        lambda spark, sf: TX.bpe_train(_docs(spark, sf)),
+        TX.duck_bpe_train(),
     )
 
     # Dolma-style corpus-global paragraph dedup, keep-first occurrence

@@ -1641,3 +1641,48 @@ def test_paragraph_dedup_keep_first(spark):
     assert got[1]["n_dropped"] == 1 and got[1]["dedup_text"] == "zz table"
     assert got[2]["dedup_text"] is None and got[2]["n_dropped"] == 0
     assert got[3]["n_dropped"] == 0 and "unique" in got[3]["dedup_text"]
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """bpe_train must equal an independent Python replay of Sennrich
+    BPE (greedy leftmost non-overlapping merge, count-then-lex argmax,
+    </w> marker) on a crafted corpus."""
+    from collections import Counter
+
+    from sparkotel.functions import text as T
+
+    docs = [
+        "aaa aaa aaa ab ab banana banana bandana",
+        "aaa ab banana cabana",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+
+    vocab = Counter(w for t in docs for w in t.split(" ") if w)
+    syms = {w: [*w[:-1], w[-1] + "</w>"] for w in vocab}
+    expected = []
+    for _ in range(4):
+        counts = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((a, b, a + b, cnt))
+        for w in vocab:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    got = [
+        (r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in T.bpe_train(df, k=4).orderBy("rank").collect()
+    ]
+    assert got == expected and len(got) == 4
