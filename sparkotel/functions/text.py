@@ -2366,6 +2366,16 @@ def bpe_train(
         ).otherwise(x),
     )
     vocab = vocab.select("w", "n", syms.alias("syms")).localCheckpoint()
+    vocab, out_rows = _bpe_rounds(vocab, k)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out_rows, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_rounds(vocab: DataFrame, k: int):
+    """run ``k`` merge rounds; returns (final vocab with merged syms,
+    the merge rows).  Shared by ``bpe_train`` and ``bpe_encode_stats``."""
     out_rows = []
     for rank in range(1, k + 1):
         pairs = vocab.filter(F.size("syms") > 1).select(
@@ -2404,16 +2414,22 @@ def bpe_train(
         # localCheckpoint: k rounds of array folds would otherwise nest
         # into one k-deep interpreted expression over the vocab frame
         vocab = vocab.withColumn("syms", apply_merge).localCheckpoint()
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        out_rows, "rank int, sym_a string, sym_b string, merged string, pair_count bigint"
-    )
+    return vocab, out_rows
 
 
 def duck_bpe_train(table: str = "documents", k: int = BPE_MERGES) -> str:
     """Oracle twin — the k training rounds unrolled into CTE chains
     (the duck_ivf_kmeans discipline); the merge application is a
     list_reduce fold identical to Spark's F.aggregate fold."""
+    parts = _duck_bpe_parts(table, k)
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def _duck_bpe_parts(table: str, k: int) -> list:
     parts = [
         f"""v0 AS (
   SELECT w, CAST(count(*) AS BIGINT) AS n,
@@ -2447,8 +2463,98 @@ def duck_bpe_train(table: str = "documents", k: int = BPE_MERGES) -> str:
   FROM v{i - 1} CROSS JOIN b{i}
 )"""
         )
-    union = "\nUNION ALL\n".join(
-        f"SELECT CAST({i} AS INT) AS rank, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b{i}"
-        for i in range(1, k + 1)
+    return parts
+
+
+def bpe_encode_stats(
+    df: DataFrame, k: int = BPE_MERGES, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Encode every document with the ``bpe_train`` merges and report
+    per-doc token statistics — the train→encode round trip a tokenizer
+    pipeline ships, and the honest replacement for regex token-count
+    proxies once merges exist.
+
+    Scale shape (the ``lm_surprisal`` discipline): the merges apply on
+    the VOCABULARY frame only (per-word symbol counts computed once per
+    distinct word, never per token); documents explode to (id, word)
+    and join the word→count table — word-keyed on both sides, unhinted
+    so AQE broadcasts small vocabularies; the per-doc groupBy is
+    map-side combinable sums.
+
+    Output: (id, n_words, n_char_syms, n_bpe_tokens) — n_char_syms is
+    the pre-merge symbol count (= word length; the ``</w>`` marker
+    rides the last character), so n_char_syms − n_bpe_tokens is the
+    compression the k merges bought.  Empty/NULL text → zeros.
+    """
+    vocab = (
+        df.select(F.explode(words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    chars = F.regexp_extract_all(F.col("w"), F.lit("."), 0)
+    syms = F.transform(
+        chars,
+        lambda x, i: F.when(
+            i == F.size(chars) - 1, F.concat(x, F.lit("</w>"))
+        ).otherwise(x),
+    )
+    vocab = vocab.select("w", "n", syms.alias("syms")).localCheckpoint()
+    vocab, _ = _bpe_rounds(vocab, k)
+    wstats = vocab.select(
+        "w",
+        F.size("syms").cast("bigint").alias("_nsym"),
+        F.length("w").cast("bigint").alias("_nchr"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
+    ).filter(F.col("w") != "")
+    doc = (
+        toks.join(wstats, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_nchr").alias("n_char_syms"),
+            F.sum("_nsym").alias("n_bpe_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+            F.coalesce("n_char_syms", F.lit(0)).cast("bigint").alias("n_char_syms"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def duck_bpe_encode_stats(table: str = "documents", k: int = BPE_MERGES) -> str:
+    parts = _duck_bpe_parts(table, k)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+wstats AS (
+  SELECT w, CAST(len(syms) AS BIGINT) AS nsym, CAST(length(w) AS BIGINT) AS nchr
+  FROM v{k}
+),
+toks AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS w
+    FROM {table})
+),
+doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+    CAST(sum(nchr) AS BIGINT) AS n_char_syms,
+    CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens
+  FROM toks JOIN wstats USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(doc.n_words, 0) AS BIGINT) AS n_words,
+  CAST(coalesce(doc.n_char_syms, 0) AS BIGINT) AS n_char_syms,
+  CAST(coalesce(doc.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM {table} d LEFT JOIN doc USING (doc_id)"""
+    )

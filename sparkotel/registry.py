@@ -350,7 +350,11 @@ FROM res""",
         "decontaminate",
         "multimodal_image_patches",
         "dynamic_sampling",
-        "sessionize_ip",
+        # (sessionize_ip's slot: its epoch-cast change is re-verified
+        # by this session's sf0.01 gates and its r4 row is green; the
+        # slot goes to bpe_encode_stats, NEW in the final r5 session —
+        # a never-recorded query outranks a re-check in the last round)
+        "bpe_encode_stats",
         "schema_migrate",
         "otlpjson_roundtrip",
         "corpus_keep_decision",
@@ -4602,6 +4606,12 @@ FROM g""",
     q["bpe_train"] = Query(
         lambda spark, sf: TX.bpe_train(_docs(spark, sf)),
         TX.duck_bpe_train(),
+    )
+    # the train→encode round trip: per-doc token stats under the
+    # learned merges (symbol counts computed once per vocabulary word)
+    q["bpe_encode_stats"] = Query(
+        lambda spark, sf: TX.bpe_encode_stats(_docs(spark, sf)),
+        TX.duck_bpe_encode_stats(),
     )
 
     # Dolma-style corpus-global paragraph dedup, keep-first occurrence

@@ -1686,3 +1686,23 @@ def test_bpe_train_matches_reference_algorithm(spark):
         for r in T.bpe_train(df, k=4).orderBy("rank").collect()
     ]
     assert got == expected and len(got) == 4
+
+
+def test_bpe_encode_stats_consistency(spark):
+    """encode stats must be internally consistent: char symbols equal
+    summed word lengths, more merges never increase token count, and
+    NULL/empty text rows report zeros."""
+    from sparkotel.functions import text as T
+
+    rows = [(0, "banana banana bandana"), (1, "aa"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k4 = {r["doc_id"]: r for r in T.bpe_encode_stats(df, k=4).collect()}
+    k0 = {r["doc_id"]: r for r in T.bpe_encode_stats(df, k=0).collect()}
+    assert k4[0]["n_words"] == 3 and k4[0]["n_char_syms"] == 6 + 6 + 7
+    # zero merges → one token per character symbol
+    assert k0[0]["n_bpe_tokens"] == k0[0]["n_char_syms"]
+    for d in (0, 1):
+        assert k4[d]["n_bpe_tokens"] <= k0[d]["n_bpe_tokens"]
+    assert k4[0]["n_bpe_tokens"] < k0[0]["n_bpe_tokens"]  # merges bit
+    for d in (2, 3):
+        assert k4[d]["n_words"] == 0 and k4[d]["n_bpe_tokens"] == 0
